@@ -1,0 +1,85 @@
+"""End-to-end batch ETL runner (reference entry point EP1).
+
+The reference's orchestration (``ExtractAndSaveDocumentsAysnc``,
+/root/reference/EtlProcess.cs:48-86) is a linear DAG: lease → extract →
+load → release(+audit), with compensation on failure (:79-85). In Spark
+the durable-queue hops collapse into one driver-side pipeline function
+(SURVEY.md §3): lease becomes unnecessary (single driver; streaming
+checkpoints own incremental progress), but we keep the run-audit table
+(operator O4) for parity and observability.
+
+``run_batch_etl`` wires: generate/extract (O5/O12) → surrogate keys +
+partitioned load (O6) → batch transform (O9) → upsert sink (O11) →
+audit (O4), with the reference's error semantics (O14): failure releases
+with the exception message and re-raises (:79-85); "no items" records a
+success with an explanatory message (:66-69).
+"""
+
+from __future__ import annotations
+
+import uuid
+from datetime import datetime
+
+from pyspark.sql import DataFrame, SparkSession
+
+from .operators.load import assign_surrogate_keys, save_documents
+from .operators.transform import transform_items
+from .sinks.writers import audit_run, upsert_batch
+from .sources.generator import generate_sample_items
+
+
+def run_batch_etl(
+    spark: SparkSession,
+    work_dir: str,
+    source_df: DataFrame | None = None,
+    count: int | None = None,
+    clock: datetime | None = None,
+    batch_id: str | None = None,
+    deterministic: bool = False,
+) -> DataFrame:
+    """One orchestration run. Returns the transformed DataFrame.
+
+    ``source_df=None`` uses the built-in generator (the reference's local
+    loop: ExternalEndpoint pointed at its own sample endpoint,
+    sample.settings.json:9).
+    """
+    start = clock or datetime.now()
+    staging = f"{work_dir}/extracted"
+    transformed = f"{work_dir}/transformed"
+    audit = f"{work_dir}/orchestration_runs"
+    batch = batch_id or str(uuid.uuid4())
+
+    try:
+        items = source_df
+        if items is None:
+            items = generate_sample_items(
+                spark, count=count, clock=clock, deterministic_ids=deterministic
+            )
+        # Extract returning null → release + skip (EtlProcess.cs:61-69).
+        if items is None:
+            audit_run(
+                spark, audit, start, clock or datetime.now(), True,
+                "No documents extracted.",  # message analog, EtlProcess.cs:67
+            )
+            return spark.createDataFrame([], "id string")
+
+        keyed = assign_surrogate_keys(items, deterministic=deterministic)
+        save_documents(keyed, staging)
+
+        out = transform_items(
+            spark.read.option("basePath", staging).parquet(staging),
+            batch_id=batch,
+            clock=clock,
+        )
+        upsert_batch(out, transformed, batch)
+        audit_run(
+            spark, audit, start, clock or datetime.now(), True,
+            "Documents extracted and saved for processing.",  # EtlProcess.cs:71
+        )
+        return out
+    except Exception as exc:  # compensation path, EtlProcess.cs:79-85
+        audit_run(
+            spark, audit, start, clock or datetime.now(), False,
+            f"Error: {exc}",
+        )
+        raise

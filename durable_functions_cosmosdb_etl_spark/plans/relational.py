@@ -1,0 +1,997 @@
+"""Relational operator surface (SURVEY.md §2.2) as registered queries.
+
+Every operator category absent from the reference (which has none —
+/root/reference/EtlProcess.cs is a 420-line ETL sample with no joins,
+aggregates, windows, or sorts) is provided here via built-in Spark
+DataFrame/SQL operators, each paired with a DuckDB oracle.
+
+Float policy: aggregates over doubles are rounded (sums → 2dp, avgs and
+transcendentals → 4-6dp) in BOTH engines so fp-addition-order noise
+(~1e-5 relative at 60k rows) cannot break the value-hash compare.
+
+Scale posture (applies to every query here):
+- filters/projections are expressed declaratively → Catalyst pushes them
+  into the parquet scan (verify: ``.explain`` shows PushedFilters /
+  pruned ReadSchema);
+- dimension joins broadcast explicitly (``F.broadcast``) — at 100 TB a
+  shuffle of lineitem to join a 25-row nation table is the classic
+  anti-pattern;
+- fact-fact joins shuffle on their equi-keys and AQE handles skew;
+- window functions partition by their natural key — no global windows
+  except the documented small-batch parity path in operators/transform.
+"""
+
+from __future__ import annotations
+
+from datetime import datetime
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..functions.fixedpoint import fixed, unfixed
+from ..operators.asof import asof_join
+from ..operators.transform import transform_items
+from ..sources.generator import generate_sample_items
+from ..sources.tables import load_table
+from .registry import query
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return load_table(spark, sf_dir, name)
+
+
+# --------------------------------------------------------------------------
+# Aggregations
+# --------------------------------------------------------------------------
+
+
+@query(
+    "pricing_summary",
+    oracle="""
+    WITH f AS (
+        SELECT l_returnflag, l_linestatus,
+               CAST(round(l_quantity * 10000) AS BIGINT)      AS q,
+               CAST(round(l_extendedprice * 100) AS BIGINT)   AS p,
+               CAST(round(l_extendedprice * (1 - l_discount) * 1000000) AS BIGINT) AS dp,
+               CAST(round(l_extendedprice * (1 - l_discount) * (1 + l_tax) * 1000000)
+                    AS BIGINT)                                AS ch,
+               CAST(round(l_discount * 10000) AS BIGINT)      AS d
+        FROM lineitem
+        WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+    )
+    SELECT l_returnflag, l_linestatus,
+           CAST(sum(q) AS DOUBLE) / 10000.0              AS sum_qty,
+           CAST(sum(p) AS DOUBLE) / 100.0                AS sum_base_price,
+           CAST(sum(dp) AS DOUBLE) / 1000000.0           AS sum_disc_price,
+           CAST(sum(ch) AS DOUBLE) / 1000000.0           AS sum_charge,
+           CAST(sum(q) AS DOUBLE) / 10000.0 / count(*)   AS avg_qty,
+           CAST(sum(p) AS DOUBLE) / 100.0 / count(*)     AS avg_price,
+           CAST(sum(d) AS DOUBLE) / 10000.0 / count(*)   AS avg_disc,
+           count(*)                                      AS count_order
+    FROM f GROUP BY l_returnflag, l_linestatus
+    """,
+)
+def pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1-shaped pricing summary: partial+final hash aggregate.
+
+    Flagship aggregate. Catalyst plans a partial (map-side) HashAggregate
+    before the exchange, so the shuffle carries ~|groups| rows per
+    partition, not |lineitem| — the property that makes this viable at
+    100 TB (shuffle volume is O(groups × partitions)).
+
+    Measures aggregate in fixed-point (functions/fixedpoint.py): exact
+    integer sums are associative, so the result is independent of
+    partition count/order — required for oracle parity and a free
+    determinism win at scale.
+    """
+    l = _t(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") <= F.lit("1998-09-02 00:00:00").cast("timestamp_ntz")
+    )
+    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    q = fixed("l_quantity", 10000)
+    p = fixed("l_extendedprice", 100)
+    dp = fixed(disc_price, 1000000)
+    ch = fixed(disc_price * (1 + F.col("l_tax")), 1000000)
+    d = fixed("l_discount", 10000)
+    cnt = F.count(F.lit(1))
+    return l.groupBy("l_returnflag", "l_linestatus").agg(
+        unfixed(F.sum(q), 10000).alias("sum_qty"),
+        unfixed(F.sum(p), 100).alias("sum_base_price"),
+        unfixed(F.sum(dp), 1000000).alias("sum_disc_price"),
+        unfixed(F.sum(ch), 1000000).alias("sum_charge"),
+        (unfixed(F.sum(q), 10000) / cnt).alias("avg_qty"),
+        (unfixed(F.sum(p), 100) / cnt).alias("avg_price"),
+        (unfixed(F.sum(d), 10000) / cnt).alias("avg_disc"),
+        cnt.alias("count_order"),
+    )
+
+
+@query(
+    "agg_stats",
+    oracle="""
+    SELECT o_orderstatus, o_orderpriority,
+           count(*)                                            AS n_orders,
+           CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS DOUBLE) / 100.0
+                                                               AS sum_price,
+           CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS DOUBLE) / 100.0
+               / count(*)                                      AS avg_price,
+           min(o_totalprice)                                   AS min_price,
+           max(o_totalprice)                                   AS max_price
+    FROM orders
+    GROUP BY o_orderstatus, o_orderpriority
+    """,
+)
+def agg_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-measure hash aggregate (count/sum/avg/min/max in one pass)."""
+    return (
+        _t(spark, sf_dir, "orders")
+        .groupBy("o_orderstatus", "o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            unfixed(F.sum(fixed("o_totalprice"))).alias("sum_price"),
+            (unfixed(F.sum(fixed("o_totalprice"))) / F.count(F.lit(1))).alias(
+                "avg_price"
+            ),
+            F.min("o_totalprice").alias("min_price"),
+            F.max("o_totalprice").alias("max_price"),
+        )
+    )
+
+
+@query(
+    "agg_distinct",
+    oracle="""
+    SELECT l_returnflag,
+           count(DISTINCT l_partkey) AS n_parts,
+           count(DISTINCT l_suppkey) AS n_supps,
+           count(*)                  AS n_rows
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+)
+def agg_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-column distinct aggregation (Catalyst expands + re-aggregates).
+
+    Scale note: exact multi-distinct costs an expand (row per distinct
+    column); when 2% error is fine, ``approx_distinct`` (HLL, below) cuts
+    the shuffle to sketch size.
+    """
+    return (
+        _t(spark, sf_dir, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(
+            F.countDistinct("l_partkey").alias("n_parts"),
+            F.countDistinct("l_suppkey").alias("n_supps"),
+            F.count(F.lit(1)).alias("n_rows"),
+        )
+    )
+
+
+@query("approx_distinct")  # sketch output engine-specific → rows-only check
+def approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HyperLogLog++ distinct estimate — the 100 TB path for distincts.
+
+    No oracle: HLL estimates are engine-specific by construction. The
+    exact counterpart is ``agg_distinct``; tests assert the estimate is
+    within rsd bounds of the exact count.
+    """
+    return (
+        _t(spark, sf_dir, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(
+            F.approx_count_distinct("l_partkey", rsd=0.02).alias("approx_parts"),
+            F.count(F.lit(1)).alias("n_rows"),
+        )
+    )
+
+
+@query(
+    "agg_rollup",
+    oracle="""
+    SELECT o_orderstatus, o_orderpriority, count(*) AS n_orders,
+           CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS DOUBLE) / 100.0
+               AS sum_price
+    FROM orders
+    GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
+    """,
+)
+def agg_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLUP hierarchy totals (status → status+priority → grand total)."""
+    return (
+        _t(spark, sf_dir, "orders")
+        .rollup("o_orderstatus", "o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            unfixed(F.sum(fixed("o_totalprice"))).alias("sum_price"),
+        )
+    )
+
+
+@query(
+    "agg_cube",
+    oracle="""
+    SELECT l_returnflag, l_linestatus, count(*) AS n_rows,
+           CAST(sum(CAST(round(l_quantity * 10000) AS BIGINT)) AS DOUBLE) / 10000.0
+               AS sum_qty
+    FROM lineitem
+    GROUP BY CUBE (l_returnflag, l_linestatus)
+    """,
+)
+def agg_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE over two dimensions (all 4 grouping sets)."""
+    return (
+        _t(spark, sf_dir, "lineitem")
+        .cube("l_returnflag", "l_linestatus")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            unfixed(F.sum(fixed("l_quantity", 10000)), 10000).alias("sum_qty"),
+        )
+    )
+
+
+@query(
+    "agg_grouping_sets",
+    oracle="""
+    SELECT o_orderstatus, o_orderpriority, count(*) AS n_orders
+    FROM orders
+    GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+    """,
+)
+def agg_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit GROUPING SETS via Spark SQL."""
+    _t(spark, sf_dir, "orders").createOrReplaceTempView("orders")
+    return spark.sql(
+        """
+        SELECT o_orderstatus, o_orderpriority, count(*) AS n_orders
+        FROM orders
+        GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+        """
+    )
+
+
+# --------------------------------------------------------------------------
+# Filters / projections
+# --------------------------------------------------------------------------
+
+
+@query(
+    "filter_project",
+    oracle="""
+    SELECT l_orderkey, l_linenumber,
+           CAST(round(l_extendedprice * (1 - l_discount) * 10000) AS BIGINT) / 10000.0
+               AS net_price
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '2000-01-01 00:00:00' AND l_discount > 0.05
+    """,
+)
+def filter_project(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Predicate + projection, fully pushed into the parquet scan.
+
+    ``.explain("formatted")`` shows both filters in PushedFilters and a
+    3-column ReadSchema — at 100 TB this is the difference between
+    scanning 3 columns of late rows and scanning everything.
+    """
+    return (
+        _t(spark, sf_dir, "lineitem")
+        .filter(
+            (F.col("l_shipdate") >= F.lit("2000-01-01 00:00:00").cast("timestamp_ntz"))
+            & (F.col("l_discount") > 0.05)
+        )
+        .select(
+            "l_orderkey",
+            "l_linenumber",
+            unfixed(
+                fixed(F.col("l_extendedprice") * (1 - F.col("l_discount")), 10000),
+                10000,
+            ).alias("net_price"),
+        )
+    )
+
+
+@query(
+    "case_when",
+    oracle="""
+    SELECT c_custkey,
+           CASE WHEN c_acctbal < 0 THEN 'delinquent'
+                WHEN c_acctbal < 5000 THEN 'standard'
+                ELSE 'premium' END AS tier,
+           coalesce(nullif(trim(c_mktsegment), ''), 'UNKNOWN') AS segment
+    FROM customer
+    """,
+)
+def case_when(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CASE/WHEN + the reference's blank-coalesce idiom (EtlProcess.cs:251)."""
+    c = _t(spark, sf_dir, "customer")
+    return c.select(
+        "c_custkey",
+        F.when(F.col("c_acctbal") < 0, "delinquent")
+        .when(F.col("c_acctbal") < 5000, "standard")
+        .otherwise("premium")
+        .alias("tier"),
+        F.coalesce(
+            F.nullif(F.trim("c_mktsegment"), F.lit("")), F.lit("UNKNOWN")
+        ).alias("segment"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Joins
+# --------------------------------------------------------------------------
+
+
+@query(
+    "join_inner_revenue",
+    oracle="""
+    SELECT c_custkey, c_name,
+           CAST(sum(CAST(round(l_extendedprice * (1 - l_discount) * 10000) AS BIGINT))
+                AS DOUBLE) / 10000.0 AS revenue,
+           count(*) AS n_items
+    FROM customer
+    JOIN orders   ON c_custkey = o_custkey
+    JOIN lineitem ON o_orderkey = l_orderkey
+    GROUP BY c_custkey, c_name
+    """,
+)
+def join_inner_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """3-way inner join → aggregate (TPC-H Q3 family).
+
+    customer⋈orders is shuffle-hash/SMJ on custkey; orders⋈lineitem on
+    orderkey. AQE picks broadcast when the filtered side fits. Skewed
+    custkeys at scale → AQE skew-join splits oversized partitions.
+    """
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    l = _t(spark, sf_dir, "lineitem")
+    return (
+        c.join(o, c.c_custkey == o.o_custkey)
+        .join(l, o.o_orderkey == l.l_orderkey)
+        .groupBy("c_custkey", "c_name")
+        .agg(
+            unfixed(
+                F.sum(
+                    fixed(F.col("l_extendedprice") * (1 - F.col("l_discount")), 10000)
+                ),
+                10000,
+            ).alias("revenue"),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+    )
+
+
+@query(
+    "join_left_counts",
+    oracle="""
+    SELECT c_custkey, count(o_orderkey) AS order_count,
+           CAST(coalesce(sum(CAST(round(o_totalprice * 100) AS BIGINT)), 0)
+                AS DOUBLE) / 100.0 AS total_spend
+    FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+    GROUP BY c_custkey
+    """,
+)
+def join_left_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left outer join preserving customers with zero orders."""
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    return (
+        c.join(o, c.c_custkey == o.o_custkey, "left")
+        .groupBy("c_custkey")
+        .agg(
+            F.count("o_orderkey").alias("order_count"),
+            unfixed(
+                F.coalesce(F.sum(fixed("o_totalprice")), F.lit(0))
+            ).alias("total_spend"),
+        )
+    )
+
+
+@query(
+    "join_semi",
+    oracle="""
+    SELECT c_custkey, c_name FROM customer
+    WHERE EXISTS (SELECT 1 FROM orders
+                  WHERE o_custkey = c_custkey AND o_totalprice > 400000)
+    """,
+)
+def join_semi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left-semi join (EXISTS): customers with a >400k order."""
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders").filter(F.col("o_totalprice") > 400000)
+    return c.join(o, c.c_custkey == o.o_custkey, "left_semi").select(
+        "c_custkey", "c_name"
+    )
+
+
+@query(
+    "join_anti",
+    oracle="""
+    SELECT c_custkey, c_name FROM customer
+    WHERE NOT EXISTS (SELECT 1 FROM orders
+                      WHERE o_custkey = c_custkey AND o_totalprice > 400000)
+    """,
+)
+def join_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left-anti join (NOT EXISTS): customers with no >400k order."""
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders").filter(F.col("o_totalprice") > 400000)
+    return c.join(o, c.c_custkey == o.o_custkey, "left_anti").select(
+        "c_custkey", "c_name"
+    )
+
+
+@query(
+    "join_broadcast_dims",
+    oracle="""
+    SELECT r_name,
+           CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS DOUBLE) / 100.0
+               AS revenue,
+           count(*) AS n_items
+    FROM lineitem
+    JOIN supplier ON l_suppkey = s_suppkey
+    JOIN nation   ON s_nationkey = n_nationkey
+    JOIN region   ON n_regionkey = r_regionkey
+    GROUP BY r_name
+    """,
+)
+def join_broadcast_dims(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Star join: fact × 3 broadcast dimensions, zero fact shuffles.
+
+    All three dims are explicitly broadcast, so lineitem is never
+    shuffled for the joins — the only exchange is the final tiny
+    aggregate. This is THE 100 TB star-schema plan: map-side joins over
+    the fact scan.
+    """
+    l = _t(spark, sf_dir, "lineitem")
+    s = F.broadcast(_t(spark, sf_dir, "supplier"))
+    n = F.broadcast(_t(spark, sf_dir, "nation"))
+    r = F.broadcast(_t(spark, sf_dir, "region"))
+    return (
+        l.join(s, l.l_suppkey == s.s_suppkey)
+        .join(n, s.s_nationkey == n.n_nationkey)
+        .join(r, n.n_regionkey == r.r_regionkey)
+        .groupBy("r_name")
+        .agg(
+            unfixed(F.sum(fixed("l_extendedprice"))).alias("revenue"),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+    )
+
+
+@query(
+    "join_range_bands",
+    oracle="""
+    SELECT band, count(*) AS n_events,
+           CAST(sum(CAST(round(value * 100) AS BIGINT)) AS DOUBLE) / 100.0
+               AS total_value
+    FROM events
+    JOIN (VALUES ('low', 0.0, 100.0), ('mid', 100.0, 200.0),
+                 ('high', 200.0, 300.0), ('top', 300.0, 500.0)) b(band, lo, hi)
+      ON value >= lo AND value < hi
+    GROUP BY band
+    """,
+)
+def join_range_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Theta/range join against a broadcast band table.
+
+    Non-equi joins can't hash-partition; the scalable plan is broadcast
+    nested loop with the *small* side broadcast — which Spark picks here
+    because the band table is 4 rows. Range joins against a LARGE band
+    table would instead bucket both sides by coarse range then equi-join
+    on the bucket (see dedup/similarity for that pattern).
+    """
+    e = _t(spark, sf_dir, "events")
+    bands = F.broadcast(
+        spark.createDataFrame(
+            [("low", 0.0, 100.0), ("mid", 100.0, 200.0),
+             ("high", 200.0, 300.0), ("top", 300.0, 500.0)],
+            "band string, lo double, hi double",
+        )
+    )
+    return (
+        e.join(bands, (e.value >= bands.lo) & (e.value < bands.hi))
+        .groupBy("band")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            unfixed(F.sum(fixed("value"))).alias("total_value"),
+        )
+    )
+
+
+@query(
+    "join_asof",
+    oracle="""
+    SELECT p.event_id, p.user_id, p.ts, c.ts AS last_click_ts
+    FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+    ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
+      ON p.user_id = c.user_id AND p.ts >= c.ts
+    """,
+)
+def join_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join: each purchase matched to the user's latest prior click.
+
+    Spark has no native ASOF; implemented via union + partitioned window
+    (operators/asof.py) — one shuffle on user_id, no range cross-product.
+    """
+    e = _t(spark, sf_dir, "events")
+    purchases = e.filter(F.col("event_type") == "purchase")
+    clicks = e.filter(F.col("event_type") == "click")
+    return asof_join(
+        purchases.select("event_id", "user_id", "ts"),
+        clicks.select("user_id", "ts"),
+        on="user_id",
+        left_ts="ts",
+        right_ts="ts",
+        value_col="ts",
+        value_alias="last_click_ts",
+    )
+
+
+# --------------------------------------------------------------------------
+# Windows
+# --------------------------------------------------------------------------
+
+
+@query(
+    "window_rank",
+    oracle="""
+    SELECT o_orderkey, o_custkey, o_totalprice,
+           row_number() OVER (PARTITION BY o_custkey
+                              ORDER BY o_totalprice DESC, o_orderkey) AS rn,
+           rank()       OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC) AS rnk,
+           dense_rank() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC) AS drnk
+    FROM orders
+    """,
+)
+def window_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ranking window functions; row_number is tiebroken for determinism."""
+    o = _t(spark, sf_dir, "orders")
+    w_tb = Window.partitionBy("o_custkey").orderBy(
+        F.col("o_totalprice").desc(), F.col("o_orderkey")
+    )
+    w = Window.partitionBy("o_custkey").orderBy(F.col("o_totalprice").desc())
+    return o.select(
+        "o_orderkey",
+        "o_custkey",
+        "o_totalprice",
+        F.row_number().over(w_tb).alias("rn"),
+        F.rank().over(w).alias("rnk"),
+        F.dense_rank().over(w).alias("drnk"),
+    )
+
+
+@query(
+    "window_running",
+    oracle="""
+    SELECT event_id, user_id, ts, value,
+           CAST(sum(CAST(round(value * 100) AS BIGINT))
+                OVER (PARTITION BY user_id ORDER BY ts, event_id
+                      ROWS UNBOUNDED PRECEDING) AS DOUBLE) / 100.0 AS running_sum,
+           CAST(sum(CAST(round(value * 100) AS BIGINT))
+                OVER (PARTITION BY user_id ORDER BY ts, event_id
+                      ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS DOUBLE) / 100.0
+               / count(*) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)
+               AS moving_avg3
+    FROM events
+    """,
+)
+def window_running(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Running sum + ROWS-frame moving average per user."""
+    e = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    w_run = w.rowsBetween(Window.unboundedPreceding, 0)
+    w3 = w.rowsBetween(-2, 0)
+    return e.select(
+        "event_id",
+        "user_id",
+        "ts",
+        "value",
+        unfixed(F.sum(fixed("value")).over(w_run)).alias("running_sum"),
+        (unfixed(F.sum(fixed("value")).over(w3)) / F.count(F.lit(1)).over(w3)).alias(
+            "moving_avg3"
+        ),
+    )
+
+
+@query(
+    "window_lag_lead",
+    oracle="""
+    SELECT event_id, user_id, ts,
+           lag(value)  OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_value,
+           lead(value) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS next_value,
+           round(value - lag(value) OVER (PARTITION BY user_id
+                                          ORDER BY ts, event_id), 2) AS delta
+    FROM events
+    """,
+)
+def window_lag_lead(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """lag/lead analytics with null boundaries."""
+    e = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return e.select(
+        "event_id",
+        "user_id",
+        "ts",
+        F.lag("value").over(w).alias("prev_value"),
+        F.lead("value").over(w).alias("next_value"),
+        F.round(F.col("value") - F.lag("value").over(w), 2).alias("delta"),
+    )
+
+
+@query(
+    "window_range_frame",
+    oracle="""
+    SELECT event_id, user_id, ts,
+           CAST(sum(CAST(round(value * 100) AS BIGINT))
+                OVER (PARTITION BY user_id ORDER BY epoch_us(ts)
+                      RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW)
+                AS DOUBLE) / 100.0 AS sum_1h
+    FROM events
+    """,
+)
+def window_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RANGE frame: trailing 1-hour sum per user (ordered by epoch micros)."""
+    e = _t(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.unix_micros("ts"))
+        .rangeBetween(-3_600_000_000, 0)
+    )
+    return e.select(
+        "event_id",
+        "user_id",
+        "ts",
+        unfixed(F.sum(fixed("value")).over(w)).alias("sum_1h"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Sort / limit / top-k / set ops
+# --------------------------------------------------------------------------
+
+
+@query(
+    "sort_limit",
+    oracle="""
+    SELECT o_orderkey, o_custkey, o_totalprice
+    FROM orders ORDER BY o_totalprice DESC, o_orderkey LIMIT 20
+    """,
+)
+def sort_limit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global top-N: Spark plans TakeOrderedAndProject (per-partition
+    top-N + merge on driver), never a full sort — O(N) memory at any scale."""
+    return (
+        _t(spark, sf_dir, "orders")
+        .orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey"))
+        .limit(20)
+        .select("o_orderkey", "o_custkey", "o_totalprice")
+    )
+
+
+@query(
+    "topk_per_group",
+    oracle="""
+    SELECT c_custkey, o_orderkey, o_totalprice, rn FROM (
+        SELECT o_custkey AS c_custkey, o_orderkey, o_totalprice,
+               row_number() OVER (PARTITION BY o_custkey
+                                  ORDER BY o_totalprice DESC, o_orderkey) AS rn
+        FROM orders)
+    WHERE rn <= 3
+    """,
+)
+def topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group top-k via ranked window + filter (no per-group sort-all:
+    Spark 3.5+ inserts WindowGroupLimit to push the k-limit into the sort)."""
+    o = _t(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.col("o_totalprice").desc(), F.col("o_orderkey")
+    )
+    return (
+        o.select(
+            F.col("o_custkey").alias("c_custkey"),
+            "o_orderkey",
+            "o_totalprice",
+            F.row_number().over(w).alias("rn"),
+        )
+        .filter(F.col("rn") <= 3)
+    )
+
+
+@query(
+    "set_union",
+    oracle="""
+    SELECT c_nationkey AS nationkey FROM customer WHERE c_mktsegment = 'BUILDING'
+    UNION
+    SELECT s_nationkey FROM supplier
+    """,
+)
+def set_union(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UNION (distinct) of two key sets."""
+    c = (
+        _t(spark, sf_dir, "customer")
+        .filter(F.col("c_mktsegment") == "BUILDING")
+        .select(F.col("c_nationkey").alias("nationkey"))
+    )
+    s = _t(spark, sf_dir, "supplier").select(F.col("s_nationkey").alias("nationkey"))
+    return c.union(s).distinct()
+
+
+@query(
+    "set_intersect",
+    oracle="""
+    SELECT c_nationkey AS nationkey FROM customer
+    INTERSECT
+    SELECT s_nationkey FROM supplier
+    """,
+)
+def set_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INTERSECT: nations having both customers and suppliers."""
+    c = _t(spark, sf_dir, "customer").select(F.col("c_nationkey").alias("nationkey"))
+    s = _t(spark, sf_dir, "supplier").select(F.col("s_nationkey").alias("nationkey"))
+    return c.intersect(s)
+
+
+@query(
+    "set_except",
+    oracle="""
+    SELECT c_nationkey AS nationkey FROM customer
+    EXCEPT
+    SELECT s_nationkey FROM supplier
+    """,
+)
+def set_except(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXCEPT: nations with customers but no suppliers."""
+    c = _t(spark, sf_dir, "customer").select(F.col("c_nationkey").alias("nationkey"))
+    s = _t(spark, sf_dir, "supplier").select(F.col("s_nationkey").alias("nationkey"))
+    return c.subtract(s)
+
+
+# --------------------------------------------------------------------------
+# Scalar function surface (anchored on the reference's own scalars —
+# split/element_at EtlProcess.cs:257, format_string :233-236, trim-blank
+# :251-252, date handling :231,:234, json :146,:199,:240)
+# --------------------------------------------------------------------------
+
+
+@query(
+    "scalar_string",
+    oracle="""
+    SELECT c_custkey,
+           upper(c_name)                                   AS name_upper,
+           lower(c_mktsegment)                             AS seg_lower,
+           substr(c_name, 1, 8)                            AS name_prefix,
+           length(c_name)                                  AS name_len,
+           string_split(c_name, '#')[2]                    AS cust_num,
+           printf('%s/%d', c_mktsegment, c_custkey)        AS seg_key,
+           lpad(CAST(c_custkey AS VARCHAR), 10, '0')       AS padded_key,
+           regexp_extract(c_name, '([0-9]+)', 1)           AS digits,
+           replace(c_name, 'Customer', 'Cust')             AS short_name
+    FROM customer
+    """,
+)
+def scalar_string(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """String function surface incl. the reference's split-first idiom
+    (``PreferredLocations.Split(',')[0]``, EtlProcess.cs:257)."""
+    c = _t(spark, sf_dir, "customer")
+    return c.select(
+        "c_custkey",
+        F.upper("c_name").alias("name_upper"),
+        F.lower("c_mktsegment").alias("seg_lower"),
+        F.substring("c_name", 1, 8).alias("name_prefix"),
+        F.length("c_name").cast("long").alias("name_len"),
+        F.element_at(F.split("c_name", "#"), 2).alias("cust_num"),
+        F.format_string("%s/%d", F.col("c_mktsegment"), F.col("c_custkey")).alias(
+            "seg_key"
+        ),
+        F.lpad(F.col("c_custkey").cast("string"), 10, "0").alias("padded_key"),
+        F.regexp_extract("c_name", "([0-9]+)", 1).alias("digits"),
+        F.expr("replace(c_name, 'Customer', 'Cust')").alias("short_name"),
+    )
+
+
+@query(
+    "scalar_date",
+    oracle="""
+    SELECT o_orderkey,
+           year(o_orderdate)                                   AS order_year,
+           month(o_orderdate)                                  AS order_month,
+           dayofweek(o_orderdate) + 1                          AS order_dow,
+           CAST(date_trunc('month', o_orderdate) AS TIMESTAMP) AS month_start,
+           strftime(o_orderdate, '%Y-%m')                      AS ym,
+           CAST(date_diff('day', o_orderdate,
+                          TIMESTAMP '2002-01-01 00:00:00') AS INT) AS days_to_2002,
+           o_orderdate + INTERVAL 30 DAY                       AS due_date,
+           epoch_us(o_orderdate)                               AS epoch_micros
+    FROM orders
+    """,
+)
+def scalar_date(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Date/time surface (reference analogs: DateTime.Now :231,:258,
+    AddMinutes :299, interval subtraction :125, date ToString :234)."""
+    o = _t(spark, sf_dir, "orders")
+    return o.select(
+        "o_orderkey",
+        F.year("o_orderdate").cast("long").alias("order_year"),
+        F.month("o_orderdate").cast("long").alias("order_month"),
+        F.dayofweek("o_orderdate").cast("long").alias("order_dow"),
+        F.date_trunc("month", "o_orderdate").alias("month_start"),
+        F.date_format("o_orderdate", "yyyy-MM").alias("ym"),
+        F.datediff(F.lit("2002-01-01").cast("date"), F.col("o_orderdate")).alias(
+            "days_to_2002"
+        ),
+        (F.col("o_orderdate") + F.expr("INTERVAL 30 DAY")).alias("due_date"),
+        # NTZ → TZ cast interprets in session tz (UTC here), matching
+        # DuckDB's naive-as-UTC epoch_us.
+        F.unix_micros(F.col("o_orderdate").cast("timestamp")).alias("epoch_micros"),
+    )
+
+
+@query(
+    "scalar_math",
+    oracle="""
+    SELECT l_orderkey, l_linenumber,
+           CAST(round(l_extendedprice * (1 - l_discount) * 10000) AS BIGINT) / 10000.0
+                                                             AS net,
+           CAST(round(abs(l_discount - 0.05) * 10000) AS BIGINT) / 10000.0
+                                                             AS dev,
+           CAST(ceil(l_quantity) AS BIGINT)                  AS qty_ceil,
+           CAST(floor(l_quantity) AS BIGINT)                 AS qty_floor,
+           l_orderkey % 7                                    AS bucket7,
+           CAST(round(sqrt(l_quantity) * 10000) AS BIGINT) / 10000.0
+                                                             AS qty_sqrt,
+           CAST(round(pow(1 + l_tax, 2) * 1000000) AS BIGINT) / 1000000.0
+                                                             AS tax_sq,
+           CAST(round(ln(l_extendedprice) * 1000000) AS BIGINT) / 1000000.0
+                                                             AS log_price,
+           greatest(l_tax, l_discount)                       AS max_rate
+    FROM lineitem
+    """,
+)
+def scalar_math(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Math scalar surface (reference analogs: rnd.Next :224, modulo
+    round-robin :236)."""
+    l = _t(spark, sf_dir, "lineitem")
+    return l.select(
+        "l_orderkey",
+        "l_linenumber",
+        unfixed(
+            fixed(F.col("l_extendedprice") * (1 - F.col("l_discount")), 10000), 10000
+        ).alias("net"),
+        unfixed(fixed(F.abs(F.col("l_discount") - 0.05), 10000), 10000).alias("dev"),
+        F.ceil("l_quantity").alias("qty_ceil"),
+        F.floor("l_quantity").alias("qty_floor"),
+        F.pmod(F.col("l_orderkey"), F.lit(7)).alias("bucket7"),
+        unfixed(fixed(F.sqrt("l_quantity"), 10000), 10000).alias("qty_sqrt"),
+        unfixed(fixed(F.pow(1 + F.col("l_tax"), 2), 1000000), 1000000).alias("tax_sq"),
+        unfixed(fixed(F.log("l_extendedprice"), 1000000), 1000000).alias("log_price"),
+        F.greatest("l_tax", "l_discount").alias("max_rate"),
+    )
+
+
+@query(
+    "json_extract",
+    oracle="""
+    SELECT event_id,
+           CAST(json_extract_string(props, '$.k') AS BIGINT) AS k,
+           CAST(json_extract_string(props, '$.k') AS BIGINT) % 10 AS k_bucket
+    FROM events
+    """,
+)
+def json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON re-parse with an explicit schema — the Spark analog of the
+    reference's per-doc deserialize (JsonConvert…, EtlProcess.cs:199)."""
+    from ..schemas import EVENT_PROPS_SCHEMA
+
+    e = _t(spark, sf_dir, "events")
+    parsed = e.select(
+        "event_id", F.from_json("props", EVENT_PROPS_SCHEMA).alias("p")
+    )
+    return parsed.select(
+        "event_id",
+        F.col("p.k").alias("k"),
+        F.pmod(F.col("p.k"), F.lit(10)).alias("k_bucket"),
+    )
+
+
+@query(
+    "array_fns",
+    oracle="""
+    SELECT vec_id,
+           CAST(len(embedding) AS INT)                       AS dim,
+           round(CAST(embedding[1] AS DOUBLE), 4)            AS first_val,
+           round(sqrt(list_sum(list_transform(embedding,
+                 x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))), 4) AS l2_norm,
+           round(CAST(list_aggregate(embedding, 'max') AS DOUBLE), 4) AS arr_max,
+           CAST(len(list_filter(embedding, x -> x > 0)) AS INT)       AS n_pos
+    FROM embeddings
+    """,
+)
+def array_fns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Array/lambda surface over the embedding column — all JVM-side
+    higher-order functions, no Python in the loop."""
+    em = _t(spark, sf_dir, "embeddings")
+    x = F.col("x")
+    return em.select(
+        "vec_id",
+        F.size("embedding").alias("dim"),
+        F.round(F.element_at("embedding", 1).cast("double"), 4).alias("first_val"),
+        F.round(
+            F.sqrt(
+                F.aggregate(
+                    "embedding",
+                    F.lit(0.0),
+                    lambda a, v: a + v.cast("double") * v.cast("double"),
+                )
+            ),
+            4,
+        ).alias("l2_norm"),
+        F.round(F.array_max("embedding").cast("double"), 4).alias("arr_max"),
+        F.size(F.filter("embedding", lambda v: v > 0)).alias("n_pos"),
+    )
+
+
+@query(
+    "array_explode",
+    oracle="""
+    SELECT vec_id, x.pos, x.val FROM (
+        SELECT vec_id,
+               unnest(list_transform(embedding,
+                     (v, i) -> struct_pack(pos := CAST(i - 1 AS INT),
+                                           val := round(CAST(v AS DOUBLE), 4)))) AS x
+        FROM embeddings WHERE vec_id < 10)
+    """,
+)
+def array_explode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """posexplode of the embedding array (lateral expansion)."""
+    em = _t(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 10)
+    return em.select(
+        "vec_id", F.posexplode("embedding").alias("pos", "v")
+    ).select("vec_id", "pos", F.round(F.col("v").cast("double"), 4).alias("val"))
+
+
+# --------------------------------------------------------------------------
+# ETL parity (generator O12 + transform O9, deterministic)
+# --------------------------------------------------------------------------
+
+_ETL_CLOCK = datetime(2026, 1, 15, 10, 30, 0)
+
+@query(
+    "etl_transform",
+    oracle="""
+    WITH src AS (
+        SELECT i,
+               substr(md5(CAST(i AS VARCHAR)), 1, 8) || '-' ||
+               substr(md5(CAST(i AS VARCHAR)), 9, 4) || '-' ||
+               substr(md5(CAST(i AS VARCHAR)), 13, 4) || '-' ||
+               substr(md5(CAST(i AS VARCHAR)), 17, 4) || '-' ||
+               substr(md5(CAST(i AS VARCHAR)), 21, 12)           AS id,
+               printf('Sample item #%d of %d generated', i, 200) AS "desc",
+               printf('Item_2026011030_%d', i)                   AS name
+        FROM range(1, 201) t(i)
+    ), counted AS (
+        SELECT *, row_number() OVER (ORDER BY id) AS ctr FROM src
+    )
+    SELECT id,
+           '01/15/2026 10:30:00'                                  AS source_date,
+           TIMESTAMP '2026-01-15 10:30:00'                        AS transform_timestamp,
+           "desc"                                                 AS description,
+           'true'                                                 AS done,
+           name,
+           'Additional field info'                                AS pr,
+           printf('Data added from transform function [%d]', ctr) AS additional_data,
+           'batch-0001'                                           AS transform_batch,
+           'West Europe'                                          AS update_location
+    FROM counted
+    """,
+)
+def etl_transform(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic generator→transform parity query (operators O12+O9).
+
+    Runs the reference's whole per-row semantic surface — rename,
+    blank-coalesce, enrichment counter, lineage stamp, region provenance
+    (EtlProcess.cs:227-239, 245-260) — with injected clock/batch/ids so
+    the DuckDB oracle reproduces it exactly.
+    """
+    src = generate_sample_items(
+        spark, count=200, clock=_ETL_CLOCK, deterministic_ids=True
+    )
+    return transform_items(src, batch_id="batch-0001", clock=_ETL_CLOCK)

@@ -1,0 +1,55 @@
+"""SparkSession factory with scale-appropriate defaults.
+
+The same builder serves local tests (local[32], tiny SFs) and a real
+cluster: everything set here is either scale-neutral (timezone, AQE) or
+explicitly documented as a local override the cluster submit would tune.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+
+def get_spark(
+    app_name: str = "dfce-spark",
+    master: str | None = None,
+    shuffle_partitions: int | None = None,
+    extra_conf: dict[str, str] | None = None,
+) -> SparkSession:
+    """Build (or reuse) a SparkSession.
+
+    Scale notes:
+    - AQE is on: at 100 TB it coalesces post-shuffle partitions, switches
+      sort-merge→broadcast when runtime stats allow, and splits skewed
+      join partitions — all decisions we do not want to hand-schedule.
+    - ``spark.sql.shuffle.partitions`` is a *local* default (32 = one per
+      core here). On a 1000-executor cluster you'd set it ~2-3× total
+      cores (or leave AQE's coalescing to shrink an intentionally high
+      number); it is a config, not baked into any operator.
+    - Session timezone is pinned to UTC so timestamp semantics are
+      identical across engines (parquet ↔ Spark ↔ DuckDB oracle).
+    """
+    cpus = os.environ.get("SPARK_GRAFT_CPUS")
+    if master is None:
+        master = f"local[{cpus}]" if cpus else "local[*]"
+    if shuffle_partitions is None:
+        shuffle_partitions = int(os.environ.get("SPARK_GRAFT_SHUFFLE", "32"))
+
+    builder = (
+        SparkSession.builder.appName(app_name)
+        .master(master)
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.autoBroadcastJoinThreshold", str(32 * 1024 * 1024))
+        .config("spark.ui.enabled", "false")
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+    )
+    for k, v in (extra_conf or {}).items():
+        builder = builder.config(k, v)
+    return builder.getOrCreate()
