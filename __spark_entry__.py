@@ -20,7 +20,11 @@ from pyspark.sql import DataFrame, SparkSession
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 from durable_functions_cosmosdb_etl_spark.plans import registry  # noqa: E402
-from durable_functions_cosmosdb_etl_spark.plans import relational  # noqa: F401,E402
+from durable_functions_cosmosdb_etl_spark.plans import (  # noqa: F401,E402
+    llm_ops,
+    relational,
+    streaming_windows,
+)
 
 
 def entry(spark: SparkSession) -> DataFrame:

@@ -1,0 +1,291 @@
+"""Deduplication operators: exact, n-gram Jaccard, MinHash-LSH, SimHash.
+
+North-star additions (absent from the reference — its only idempotency
+is Cosmos upsert-on-id, EtlProcess.cs:188). All designed as *joins and
+aggregations*, never pairwise driver loops:
+
+- exact:      hash groupBy on content (1 shuffle).
+- jaccard:    inverted-index self-join on shingles — exact pairwise
+              Jaccard but only over docs sharing ≥1 shingle, never the
+              O(n²) cross product.
+- minhash:    signature (numpy inside a pandas UDF over JVM-computed
+              shingle hashes) → banded LSH equi-join → exact-Jaccard
+              verification of candidates. The 100 TB path: cost is
+              O(docs × bands) shuffle, not O(n²).
+- simhash:    64-bit sign-hash → 4×16-bit band equi-join → Hamming
+              verification via xor/bit_count.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from .text import shingles
+
+# MinHash parameters: 64 permutations = 16 bands × 4 rows.
+MINHASH_K = 64
+LSH_BANDS = 16
+LSH_ROWS = 4
+_MERSENNE = (1 << 61) - 1
+
+
+def exact_dedup(df: DataFrame, cols: list[str]) -> DataFrame:
+    """Exact dedup: one row per distinct key set (dropDuplicates)."""
+    return df.dropDuplicates(cols)
+
+
+def exact_dedup_groups(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """Per duplicate-group: keeper id (min) + multiplicity.
+
+    Hash groupBy on the content column — one shuffle keyed by text. At
+    100 TB you'd group on md5(text) instead to shrink shuffle keys;
+    semantics identical (modulo md5 collisions ~2^-64).
+    """
+    return (
+        df.groupBy(text_col)
+        .agg(F.min(id_col).alias("keeper_id"), F.count(F.lit(1)).alias("n_copies"))
+        .select("keeper_id", "n_copies")
+    )
+
+
+def _shingled(df: DataFrame, id_col: str, text_col: str, n: int) -> DataFrame:
+    return df.select(
+        F.col(id_col).alias("doc"), shingles(F.col(text_col), n).alias("sh")
+    ).withColumn("n_sh", F.size("sh"))
+
+
+def jaccard_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    threshold: float = 0.5,
+    max_shingle_df: int | None = None,
+) -> DataFrame:
+    """Exact word-n-gram Jaccard near-dup pairs via inverted index.
+
+    explode(shingles) → self-equi-join on shingle → count common →
+    jaccard = common / (|A| + |B| - common). Exact, but touches only
+    pairs sharing a shingle. Skew control at scale: ``max_shingle_df``
+    drops shingles appearing in more than that many docs (stop-shingles
+    generate quadratic candidate blowup while contributing mostly to
+    already-similar pairs); None = exact semantics (oracle mode).
+    """
+    d = _shingled(df, id_col, text_col, n)
+    ex = d.select("doc", "n_sh", F.explode("sh").alias("g"))
+    if max_shingle_df is not None:
+        keep = (
+            ex.groupBy("g").agg(F.count(F.lit(1)).alias("df_g"))
+            .filter(F.col("df_g") <= max_shingle_df)
+            .select("g")
+        )
+        ex = ex.join(F.broadcast(keep), "g")
+    a, b = ex.alias("a"), ex.alias("b")
+    common = (
+        a.join(b, (F.col("a.g") == F.col("b.g")) & (F.col("a.doc") < F.col("b.doc")))
+        .groupBy(
+            F.col("a.doc").alias("doc_a"),
+            F.col("b.doc").alias("doc_b"),
+            F.col("a.n_sh").alias("na"),
+            F.col("b.n_sh").alias("nb"),
+        )
+        .agg(F.count(F.lit(1)).alias("common"))
+    )
+    jac = F.col("common").cast("double") / (
+        F.col("na") + F.col("nb") - F.col("common")
+    ).cast("double")
+    return (
+        common.withColumn("jaccard", jac)
+        .filter(F.col("jaccard") >= threshold)
+        .select("doc_a", "doc_b", "jaccard")
+    )
+
+
+def _shingle_hashes(df: DataFrame, id_col: str, text_col: str, n: int) -> DataFrame:
+    """JVM-side stable 64-bit hash per shingle (xxhash64) — Python never
+    sees strings, only fixed-width ints via Arrow."""
+    d = _shingled(df, id_col, text_col, n)
+    return d.select(
+        "doc", "n_sh", "sh", F.transform("sh", lambda s: F.xxhash64(s)).alias("hs")
+    )
+
+
+def _minhash_sig_udf():
+    import numpy as np
+
+    # Deterministic affine permutations h_k(x) = (a_k * x + b_k) mod 2^64
+    # (multiply-shift family — natural uint64 wraparound, fully
+    # vectorizable; a_k odd for bijectivity). Seeds fixed so signatures
+    # are reproducible across runs and executors.
+    rng = np.random.RandomState(42)
+    A = (rng.randint(0, 1 << 62, size=MINHASH_K).astype(np.uint64) << np.uint64(1)) | np.uint64(1)
+    B = rng.randint(0, 1 << 62, size=MINHASH_K).astype(np.uint64)
+
+    @F.pandas_udf(T.ArrayType(T.LongType()))
+    def sig(hs: pd.Series) -> pd.Series:
+        out = []
+        for arr in hs:
+            if arr is None or len(arr) == 0:
+                out.append([0] * MINHASH_K)
+                continue
+            x = np.asarray(arr, dtype=np.int64).astype(np.uint64)
+            # K×|sh| matrix in one vectorized op, min over shingles.
+            perm = A[:, None] * x[None, :] + B[:, None]
+            out.append(perm.min(axis=1).astype(np.int64).tolist())
+        return pd.Series(out)
+
+    return sig
+
+
+def minhash_signatures(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text", n: int = 3
+) -> DataFrame:
+    """doc → MinHash signature (array<long> of length MINHASH_K)."""
+    hashed = _shingle_hashes(df, id_col, text_col, n)
+    return hashed.withColumn("sig", _minhash_sig_udf()(F.col("hs")))
+
+
+def minhash_lsh_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Near-dup pairs: MinHash signatures → banded LSH → exact verify.
+
+    Candidate generation is an equi-join on (band_index, band_hash):
+    hash-partitionable, linear shuffle — the property that makes near-dup
+    feasible at 100 TB. Candidates are then *verified* with exact shingle
+    Jaccard, so precision is 1.0 and recall is the LSH capture rate
+    (16 bands × 4 rows ⇒ P(capture) ≈ 1-(1-j^4)^16, ~0.99 at j=0.7).
+    """
+    sigs = minhash_signatures(df, id_col, text_col, n).cache()
+    bands = sigs.select(
+        "doc",
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(LSH_BANDS - 1)),
+                lambda j: F.hash(F.slice("sig", j * LSH_ROWS + 1, LSH_ROWS)),
+            )
+        ).alias("band_idx", "band_hash"),
+    )
+    a, b = bands.alias("a"), bands.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band_idx") == F.col("b.band_idx"))
+            & (F.col("a.band_hash") == F.col("b.band_hash"))
+            & (F.col("a.doc") < F.col("b.doc")),
+        )
+        .select(F.col("a.doc").alias("doc_a"), F.col("b.doc").alias("doc_b"))
+        .distinct()
+    )
+    sh = sigs.select("doc", "sh", "n_sh")
+    verified = (
+        cand.join(sh.alias("sa"), cand.doc_a == F.col("sa.doc"))
+        .join(sh.alias("sb"), cand.doc_b == F.col("sb.doc"))
+        .select(
+            "doc_a",
+            "doc_b",
+            (
+                F.size(F.array_intersect("sa.sh", "sb.sh")).cast("double")
+                / F.size(F.array_union("sa.sh", "sb.sh")).cast("double")
+            ).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= threshold)
+    )
+    return verified
+
+
+def _simhash_udf():
+    import numpy as np
+
+    @F.pandas_udf(T.LongType())
+    def simhash64(hs: pd.Series) -> pd.Series:
+        out = np.zeros(len(hs), dtype=np.int64)
+        for row, arr in enumerate(hs):
+            if arr is None or len(arr) == 0:
+                continue
+            x = np.asarray(arr, dtype=np.uint64)
+            # bit matrix |sh| × 64 → column-wise majority vote
+            bits = (x[:, None] >> np.arange(64, dtype=np.uint64)[None, :]) & 1
+            votes = bits.sum(axis=0) * 2 > len(x)
+            word = np.uint64(0)
+            for i in np.nonzero(votes)[0]:
+                word |= np.uint64(1) << np.uint64(i)
+            out[row] = word.astype(np.int64).item() if word < (1 << 63) else int(
+                word - (1 << 64)
+            )
+        return pd.Series(out)
+
+    return simhash64
+
+
+def simhash(hs_col: Column) -> Column:
+    """64-bit SimHash from an array of shingle hashes.
+
+    bit i of result = majority vote of bit i across the doc's shingle
+    hashes. Vectorized numpy inside an Arrow pandas UDF — the shingle
+    hashing itself stays JVM-side (xxhash64), so Python only touches
+    fixed-width int arrays. (A pure-expression form exists — 64
+    filter/size passes — but is both slower and unreadable.)
+    """
+    return _simhash_udf()(hs_col)
+
+
+def simhash_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    max_hamming: int = 8,
+) -> DataFrame:
+    """SimHash near-dup pairs: band on 4×16-bit chunks, verify Hamming.
+
+    By pigeonhole, two 64-bit hashes within Hamming distance 3 share at
+    least one exact 16-bit quarter; wider distances trade recall. Join is
+    equi on (chunk_idx, chunk_value) — linear shuffle, like MinHash-LSH.
+    """
+    hashed = _shingle_hashes(df, id_col, text_col, n)
+    sh = hashed.withColumn("sim", simhash(F.col("hs"))).cache()
+    chunks = sh.select(
+        "doc",
+        "sim",
+        F.posexplode(
+            F.array(
+                *[
+                    F.shiftrightunsigned(F.col("sim"), j * 16).bitwiseAND(
+                        F.lit(0xFFFF)
+                    )
+                    for j in range(4)
+                ]
+            )
+        ).alias("chunk_idx", "chunk_val"),
+    )
+    a, b = chunks.alias("a"), chunks.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.chunk_idx") == F.col("b.chunk_idx"))
+            & (F.col("a.chunk_val") == F.col("b.chunk_val"))
+            & (F.col("a.doc") < F.col("b.doc")),
+        )
+        .select(
+            F.col("a.doc").alias("doc_a"),
+            F.col("b.doc").alias("doc_b"),
+            F.col("a.sim").alias("sim_a"),
+            F.col("b.sim").alias("sim_b"),
+        )
+        .distinct()
+    )
+    return (
+        cand.withColumn(
+            "hamming", F.bit_count(F.col("sim_a").bitwiseXOR(F.col("sim_b")))
+        )
+        .filter(F.col("hamming") <= max_hamming)
+        .select("doc_a", "doc_b", "hamming")
+    )

@@ -1,0 +1,95 @@
+"""Multimodal columns: opaque binary payloads + typed metadata.
+
+North-star addition. Images/audio/video are carried as ``binary``
+columns with a typed metadata struct; decode/feature steps are
+Arrow-batched ``mapInPandas`` stages so bytes stream executor-side in
+columnar batches (the driver never materializes payloads).
+
+The actual codec work (PIL/ffmpeg/torchaudio) is NOT available in this
+container, so ``decode_image_batch`` ships a clearly-marked
+deterministic fake behind the same signature/schema — the Spark-side
+contract (schema, batch shape, partitioning) is real and tested; swap
+``_fake_decode`` for a real decoder in production.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+MEDIA_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("content", T.BinaryType()),
+        T.StructField("mime", T.StringType()),
+        T.StructField("n_bytes", T.LongType()),
+    ]
+)
+
+DECODED_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("width", T.IntegerType()),
+        T.StructField("height", T.IntegerType()),
+        T.StructField("n_channels", T.IntegerType()),
+        T.StructField("feature", T.ArrayType(T.FloatType())),
+    ]
+)
+
+
+def attach_binary(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Wrap a text column as a binary media payload + metadata.
+
+    Stand-in for reading real blobs (production:
+    ``spark.read.format("binaryFile")`` or pointers into object
+    storage). Metadata travels with the payload so filters on
+    mime/n_bytes prune before any decode runs.
+    """
+    content = F.encode(F.col(text_col), "UTF-8")
+    return df.select(
+        F.col(id_col).alias("doc_id"),
+        content.alias("content"),
+        F.lit("application/octet-stream").alias("mime"),
+        F.octet_length(content).cast("long").alias("n_bytes"),
+    )
+
+
+def _fake_decode(payload: bytes) -> tuple[int, int, int, list[float]]:
+    """Deterministic stand-in for an image decoder (see module note)."""
+    if payload is None:
+        raise NotImplementedError(
+            "real decode requires an image codec (PIL/libvips) — not "
+            "available in this environment"
+        )
+    n = len(payload)
+    width = 16 + (n % 64)
+    height = 16 + ((n // 64) % 64)
+    checksum = sum(payload[:64]) if n else 0
+    feature = [float((checksum + i * 31) % 256) / 255.0 for i in range(8)]
+    return width, height, 3, feature
+
+
+def decode_image_batch(df: DataFrame) -> DataFrame:
+    """binary media → (dims, feature vector) via Arrow-batched mapInPandas.
+
+    Batch shape: each pandas chunk holds whole payloads; decode is
+    per-row CPU work that scales with partition count, no shuffle.
+    Production swaps ``_fake_decode`` for a real codec; resize /
+    frame-sample stages chain the same way.
+    """
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for doc_id, content in zip(pdf["doc_id"], pdf["content"]):
+                w, h, c, feat = _fake_decode(bytes(content))
+                rows.append((doc_id, w, h, c, feat))
+            yield pd.DataFrame(
+                rows, columns=["doc_id", "width", "height", "n_channels", "feature"]
+            )
+
+    return df.select("doc_id", "content").mapInPandas(run, schema=DECODED_SCHEMA)

@@ -1,0 +1,121 @@
+"""Text-analysis operators for training-data pipelines.
+
+All hot-path logic is built-in Spark expressions (JVM, whole-stage
+codegen) — no Python UDFs. Each function returns Columns / DataFrames
+composed of `pyspark.sql.functions`, so at 100 TB these run inside the
+scan-project pipeline with zero extra shuffles.
+
+Capabilities (north-star additions; absent from the reference, which has
+no text ops beyond string interpolation, EtlProcess.cs:233-236):
+- whitespace + BPE-ish regex token counting
+- n-gram word shingles (shared with dedup)
+- language ID via stopword-marker scoring (deterministic heuristic)
+- quality scoring (length / word-length / stopword / alpha ratios)
+- polynomial rolling-hash document fingerprint
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+# BPE-ish tokenization: letter runs, single digits, single punctuation.
+TOKEN_PATTERN = r"[A-Za-z]+|[0-9]|[^A-Za-z0-9\s]"
+
+# Tiny public stopword marker lists per language (heuristic lang-id).
+LANG_MARKERS: dict[str, str] = {
+    "en": r"\b(the|and|of|to|is|in)\b",
+    "es": r"\b(el|la|de|los|que|y)\b",
+    "de": r"\b(der|die|das|und|ist)\b",
+    "zh": r"(的|是|在|了)",
+}
+
+
+def words(text: Column) -> Column:
+    """Whitespace word split (empty input → empty array)."""
+    return F.split(F.trim(text), r"\s+")
+
+
+def word_count(text: Column) -> Column:
+    return F.size(words(text)).cast("long")
+
+
+def token_count(text: Column) -> Column:
+    """BPE-ish token estimate: count of TOKEN_PATTERN matches."""
+    return F.size(F.regexp_extract_all(text, F.lit(TOKEN_PATTERN), 0)).cast("long")
+
+
+def marker_score(text: Column, lang: str) -> Column:
+    """Number of stopword-marker hits for `lang` (lowercased input)."""
+    return F.size(
+        F.regexp_extract_all(F.lower(text), F.lit(LANG_MARKERS[lang]), 0)
+    ).cast("long")
+
+
+def lang_id(text: Column) -> Column:
+    """Deterministic argmax of marker scores, tie order en>es>de>zh."""
+    s = {k: marker_score(text, k) for k in LANG_MARKERS}
+    return (
+        F.when(
+            (s["en"] >= s["es"]) & (s["en"] >= s["de"]) & (s["en"] >= s["zh"]), "en"
+        )
+        .when((s["es"] >= s["de"]) & (s["es"] >= s["zh"]), "es")
+        .when(s["de"] >= s["zh"], "de")
+        .otherwise("zh")
+    )
+
+
+def quality_features(text: Column) -> dict[str, Column]:
+    """Quality-signal columns; combine with `quality_score`."""
+    n_words = word_count(text)
+    n_chars = F.length(text).cast("long")
+    non_space = F.length(F.replace(text, F.lit(" "), F.lit(""))).cast("long")
+    alpha = F.length(F.regexp_replace(text, "[^A-Za-z]", "")).cast("long")
+    stop_hits = marker_score(text, "en")
+    return {
+        "n_words": n_words,
+        "n_chars": n_chars,
+        "avg_word_len": non_space.cast("double") / n_words,
+        "stop_ratio": stop_hits.cast("double") / n_words,
+        "alpha_ratio": alpha.cast("double") / n_chars,
+    }
+
+
+def quality_score(text: Column) -> Column:
+    """Scalar quality score in [0, ~1.5]: stopword density + alpha purity
+    + a length factor. Deterministic arithmetic only (cross-engine safe)."""
+    f = quality_features(text)
+    length_factor = F.least(f["n_words"].cast("double") / F.lit(100.0), F.lit(1.0))
+    return f["stop_ratio"] * 0.5 + f["alpha_ratio"] * 0.5 + length_factor * 0.5
+
+
+def shingles(text: Column, n: int = 3) -> Column:
+    """Distinct word n-gram shingles (the near-dup unit).
+
+    Pure array expressions: sequence over start offsets → concat_ws of
+    the n words → array_distinct. Docs shorter than n words → empty.
+    """
+    w = words(text)
+    idx = F.sequence(F.lit(0), F.greatest(F.size(w) - n, F.lit(-1)))
+    gram = lambda i: F.concat_ws(  # noqa: E731
+        " ", *[F.element_at(w, i + k + 1) for k in range(n)]
+    )
+    return F.when(F.size(w) < n, F.array().cast("array<string>")).otherwise(
+        F.array_distinct(F.transform(idx, gram))
+    )
+
+
+def fingerprint(text: Column, mod: int = 1_000_000_007) -> Column:
+    """Polynomial rolling fingerprint over words.
+
+    fp = sum_i( i * (100*len(w_i) + ascii(w_i[0]) ) ) mod M, i 1-based.
+    Weak by design but fully portable (same integer arithmetic in any
+    engine); the scale path for content-defined chunking would swap in
+    xxhash64 per shingle (engine-specific, see dedup.minhash)."""
+    w = words(text)
+    terms = F.transform(
+        w,
+        lambda x, i: (i + 1).cast("long")
+        * (F.lit(100) * F.length(x) + F.ascii(x)).cast("long"),
+    )
+    return F.aggregate(terms, F.lit(0).cast("long"), lambda a, x: a + x) % mod

@@ -1,0 +1,331 @@
+"""LLM-training-data operator queries (SURVEY.md §2.2 north-star rows):
+dedup (exact / n-gram Jaccard / MinHash-LSH / SimHash / embedding),
+similarity search (brute-force + IVF), text analysis, multimodal columns.
+
+Oracle policy: everything SQL-expressible gets a DuckDB oracle built on
+*identical* arithmetic (integer counts, same-order float folds); the
+hash-randomized ops (MinHash, SimHash, IVF) are rows-only by nature and
+are instead sanity-bounded in tests/ against their exact counterparts.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..operators import dedup as dd
+from ..operators import multimodal as mm
+from ..operators import similarity as sim
+from ..operators import text as tx
+from ..sources.tables import load_table
+from .registry import query
+
+_SH3 = (
+    "list_distinct([w[i] || ' ' || w[i+1] || ' ' || w[i+2] "
+    "for i in range(1, len(w) - 1)])"
+)
+_WORDS = r"string_split_regex(trim(text), '\s+')"
+
+
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return load_table(spark, sf_dir, "documents")
+
+
+def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return load_table(spark, sf_dir, "embeddings")
+
+
+# --------------------------------------------------------------------------
+# Text analysis
+# --------------------------------------------------------------------------
+
+
+@query(
+    "text_token_stats",
+    oracle=rf"""
+    SELECT doc_id,
+           CAST(len({_WORDS}) AS BIGINT)                     AS n_words,
+           CAST(len(regexp_extract_all(text,
+                '[A-Za-z]+|[0-9]|[^A-Za-z0-9\s]')) AS BIGINT) AS n_tokens,
+           CAST(length(text) AS BIGINT)                       AS n_chars
+    FROM documents
+    """,
+)
+def text_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Whitespace word count + BPE-ish regex token count per document."""
+    d = _docs(spark, sf_dir)
+    t = F.col("text")
+    return d.select(
+        "doc_id",
+        tx.word_count(t).alias("n_words"),
+        tx.token_count(t).alias("n_tokens"),
+        F.length(t).cast("long").alias("n_chars"),
+    )
+
+
+@query(
+    "text_lang_id",
+    oracle=r"""
+    WITH s AS (
+        SELECT doc_id, lang,
+            CAST(len(regexp_extract_all(lower(text),
+                 '\b(the|and|of|to|is|in)\b')) AS BIGINT) AS s_en,
+            CAST(len(regexp_extract_all(lower(text),
+                 '\b(el|la|de|los|que|y)\b')) AS BIGINT)  AS s_es,
+            CAST(len(regexp_extract_all(lower(text),
+                 '\b(der|die|das|und|ist)\b')) AS BIGINT) AS s_de,
+            CAST(len(regexp_extract_all(lower(text),
+                 '(的|是|在|了)')) AS BIGINT)              AS s_zh
+        FROM documents)
+    SELECT doc_id, lang, s_en, s_es, s_de, s_zh,
+           CASE WHEN s_en >= s_es AND s_en >= s_de AND s_en >= s_zh THEN 'en'
+                WHEN s_es >= s_de AND s_es >= s_zh THEN 'es'
+                WHEN s_de >= s_zh THEN 'de'
+                ELSE 'zh' END AS pred_lang
+    FROM s
+    """,
+)
+def text_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Marker-stopword language ID (deterministic n-gram heuristic)."""
+    d = _docs(spark, sf_dir)
+    t = F.col("text")
+    return d.select(
+        "doc_id",
+        "lang",
+        tx.marker_score(t, "en").alias("s_en"),
+        tx.marker_score(t, "es").alias("s_es"),
+        tx.marker_score(t, "de").alias("s_de"),
+        tx.marker_score(t, "zh").alias("s_zh"),
+        tx.lang_id(t).alias("pred_lang"),
+    )
+
+
+@query(
+    "text_quality",
+    oracle=r"""
+    WITH f AS (
+        SELECT doc_id,
+            CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT) AS n_words,
+            CAST(length(text) AS BIGINT)                               AS n_chars,
+            CAST(length(replace(text, ' ', '')) AS BIGINT)             AS non_space,
+            CAST(length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS BIGINT)
+                                                                       AS alpha,
+            CAST(len(regexp_extract_all(lower(text),
+                 '\b(the|and|of|to|is|in)\b')) AS BIGINT)              AS stop_hits
+        FROM documents)
+    SELECT doc_id, n_words, n_chars,
+           CAST(non_space AS DOUBLE) / n_words  AS avg_word_len,
+           CAST(stop_hits AS DOUBLE) / n_words  AS stop_ratio,
+           CAST(alpha AS DOUBLE) / n_chars      AS alpha_ratio,
+           (CAST(stop_hits AS DOUBLE) / n_words) * 0.5
+             + (CAST(alpha AS DOUBLE) / n_chars) * 0.5
+             + least(CAST(n_words AS DOUBLE) / 100.0, 1.0) * 0.5 AS quality
+    FROM f
+    """,
+)
+def text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality scoring: length/word-length/stopword/alpha ratios."""
+    d = _docs(spark, sf_dir)
+    t = F.col("text")
+    f = tx.quality_features(t)
+    return d.select(
+        "doc_id",
+        f["n_words"].alias("n_words"),
+        f["n_chars"].alias("n_chars"),
+        f["avg_word_len"].alias("avg_word_len"),
+        f["stop_ratio"].alias("stop_ratio"),
+        f["alpha_ratio"].alias("alpha_ratio"),
+        tx.quality_score(t).alias("quality"),
+    )
+
+
+@query(
+    "text_fingerprint",
+    oracle=rf"""
+    SELECT doc_id,
+           CAST(list_sum(list_transform({_WORDS},
+                (x, i) -> i * (100 * length(x) + ascii(x))))
+                % 1000000007 AS BIGINT) AS fp
+    FROM documents
+    """,
+)
+def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Polynomial rolling-hash document fingerprint (portable integers)."""
+    d = _docs(spark, sf_dir)
+    return d.select("doc_id", tx.fingerprint(F.col("text")).alias("fp"))
+
+
+# --------------------------------------------------------------------------
+# Deduplication
+# --------------------------------------------------------------------------
+
+
+@query(
+    "dedup_exact",
+    oracle="""
+    SELECT min(doc_id) AS keeper_id, count(*) AS n_copies
+    FROM documents GROUP BY text
+    """,
+)
+def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup groups: hash groupBy on content, min-id keeper."""
+    return dd.exact_dedup_groups(_docs(spark, sf_dir), "text", "doc_id")
+
+
+@query(
+    "dedup_jaccard",
+    oracle=rf"""
+    WITH d AS (SELECT doc_id, {_WORDS} AS w FROM documents),
+    s AS (SELECT doc_id, {_SH3} AS sh FROM d WHERE len(w) >= 3)
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+             / (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh)))
+             AS jaccard
+    FROM s a JOIN s b ON a.doc_id < b.doc_id
+    WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+            / (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))) >= 0.5
+    """,
+)
+def dedup_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact 3-gram-shingle Jaccard near-dup pairs (inverted-index join).
+
+    The oracle is the O(n²) formulation; the Spark plan is the inverted
+    index (explode → equi-join on shingle → count) — same answer, but
+    linear in co-occurring pairs instead of quadratic in docs.
+    """
+    return dd.jaccard_pairs(_docs(spark, sf_dir), threshold=0.5)
+
+
+@query("dedup_minhash")  # hash-randomized candidates → rows-only check
+def dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash(64) → 16×4 banded LSH → exact-Jaccard-verified pairs.
+
+    Rows-only for the driver (xxhash64-seeded signatures are
+    engine-specific); tests assert precision=1.0 vs `dedup_jaccard` and
+    recall ≥0.9 at τ=0.5.
+    """
+    return dd.minhash_lsh_pairs(_docs(spark, sf_dir), threshold=0.5)
+
+
+@query("dedup_simhash")  # hash-randomized → rows-only check
+def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash64 + 16-bit banding + Hamming≤8 verification."""
+    return dd.simhash_pairs(_docs(spark, sf_dir), max_hamming=8)
+
+
+@query(
+    "dedup_embedding",
+    oracle="""
+    WITH n AS (
+        SELECT vec_id, embedding,
+               sqrt(list_sum([CAST(embedding[i] AS DOUBLE)
+                              * CAST(embedding[i] AS DOUBLE)
+                              for i in range(1, len(embedding) + 1)])) AS nrm
+        FROM embeddings)
+    SELECT a.vec_id AS vec_id_a, b.vec_id AS vec_id_b
+    FROM n a JOIN n b ON a.vec_id < b.vec_id
+    WHERE list_sum([CAST(a.embedding[i] AS DOUBLE)
+                    * CAST(b.embedding[i] AS DOUBLE)
+                    for i in range(1, len(a.embedding) + 1)])
+            / (a.nrm * b.nrm) >= 0.35
+    """,
+)
+def dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding near-dup pairs: exact cosine ≥ 0.35 (pairs only —
+    excluding the float sim from output removes all cross-engine fp
+    surface except the threshold itself)."""
+    return sim.cosine_pairs(_emb(spark, sf_dir), threshold=0.35)
+
+
+# --------------------------------------------------------------------------
+# Similarity search
+# --------------------------------------------------------------------------
+
+
+@query(
+    "similarity_topk",
+    oracle="""
+    WITH q AS (SELECT vec_id AS query_id, embedding AS qe
+               FROM embeddings WHERE vec_id < 5),
+    c AS (SELECT vec_id AS neighbor_id, embedding AS ce
+          FROM embeddings WHERE vec_id >= 5),
+    scored AS (
+        SELECT query_id, neighbor_id,
+               list_sum([CAST(qe[i] AS DOUBLE) * CAST(ce[i] AS DOUBLE)
+                         for i in range(1, len(qe) + 1)])
+               / (sqrt(list_sum([CAST(qe[i] AS DOUBLE) * CAST(qe[i] AS DOUBLE)
+                                 for i in range(1, len(qe) + 1)]))
+                  * sqrt(list_sum([CAST(ce[i] AS DOUBLE) * CAST(ce[i] AS DOUBLE)
+                                   for i in range(1, len(ce) + 1)]))) AS sim
+        FROM q, c)
+    SELECT query_id, neighbor_id,
+           CAST(round(sim * 1000000) AS BIGINT) / 1000000.0 AS sim,
+           rank FROM (
+        SELECT query_id, neighbor_id, sim,
+               row_number() OVER (PARTITION BY query_id
+                                  ORDER BY sim DESC, neighbor_id) AS rank
+        FROM scored)
+    WHERE rank <= 10
+    """,
+)
+def similarity_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact brute-force cosine top-10 for query vectors vec_id<5.
+
+    Broadcast queries over the corpus scan; dot/norm are sequential
+    left-to-right double folds in both engines → bit-identical sims →
+    identical ranking.
+    """
+    em = _emb(spark, sf_dir)
+    out = sim.brute_force_topk(
+        em.filter(F.col("vec_id") >= 5), em.filter(F.col("vec_id") < 5), k=10
+    )
+    return out.select(
+        "query_id",
+        "neighbor_id",
+        (F.round(F.col("sim") * 1000000, 0).cast("long") / F.lit(1000000.0)).alias(
+            "sim"
+        ),
+        "rank",
+    )
+
+
+@query("similarity_ivf")  # approximate by construction → rows-only check
+def similarity_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF approximate top-k (nprobe=3 of 10 cells) — the scale path.
+    Tests assert recall@10 vs brute force."""
+    em = _emb(spark, sf_dir)
+    return sim.ivf_topk(
+        em.filter(F.col("vec_id") >= 5),
+        em.filter(F.col("vec_id") < 5),
+        k=10,
+        n_centroids=10,
+        nprobe=3,
+    )
+
+
+# --------------------------------------------------------------------------
+# Multimodal columns
+# --------------------------------------------------------------------------
+
+
+@query(
+    "multimodal_meta",
+    oracle="""
+    SELECT doc_id, 'application/octet-stream' AS mime,
+           CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes
+    FROM documents
+    """,
+)
+def multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary payload plumbing: text→bytes wrap + typed metadata."""
+    return mm.attach_binary(_docs(spark, sf_dir), "doc_id", "text").select(
+        "doc_id", "mime", "n_bytes"
+    )
+
+
+@query("multimodal_decode")  # stubbed decoder → rows-only check
+def multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Arrow-batched mapInPandas decode stage (deterministic fake codec;
+    real Spark plumbing — schema, batching, per-partition execution)."""
+    media = mm.attach_binary(_docs(spark, sf_dir), "doc_id", "text")
+    return mm.decode_image_batch(media)

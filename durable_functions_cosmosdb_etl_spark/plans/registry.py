@@ -9,6 +9,10 @@ SQL (driver compares by sorted column name).
 
 from __future__ import annotations
 
+import functools
+import os
+import tempfile
+import zipfile
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
@@ -18,12 +22,55 @@ QueryFn = Callable[[SparkSession, str], DataFrame]
 QUERIES: dict[str, QueryFn] = {}
 ORACLES: dict[str, str] = {}
 
+_PKG_DIR = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+_zip_path: str | None = None
+_shipped_contexts: set[int] = set()
+
+
+def _package_zip() -> str:
+    """Zip the package once per process for addPyFile shipping."""
+    global _zip_path
+    if _zip_path is None or not os.path.exists(_zip_path):
+        path = os.path.join(
+            tempfile.gettempdir(), f"dfce_spark_pkg_{os.getpid()}.zip"
+        )
+        root = os.path.dirname(_PKG_DIR)
+        with zipfile.ZipFile(path, "w") as zf:
+            for dirpath, _dirs, files in os.walk(_PKG_DIR):
+                for f in files:
+                    if f.endswith(".py"):
+                        full = os.path.join(dirpath, f)
+                        zf.write(full, os.path.relpath(full, root))
+        _zip_path = path
+    return _zip_path
+
+
+def ensure_package_shipped(spark: SparkSession) -> None:
+    """Make the package importable on executor Python workers.
+
+    The caller (driver harness) may start Spark from any cwd with no
+    PYTHONPATH pointing here; pandas-UDF closures reference this package
+    at deserialization time on workers. addPyFile distributes a zip and
+    prepends it to every worker's sys.path — runtime-safe (no restart),
+    idempotent per SparkContext.
+    """
+    sc = spark.sparkContext
+    if id(sc) in _shipped_contexts:
+        return
+    sc.addPyFile(_package_zip())
+    _shipped_contexts.add(id(sc))
+
 
 def query(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
     """Register a query; ``oracle=None`` → driver does rows-only check."""
 
     def deco(fn: QueryFn) -> QueryFn:
-        QUERIES[name] = fn
+        @functools.wraps(fn)
+        def wrapped(spark: SparkSession, sf_dir: str) -> DataFrame:
+            ensure_package_shipped(spark)
+            return fn(spark, sf_dir)
+
+        QUERIES[name] = wrapped
         if oracle is not None:
             ORACLES[name] = oracle
         return fn

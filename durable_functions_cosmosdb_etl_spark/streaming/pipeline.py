@@ -1,0 +1,138 @@
+"""Incremental transform pipeline — Structured Streaming analog of EP2.
+
+The reference's change-feed consumer (/root/reference/EtlProcess.cs:
+183-209) maps 1:1 onto a file-source micro-batch stream:
+
+| reference                          | here                               |
+|------------------------------------|------------------------------------|
+| CosmosDBTrigger on `extracted`     | readStream over the staging dir    |
+| MaxItemsPerInvocation=10 (:186)    | maxFilesPerTrigger                 |
+| transformsLease container (:184)   | checkpointLocation                 |
+| per-invocation batchGuid (:194)    | foreachBatch's batch_id            |
+| 100 ms/doc throttle (:204)         | trigger pacing (declarative)       |
+| upsert on /id → effectively-once   | idempotent per-batch overwrite     |
+
+Exactly-once end state: foreachBatch may re-deliver a batch after
+failure, but ``upsert_batch`` writes to a batch-keyed subdirectory with
+overwrite, so re-delivery replaces rather than duplicates — strictly
+stronger than the reference's at-least-once upsert.
+"""
+
+from __future__ import annotations
+
+from datetime import datetime
+
+from pyspark.sql import SparkSession
+
+from ..operators.transform import transform_items
+from ..schemas import SAMPLE_ITEM_SCHEMA
+from ..sinks.writers import upsert_batch
+from ..sources.stream import read_staging_stream
+
+
+def run_incremental_transform(
+    spark: SparkSession,
+    staging_dir: str,
+    out_dir: str,
+    checkpoint_dir: str,
+    max_files_per_trigger: int = 1,
+    clock: datetime | None = None,
+    available_now: bool = True,
+):
+    """Consume staged SampleItem files incrementally; transform; upsert.
+
+    ``available_now=True`` drains the backlog in capped micro-batches
+    then stops (the scheduled-batch analog of the reference's 2-minute
+    cron, operator O1); False runs continuously.
+    """
+    stream = read_staging_stream(
+        spark, staging_dir, SAMPLE_ITEM_SCHEMA, max_files_per_trigger
+    )
+
+    def process(batch_df, batch_id: int) -> None:
+        out = transform_items(batch_df, batch_id=str(batch_id), clock=clock)
+        upsert_batch(out, out_dir, batch_id)
+
+    writer = stream.writeStream.foreachBatch(process).option(
+        "checkpointLocation", checkpoint_dir
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    q = writer.start()
+    if available_now:
+        q.awaitTermination()
+    return q
+
+
+def streaming_tumbling_counts(
+    spark: SparkSession,
+    events_dir: str,
+    out_dir: str,
+    checkpoint_dir: str,
+    schema,
+    watermark: str = "10 minutes",
+    window: str = "1 hour",
+):
+    """Event-time tumbling aggregation with a watermark (late-data drop).
+
+    Append-mode to a parquet sink: a window emits exactly once, when the
+    watermark passes its end — the state-eviction contract that bounds
+    streaming state at scale (state size = open windows, not history).
+    Runs one availableNow drain; call repeatedly with the same
+    checkpoint to advance through arriving files.
+    """
+    from pyspark.sql import functions as F
+
+    src = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(events_dir)
+    )
+    agg = (
+        src.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", window).alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(F.col("w.start").alias("window_start"), "event_type", "n_events")
+    )
+    q = (
+        agg.writeStream.outputMode("append")
+        .format("parquet")
+        .option("path", out_dir)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return q
+
+
+def streaming_dedup(
+    spark: SparkSession,
+    events_dir: str,
+    checkpoint_dir: str,
+    schema,
+    watermark: str = "30 minutes",
+    query_name: str = "stream_dedup",
+):
+    """Stateful streaming dedup: dropDuplicatesWithinWatermark on event_id.
+
+    The streaming analog of the reference's upsert-idempotency — state
+    for an id is kept only within the watermark horizon, so memory is
+    bounded by (arrival rate × watermark), not by history.
+    """
+    src = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(events_dir)
+    )
+    deduped = src.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(
+        ["event_id"]
+    )
+    return (
+        deduped.writeStream.outputMode("append")
+        .format("memory")
+        .queryName(query_name)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )

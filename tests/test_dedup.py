@@ -1,0 +1,48 @@
+"""Dedup-operator tests: LSH paths validated against exact counterparts."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from durable_functions_cosmosdb_etl_spark.operators import dedup as dd
+from durable_functions_cosmosdb_etl_spark.sources.tables import load_table
+
+
+def _pairs(df):
+    return {(r[0], r[1]) for r in df.collect()}
+
+
+def test_exact_dedup_groups(spark):
+    rows = [(1, "aaa"), (2, "bbb"), (3, "aaa"), (4, "aaa")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r.keeper_id: r.n_copies for r in dd.exact_dedup_groups(df, "text", "doc_id").collect()}
+    assert got == {1: 3, 2: 1}
+
+
+def test_minhash_lsh_vs_exact(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents")
+    exact = _pairs(dd.jaccard_pairs(docs, threshold=0.5))
+    lsh = _pairs(dd.minhash_lsh_pairs(docs, threshold=0.5))
+    assert exact, "fixture should contain near-dup pairs"
+    # precision 1.0 by construction (candidates re-verified with exact
+    # jaccard); recall bounded by the banding capture probability
+    assert lsh.issubset(exact)
+    assert len(lsh) / len(exact) >= 0.8
+
+
+def test_simhash_finds_strong_neardups(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents")
+    strong = _pairs(dd.jaccard_pairs(docs, threshold=0.8))
+    sh = _pairs(dd.simhash_pairs(docs, max_hamming=8))
+    if strong:  # strong shingle overlap ⇒ small simhash hamming distance
+        assert len(strong & sh) / len(strong) >= 0.5
+    ham = dd.simhash_pairs(docs, max_hamming=8).agg(F.max("hamming")).first()[0]
+    assert ham is None or ham <= 8
+
+
+def test_jaccard_df_cap_is_superset_filter(spark, sf_dir):
+    """Stop-shingle capping may only drop pairs, never invent them."""
+    docs = load_table(spark, sf_dir, "documents").limit(200)
+    full = _pairs(dd.jaccard_pairs(docs, threshold=0.5))
+    capped = dd.jaccard_pairs(docs, threshold=0.5, max_shingle_df=50)
+    assert _pairs(capped).issubset(full)

@@ -1,0 +1,105 @@
+"""Golden/property tests for the ETL pipeline (operators O2/O6/O9/O12).
+
+Mirrors the reference's semantic rules (SURVEY.md §5): generator
+invariants (EtlProcess.cs:227-239), transform invariants (:245-260),
+blank-coalesce paths (:251-252), audit append (:120-130).
+"""
+
+from __future__ import annotations
+
+from datetime import datetime
+
+import pytest
+from pyspark.sql import functions as F
+
+from durable_functions_cosmosdb_etl_spark.etl import run_batch_etl
+from durable_functions_cosmosdb_etl_spark.operators.transform import transform_items
+from durable_functions_cosmosdb_etl_spark.schemas import SAMPLE_ITEM_SCHEMA
+from durable_functions_cosmosdb_etl_spark.sources.generator import (
+    generate_sample_items,
+)
+
+CLOCK = datetime(2026, 1, 15, 10, 30, 0)
+
+
+def test_generator_invariants(spark):
+    df = generate_sample_items(spark, count=99, clock=CLOCK).cache()
+    assert df.count() == 99
+    # round-robin partitions, max skew 1 (EtlProcess.cs:236)
+    counts = dict(
+        df.groupBy("logical_partition").count().rdd.map(tuple).collect()
+    )
+    assert set(counts) == {"Partition_A", "Partition_B", "Partition_C"}
+    assert max(counts.values()) - min(counts.values()) <= 1
+    # no null ids; done is the string "true" (:230,:232)
+    assert df.filter(F.col("id").isNull()).count() == 0
+    assert df.filter(F.col("done") != "true").count() == 0
+
+
+def test_generator_default_count_range(spark):
+    n = generate_sample_items(spark, clock=CLOCK).count()
+    assert 10 <= n <= 200  # rnd.Next(10, 200), EtlProcess.cs:224
+
+
+def test_transform_semantics(spark):
+    rows = [
+        ("id-1", "01/01/2026", "desc here", "true", "name here", "pr", "Partition_A"),
+        ("id-2", "01/01/2026", "", "false", None, "pr", "Partition_B"),
+        ("id-3", "01/01/2026", "   ", "true", "  ", "pr", "Partition_C"),
+    ]
+    src = spark.createDataFrame(rows, SAMPLE_ITEM_SCHEMA)
+    out = transform_items(src, batch_id="b-1", clock=CLOCK).collect()
+    by_id = {r.id: r for r in out}
+    # rename + passthrough (EtlProcess.cs:249-255)
+    assert by_id["id-1"].source_date == "01/01/2026"
+    assert by_id["id-1"].description == "desc here"
+    assert by_id["id-1"].name == "name here"
+    # blank/null → defaults (EtlProcess.cs:251-252)
+    assert by_id["id-2"].description == "Empty Description in source for item id-2"
+    assert by_id["id-2"].name == "Empty Name in source for item id-2"
+    assert by_id["id-3"].description == "Empty Description in source for item id-3"
+    assert by_id["id-3"].name == "Empty Name in source for item id-3"
+    # lineage + provenance (EtlProcess.cs:256-257)
+    assert {r.transform_batch for r in out} == {"b-1"}
+    assert {r.update_location for r in out} == {"West Europe"}
+    # counter is 1..n over id order (EtlProcess.cs:253)
+    assert by_id["id-1"].additional_data == "Data added from transform function [1]"
+    assert by_id["id-3"].additional_data == "Data added from transform function [3]"
+
+
+def test_transform_output_count_equals_input(spark):
+    src = generate_sample_items(spark, count=57, clock=CLOCK)
+    assert transform_items(src, "b", clock=CLOCK).count() == 57
+
+
+def test_batch_etl_end_to_end(spark, tmp_path):
+    work = str(tmp_path / "etl")
+    out = run_batch_etl(
+        spark, work, count=30, clock=CLOCK, batch_id="b-42", deterministic=True
+    )
+    assert out.count() == 30
+    # staged table partitioned by logical_partition (EtlProcess.cs:165)
+    staged = spark.read.option("basePath", f"{work}/extracted").parquet(
+        f"{work}/extracted"
+    )
+    assert staged.count() == 30
+    assert set(staged.select("logical_partition").distinct().rdd.map(lambda r: r[0]).collect()) == {
+        "Partition_A", "Partition_B", "Partition_C",
+    }
+    # audit row appended with success message (EtlProcess.cs:71,120-130)
+    audit = spark.read.parquet(f"{work}/orchestration_runs").collect()
+    assert len(audit) == 1
+    assert audit[0].succeeded is True
+    assert "extracted and saved" in audit[0].additional_info
+
+
+def test_batch_etl_failure_audits_and_reraises(spark, tmp_path):
+    work = str(tmp_path / "etl_fail")
+    bad = generate_sample_items(spark, count=5, clock=CLOCK).select(
+        F.col("id"), F.lit(None).cast("string").alias("boom")
+    )
+    with pytest.raises(Exception):
+        run_batch_etl(spark, work, source_df=bad, clock=CLOCK)
+    audit = spark.read.parquet(f"{work}/orchestration_runs").collect()
+    assert len(audit) == 1 and audit[0].succeeded is False
+    assert audit[0].additional_info.startswith("Error:")

@@ -1,0 +1,153 @@
+"""Streaming-layer tests (EP2 analog; SURVEY.md §5.4).
+
+Covers: capped micro-batches (maxFilesPerTrigger ↔ MaxItemsPerInvocation),
+checkpoint resume without reprocessing, idempotent re-delivery (same end
+state — the reference's upsert-on-/id contract, EtlProcess.cs:188),
+watermark late-data drop, and stateful streaming dedup.
+"""
+
+from __future__ import annotations
+
+import shutil
+from datetime import datetime, timedelta
+
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from durable_functions_cosmosdb_etl_spark.sinks.writers import latest_view
+from durable_functions_cosmosdb_etl_spark.sources.generator import (
+    generate_sample_items,
+)
+from durable_functions_cosmosdb_etl_spark.streaming.pipeline import (
+    run_incremental_transform,
+    streaming_dedup,
+    streaming_tumbling_counts,
+)
+
+CLOCK = datetime(2026, 1, 15, 10, 30, 0)
+
+EVENTS_SCHEMA = T.StructType(
+    [
+        T.StructField("event_id", T.LongType()),
+        T.StructField("ts", T.TimestampType()),
+        T.StructField("event_type", T.StringType()),
+    ]
+)
+
+
+def _stage_files(
+    spark, staging: str, n_files: int = 3, rows_per: int = 10, prefix: str = "f"
+) -> None:
+    for i in range(n_files):
+        generate_sample_items(
+            spark, count=rows_per, clock=CLOCK, deterministic_ids=True
+        ).withColumn(
+            "id", F.concat(F.lit(f"{prefix}{i}-"), F.col("id"))
+        ).coalesce(1).write.mode("append").parquet(staging)
+
+
+def test_incremental_transform_micro_batches(spark, tmp_path):
+    staging = str(tmp_path / "staging")
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+    _stage_files(spark, staging, n_files=3, rows_per=10)
+
+    run_incremental_transform(spark, staging, out, ckpt, max_files_per_trigger=1,
+                              clock=CLOCK)
+    result = latest_view(spark, out)
+    assert result.count() == 30
+    # one lineage id per micro-batch (EtlProcess.cs:194,256): 3 files ×
+    # maxFilesPerTrigger=1 → 3 distinct transform_batch values
+    batches = result.select("transform_batch").distinct().count()
+    assert batches == 3
+
+
+def test_checkpoint_resume_no_reprocessing(spark, tmp_path):
+    staging = str(tmp_path / "staging")
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+    _stage_files(spark, staging, n_files=2, rows_per=5)
+    run_incremental_transform(spark, staging, out, ckpt, clock=CLOCK)
+    assert latest_view(spark, out).count() == 10
+    # resume with no new files: nothing reprocessed
+    run_incremental_transform(spark, staging, out, ckpt, clock=CLOCK)
+    assert latest_view(spark, out).count() == 10
+    # new file arrives: only it is processed
+    _stage_files(spark, staging, n_files=1, rows_per=7, prefix="g")
+    run_incremental_transform(spark, staging, out, ckpt, clock=CLOCK)
+    assert latest_view(spark, out).count() == 17
+
+
+def test_redelivery_is_idempotent(spark, tmp_path):
+    """Losing the checkpoint re-delivers everything; batch-keyed
+    overwrite converges to the same end state (effectively-once)."""
+    staging = str(tmp_path / "staging")
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+    _stage_files(spark, staging, n_files=2, rows_per=8)
+    run_incremental_transform(spark, staging, out, ckpt, clock=CLOCK)
+    before = latest_view(spark, out).count()
+    shutil.rmtree(ckpt)  # simulate lost consumer lease → full re-delivery
+    run_incremental_transform(spark, staging, out, ckpt, clock=CLOCK)
+    assert latest_view(spark, out).count() == before
+
+
+def test_watermark_drops_late_events(spark, tmp_path):
+    events_dir = str(tmp_path / "events")
+    out_dir = str(tmp_path / "win_out")
+    ckpt = str(tmp_path / "ckpt")
+    base = datetime(2026, 1, 1, 12, 0, 0)
+
+    # phase 1: on-time events 12:00..12:59 → watermark advances to 12:49;
+    # the [12:00,13:00) window stays open (nothing emitted yet).
+    on_time = [(i, base + timedelta(minutes=i), "click") for i in range(60)]
+    spark.createDataFrame(on_time, EVENTS_SCHEMA).coalesce(1).write.mode(
+        "append"
+    ).parquet(events_dir)
+    streaming_tumbling_counts(
+        spark, events_dir, out_dir, ckpt, EVENTS_SCHEMA,
+        watermark="10 minutes", window="1 hour",
+    )
+
+    # phase 2: one event 3h LATE (behind the persisted watermark → must
+    # be dropped) plus one at 15:00 (advances watermark past 13:00,
+    # closing the 12:00 window).
+    phase2 = [
+        (100, base - timedelta(hours=3), "click"),
+        (101, base + timedelta(hours=3), "click"),
+    ]
+    spark.createDataFrame(phase2, EVENTS_SCHEMA).coalesce(1).write.mode(
+        "append"
+    ).parquet(events_dir)
+    streaming_tumbling_counts(
+        spark, events_dir, out_dir, ckpt, EVENTS_SCHEMA,
+        watermark="10 minutes", window="1 hour",
+    )
+
+    got = {
+        r.window_start: r.n_events for r in spark.read.parquet(out_dir).collect()
+    }
+    # late event dropped: its 9:00 window would have closed and emitted
+    # if the watermark hadn't discarded it
+    assert base - timedelta(hours=3) not in got
+    # on-time window emitted exactly once with all 60 events
+    assert got.get(base) == 60
+
+
+def test_streaming_dedup_within_watermark(spark, tmp_path):
+    events_dir = str(tmp_path / "events")
+    base = datetime(2026, 1, 1, 12, 0, 0)
+    f1 = [(i, base + timedelta(minutes=i), "view") for i in range(10)]
+    f2 = [(i, base + timedelta(minutes=i, seconds=30), "view") for i in range(5)]  # dups
+    f2 += [(50 + i, base + timedelta(minutes=20 + i), "view") for i in range(3)]
+    spark.createDataFrame(f1, EVENTS_SCHEMA).coalesce(1).write.mode("append").parquet(events_dir)
+    spark.createDataFrame(f2, EVENTS_SCHEMA).coalesce(1).write.mode("append").parquet(events_dir)
+
+    q = streaming_dedup(
+        spark, events_dir, str(tmp_path / "ckpt"), EVENTS_SCHEMA,
+        watermark="30 minutes", query_name="sdd",
+    )
+    q.awaitTermination()
+    ids = [r.event_id for r in spark.sql("SELECT event_id FROM sdd").collect()]
+    assert sorted(ids) == sorted(set(ids))  # no duplicate ids emitted
+    assert set(range(10)).issubset(ids) and {50, 51, 52}.issubset(ids)

@@ -1,0 +1,54 @@
+"""Text-operator unit tests on literal inputs."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from durable_functions_cosmosdb_etl_spark.operators import text as tx
+
+
+def _one(spark, text: str, col):
+    df = spark.createDataFrame([(text,)], "text string")
+    return df.select(col.alias("v")).first().v
+
+
+def test_word_and_token_counts(spark):
+    t = F.col("text")
+    assert _one(spark, "hello world  foo", tx.word_count(t)) == 3
+    # BPE-ish: "don't" → don + ' + t ; "a1" → a + 1
+    assert _one(spark, "don't stop", tx.token_count(t)) == 4
+    assert _one(spark, "a1", tx.token_count(t)) == 2
+
+
+def test_lang_id_markers(spark):
+    t = F.col("text")
+    assert _one(spark, "the cat and the dog is here", tx.lang_id(t)) == "en"
+    assert _one(spark, "el gato y la casa de los perros", tx.lang_id(t)) == "es"
+    assert _one(spark, "der hund und die katze ist da", tx.lang_id(t)) == "de"
+    assert _one(spark, "这是在了的一个测试", tx.lang_id(t)) == "zh"
+
+
+def test_shingles(spark):
+    t = F.col("text")
+    got = _one(spark, "a b c d", tx.shingles(t, 3))
+    assert got == ["a b c", "b c d"]
+    assert _one(spark, "a b", tx.shingles(t, 3)) == []
+
+
+def test_fingerprint_deterministic_and_order_sensitive(spark):
+    t = F.col("text")
+    f1 = _one(spark, "alpha beta gamma", tx.fingerprint(t))
+    f2 = _one(spark, "alpha beta gamma", tx.fingerprint(t))
+    f3 = _one(spark, "gamma beta alpha", tx.fingerprint(t))
+    assert f1 == f2
+    assert f1 != f3  # positional weighting → order matters
+
+
+def test_quality_score_ranges(spark, sf_dir):
+    from durable_functions_cosmosdb_etl_spark.sources.tables import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    stats = docs.select(tx.quality_score(F.col("text")).alias("q")).agg(
+        F.min("q"), F.max("q")
+    ).first()
+    assert stats[0] >= 0.0 and stats[1] <= 1.5
