@@ -23,7 +23,7 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-from .text import shingles
+from .text import shingles_from_words, words
 
 # MinHash parameters: 64 permutations = 16 bands × 4 rows.
 MINHASH_K = 64
@@ -52,9 +52,15 @@ def exact_dedup_groups(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
 
 
 def _shingled(df: DataFrame, id_col: str, text_col: str, n: int) -> DataFrame:
-    return df.select(
-        F.col(id_col).alias("doc"), shingles(F.col(text_col), n).alias("sh")
-    ).withColumn("n_sh", F.size("sh"))
+    # Two-step select: materialize the word array BEFORE shingling so the
+    # higher-order-function lambda reads an attribute, not an inline
+    # split() re-evaluated per element (17× at 5k docs — see
+    # text.shingles_from_words).
+    return (
+        df.select(F.col(id_col).alias("doc"), words(F.col(text_col)).alias("w"))
+        .select("doc", shingles_from_words(F.col("w"), n).alias("sh"))
+        .withColumn("n_sh", F.size("sh"))
+    )
 
 
 def jaccard_pairs(
