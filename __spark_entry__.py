@@ -23,6 +23,7 @@ from durable_functions_cosmosdb_etl_spark.plans import registry  # noqa: E402
 from durable_functions_cosmosdb_etl_spark.plans import (  # noqa: F401,E402
     llm_ops,
     relational,
+    relational_ext,
     streaming_windows,
 )
 

@@ -1,0 +1,372 @@
+"""Extended relational surface: full/cross joins, pivot, exact
+percentiles, SQL subqueries (IN / EXISTS / scalar), analytic window
+distributions, map functions, union-by-name.
+
+Rounds out SURVEY.md §2.2 categories beyond plans/relational.py. The
+subquery entries run through ``spark.sql`` on registered temp views —
+exercising the engine's SQL surface (Catalyst rewrites IN → left-semi,
+EXISTS → semi, scalar subquery → broadcast scalar) rather than the
+DataFrame builder path used elsewhere.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..sources.tables import load_table, register_views
+from .registry import query
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return load_table(spark, sf_dir, name)
+
+
+# --------------------------------------------------------------------------
+# Joins: full outer, cross
+# --------------------------------------------------------------------------
+
+
+@query(
+    "join_full",
+    oracle="""
+    WITH c AS (SELECT c_nationkey AS nk, count(*) AS n_cust
+               FROM customer GROUP BY c_nationkey),
+         s AS (SELECT s_nationkey AS nk, count(*) AS n_supp
+               FROM supplier GROUP BY s_nationkey)
+    SELECT coalesce(c.nk, s.nk) AS nationkey,
+           coalesce(n_cust, 0)  AS n_cust,
+           coalesce(n_supp, 0)  AS n_supp
+    FROM c FULL OUTER JOIN s ON c.nk = s.nk
+    """,
+)
+def join_full(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full outer join of two aggregates (customer vs supplier presence
+    per nation). Both sides pre-aggregate to |nations| rows before the
+    join, so the full-outer shuffle is tiny regardless of fact size —
+    the aggregate-then-join shape that survives 100 TB.
+    """
+    c = (
+        _t(spark, sf_dir, "customer")
+        .groupBy(F.col("c_nationkey").alias("nk"))
+        .agg(F.count(F.lit(1)).alias("n_cust"))
+    )
+    s = (
+        _t(spark, sf_dir, "supplier")
+        .groupBy(F.col("s_nationkey").alias("nk"))
+        .agg(F.count(F.lit(1)).alias("n_supp"))
+    )
+    return c.join(s, "nk", "full_outer").select(
+        F.coalesce(c["nk"], s["nk"]).alias("nationkey"),
+        F.coalesce("n_cust", F.lit(0)).alias("n_cust"),
+        F.coalesce("n_supp", F.lit(0)).alias("n_supp"),
+    )
+
+
+@query(
+    "join_cross",
+    oracle="""
+    SELECT r_name, o_orderstatus
+    FROM region CROSS JOIN (SELECT DISTINCT o_orderstatus FROM orders) s
+    """,
+)
+def join_cross(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross join (cartesian) of two tiny dimensions — BroadcastNested-
+    LoopJoin. Only ever valid when one side is provably small; the plan
+    broadcasts the distinct-status side (≤3 rows).
+    """
+    r = _t(spark, sf_dir, "region").select("r_name")
+    s = _t(spark, sf_dir, "orders").select("o_orderstatus").distinct()
+    return r.crossJoin(F.broadcast(s))
+
+
+# --------------------------------------------------------------------------
+# Pivot + exact percentiles
+# --------------------------------------------------------------------------
+
+_PRIORITIES = ["1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW"]
+
+
+@query(
+    "agg_pivot",
+    oracle="""
+    SELECT o_orderstatus,
+           sum(CASE WHEN o_orderpriority = '1-URGENT' THEN 1 ELSE 0 END)
+               AS p_urgent,
+           sum(CASE WHEN o_orderpriority = '2-HIGH' THEN 1 ELSE 0 END)
+               AS p_high,
+           sum(CASE WHEN o_orderpriority = '3-MEDIUM' THEN 1 ELSE 0 END)
+               AS p_medium,
+           sum(CASE WHEN o_orderpriority = '4-NOT SPECIFIED' THEN 1 ELSE 0 END)
+               AS p_notspec,
+           sum(CASE WHEN o_orderpriority = '5-LOW' THEN 1 ELSE 0 END)
+               AS p_low
+    FROM orders GROUP BY o_orderstatus
+    """,
+)
+def agg_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """groupBy().pivot() with explicit pivot values.
+
+    Passing the value list skips Catalyst's extra distinct-collect job
+    (without it, pivot first runs a query just to discover the columns) —
+    at 100 TB that's one full scan saved. Pivot compiles to a single
+    hash aggregate with one CASE-filtered column per value: one shuffle.
+    """
+    renames = {
+        "1-URGENT": "p_urgent",
+        "2-HIGH": "p_high",
+        "3-MEDIUM": "p_medium",
+        "4-NOT SPECIFIED": "p_notspec",
+        "5-LOW": "p_low",
+    }
+    out = (
+        _t(spark, sf_dir, "orders")
+        .groupBy("o_orderstatus")
+        .pivot("o_orderpriority", _PRIORITIES)
+        .agg(F.count(F.lit(1)))
+    )
+    out = out.select(
+        "o_orderstatus", *[F.coalesce(F.col(f"`{v}`"), F.lit(0)).alias(renames[v]) for v in _PRIORITIES]
+    )
+    return out
+
+
+@query(
+    "agg_percentile",
+    oracle="""
+    SELECT o_orderstatus,
+           CAST(round(quantile_cont(o_totalprice, 0.25) * 100) AS BIGINT)
+               / 100.0 AS p25,
+           CAST(round(quantile_cont(o_totalprice, 0.50) * 100) AS BIGINT)
+               / 100.0 AS p50,
+           CAST(round(quantile_cont(o_totalprice, 0.75) * 100) AS BIGINT)
+               / 100.0 AS p75
+    FROM orders GROUP BY o_orderstatus
+    """,
+)
+def agg_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact interpolated percentiles per group (SQL PERCENTILE_CONT
+    semantics). Exact percentile buffers each group's values — fine for
+    bounded groups; the 100 TB path for high-cardinality groups is
+    `approx_percentile(col, p, accuracy)` (KLL-sketch, mergeable,
+    map-side combinable) with identical plan shape.
+
+    Both engines interpolate (1-f)*lo + f*hi on the same sorted doubles,
+    so the pre-round values are bit-identical; the cents round is
+    portable (round-to-integer of the same double).
+    """
+    o = _t(spark, sf_dir, "orders")
+
+    def pct(p: float, name: str):
+        c = F.percentile("o_totalprice", F.lit(p))
+        return (F.round(c * 100, 0).cast("long") / F.lit(100.0)).alias(name)
+
+    return o.groupBy("o_orderstatus").agg(
+        pct(0.25, "p25"), pct(0.50, "p50"), pct(0.75, "p75")
+    )
+
+
+# --------------------------------------------------------------------------
+# Subqueries (Spark SQL surface)
+# --------------------------------------------------------------------------
+
+
+@query(
+    "subquery_in",
+    oracle="""
+    SELECT o_orderkey, o_custkey, o_totalprice
+    FROM orders
+    WHERE o_custkey IN (SELECT c_custkey FROM customer WHERE c_acctbal > 9000.0)
+    """,
+)
+def subquery_in(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IN-subquery via spark.sql — Catalyst rewrites to a left-semi join
+    (broadcast here: the filtered customer side is small). Same shuffle
+    economics as join_semi, but exercises the SQL front door.
+    """
+    register_views(spark, sf_dir, ("orders", "customer"))
+    return spark.sql(
+        """
+        SELECT o_orderkey, o_custkey, o_totalprice
+        FROM orders
+        WHERE o_custkey IN
+            (SELECT c_custkey FROM customer WHERE c_acctbal > 9000.0)
+        """
+    )
+
+
+@query(
+    "subquery_exists",
+    oracle="""
+    SELECT c_custkey, c_name
+    FROM customer c
+    WHERE EXISTS (SELECT 1 FROM orders o
+                  WHERE o.o_custkey = c.c_custkey
+                    AND o.o_orderpriority = '1-URGENT')
+    """,
+)
+def subquery_exists(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated EXISTS via spark.sql — decorrelated by Catalyst into a
+    semi join on the correlation key. No driver-side iteration; the
+    correlated predicate becomes an equi-join condition.
+    """
+    register_views(spark, sf_dir, ("orders", "customer"))
+    return spark.sql(
+        """
+        SELECT c_custkey, c_name
+        FROM customer c
+        WHERE EXISTS (SELECT 1 FROM orders o
+                      WHERE o.o_custkey = c.c_custkey
+                        AND o.o_orderpriority = '1-URGENT')
+        """
+    )
+
+
+@query(
+    "subquery_scalar",
+    oracle="""
+    SELECT p_partkey, p_name, p_retailprice
+    FROM part
+    WHERE p_retailprice >
+        (SELECT CAST(sum(CAST(round(p_retailprice * 100) AS BIGINT)) AS DOUBLE)
+                / 100.0 / count(*)
+         FROM part)
+    """,
+)
+def subquery_scalar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scalar subquery (rows above mean retail price). The scalar
+    aggregate is computed once and broadcast into the filter. Mean built
+    from an integer fixed-point sum so the threshold is bit-identical
+    across engines (see functions/fixedpoint.py).
+    """
+    register_views(spark, sf_dir, ("part",))
+    return spark.sql(
+        """
+        SELECT p_partkey, p_name, p_retailprice
+        FROM part
+        WHERE p_retailprice >
+            (SELECT CAST(sum(CAST(round(p_retailprice * 100) AS BIGINT))
+                         AS DOUBLE) / 100.0 / count(*)
+             FROM part)
+        """
+    )
+
+
+# --------------------------------------------------------------------------
+# Analytic distribution windows
+# --------------------------------------------------------------------------
+
+
+@query(
+    "window_ntile",
+    oracle="""
+    SELECT o_orderkey, o_orderstatus,
+           ntile(4) OVER w                                       AS quartile,
+           CAST(round(percent_rank() OVER w * 1000000) AS BIGINT)
+               / 1000000.0                                       AS pct_rank,
+           CAST(round(cume_dist() OVER w * 1000000) AS BIGINT)
+               / 1000000.0                                       AS cume
+    FROM orders
+    WINDOW w AS (PARTITION BY o_orderstatus
+                 ORDER BY o_totalprice, o_orderkey)
+    """,
+)
+def window_ntile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution window functions: ntile / percent_rank / cume_dist.
+
+    Deterministic ordering (price, then key as tiebreak) makes ranks
+    reproducible; the ratios are exact rationals on both engines, rounded
+    to 1e-6 to drop any double-formatting noise.
+    """
+    w = Window.partitionBy("o_orderstatus").orderBy("o_totalprice", "o_orderkey")
+    r6 = lambda c: (F.round(c * 1000000, 0).cast("long") / F.lit(1000000.0))  # noqa: E731
+    return _t(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        "o_orderstatus",
+        F.ntile(4).over(w).alias("quartile"),
+        r6(F.percent_rank().over(w)).alias("pct_rank"),
+        r6(F.cume_dist().over(w)).alias("cume"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Map functions + union-by-name
+# --------------------------------------------------------------------------
+
+
+@query(
+    "map_fns",
+    oracle="""
+    WITH s AS (SELECT user_id,
+                      sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)
+                          AS n_click,
+                      sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END)
+                          AS n_view,
+                      count(DISTINCT event_type) AS n_types
+               FROM events GROUP BY user_id)
+    SELECT user_id, n_click, n_view, n_types FROM s
+    """,
+)
+def map_fns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MapType column construction and access: per-user map of
+    event_type → count (map_from_entries over collect_list), then
+    element_at lookups and map_keys cardinality.
+
+    The map is built and probed Spark-side; the oracle checks the same
+    scalars via conditional aggregation (DuckDB map cell hashing is not
+    comparable cross-engine, extracted values are).
+    """
+    ev = _t(spark, sf_dir, "events")
+    per_type = ev.groupBy("user_id", "event_type").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    m = per_type.groupBy("user_id").agg(
+        F.map_from_entries(F.collect_list(F.struct("event_type", "n"))).alias(
+            "type_counts"
+        )
+    )
+    return m.select(
+        "user_id",
+        F.coalesce(F.element_at("type_counts", "click"), F.lit(0)).alias("n_click"),
+        F.coalesce(F.element_at("type_counts", "view"), F.lit(0)).alias("n_view"),
+        F.size(F.map_keys("type_counts")).cast("long").alias("n_types"),
+    )
+
+
+@query(
+    "union_by_name",
+    oracle="""
+    SELECT c_name AS name, c_acctbal AS acctbal, 'customer' AS src,
+           CAST(NULL AS BIGINT) AS supp_id
+    FROM customer WHERE c_acctbal > 9900.0
+    UNION ALL
+    SELECT s_name AS name, s_acctbal AS acctbal, 'supplier' AS src,
+           s_suppkey AS supp_id
+    FROM supplier WHERE s_acctbal > 9900.0
+    """,
+)
+def union_by_name(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """unionByName with allowMissingColumns: schema-aligned union of
+    heterogeneous sources (missing columns null-padded) — the
+    position-independent union you want when merging evolving schemas.
+    """
+    c = (
+        _t(spark, sf_dir, "customer")
+        .filter(F.col("c_acctbal") > 9900.0)
+        .select(
+            F.col("c_name").alias("name"),
+            F.col("c_acctbal").alias("acctbal"),
+            F.lit("customer").alias("src"),
+        )
+    )
+    s = (
+        _t(spark, sf_dir, "supplier")
+        .filter(F.col("s_acctbal") > 9900.0)
+        .select(
+            F.col("s_name").alias("name"),
+            F.col("s_acctbal").alias("acctbal"),
+            F.lit("supplier").alias("src"),
+            F.col("s_suppkey").alias("supp_id"),
+        )
+    )
+    return c.unionByName(s, allowMissingColumns=True)
