@@ -25,6 +25,7 @@ from durable_functions_cosmosdb_etl_spark.plans import (  # noqa: F401,E402
     relational,
     relational_ext,
     streaming_windows,
+    udx,
 )
 
 

@@ -151,3 +151,55 @@ def test_streaming_dedup_within_watermark(spark, tmp_path):
     ids = [r.event_id for r in spark.sql("SELECT event_id FROM sdd").collect()]
     assert sorted(ids) == sorted(set(ids))  # no duplicate ids emitted
     assert set(range(10)).issubset(ids) and {50, 51, 52}.issubset(ids)
+
+
+def test_stateful_running_totals_across_batches(spark, tmp_path):
+    """applyInPandasWithState accumulates per-key state across
+    micro-batches: totals after draining two separately-written file
+    batches equal the totals over their union."""
+    from durable_functions_cosmosdb_etl_spark.streaming.stateful import (
+        streaming_running_totals,
+    )
+
+    schema = T.StructType(
+        [
+            T.StructField("event_id", T.LongType()),
+            T.StructField("ts", T.TimestampType()),
+            T.StructField("user_id", T.LongType()),
+            T.StructField("value", T.DoubleType()),
+        ]
+    )
+    events_dir = str(tmp_path / "events")
+    out_dir = str(tmp_path / "totals")
+    ckpt = str(tmp_path / "ckpt")
+    base = datetime(2026, 1, 15, 10, 0, 0)
+    batch1 = [(i, base, i % 3, 1.5 * (i + 1)) for i in range(9)]
+    batch2 = [(100 + i, base, i % 3, 10.0) for i in range(6)]
+    spark.createDataFrame(batch1, schema).coalesce(1).write.mode("append").parquet(
+        events_dir
+    )
+    q = streaming_running_totals(spark, events_dir, out_dir, ckpt, schema)
+    q.awaitTermination()
+    spark.createDataFrame(batch2, schema).coalesce(1).write.mode("append").parquet(
+        events_dir
+    )
+    q = streaming_running_totals(spark, events_dir, out_dir, ckpt, schema)
+    q.awaitTermination()
+
+    # update-mode log table: latest batch's row per user is cumulative.
+    spark.read.parquet(out_dir).createOrReplaceTempView("rt_log")
+    rows = spark.sql(
+        """
+        SELECT user_id, n_events, total_value_cents FROM (
+            SELECT *, row_number() OVER (
+                PARTITION BY user_id ORDER BY batch_id DESC, n_events DESC)
+                AS rn
+            FROM rt_log) WHERE rn = 1
+        """
+    ).collect()
+    got = {r.user_id: (r.n_events, r.total_value_cents) for r in rows}
+    expect = {}
+    for eid, _ts, uid, val in batch1 + batch2:
+        n, c = expect.get(uid, (0, 0))
+        expect[uid] = (n + 1, c + round(val * 100))
+    assert got == expect
