@@ -93,3 +93,67 @@ def decode_image_batch(df: DataFrame) -> DataFrame:
             )
 
     return df.select("doc_id", "content").mapInPandas(run, schema=DECODED_SCHEMA)
+
+
+RESIZED_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("width", T.IntegerType()),
+        T.StructField("height", T.IntegerType()),
+        T.StructField("n_channels", T.IntegerType()),
+        T.StructField("feature", T.ArrayType(T.FloatType())),
+    ]
+)
+
+FRAME_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("frame_idx", T.IntegerType()),
+        T.StructField("frame_ts_ms", T.LongType()),
+    ]
+)
+
+
+def resize_batch(df: DataFrame, max_side: int = 32) -> DataFrame:
+    """Resize stage: clamps decoded dims to ``max_side`` preserving
+    aspect ratio (integer arithmetic stand-in for the pixel resample —
+    see module note). Chains after ``decode_image_batch`` as a second
+    mapInPandas stage: same partitioning, no shuffle between stages.
+    """
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            w = pdf["width"].astype("int64")
+            h = pdf["height"].astype("int64")
+            side = w.combine(h, max)
+            scale_num = side.clip(upper=max_side)
+            out = pdf.copy()
+            out["width"] = (w * scale_num // side).clip(lower=1).astype("int32")
+            out["height"] = (h * scale_num // side).clip(lower=1).astype("int32")
+            yield out[["doc_id", "width", "height", "n_channels", "feature"]]
+
+    return df.mapInPandas(run, schema=RESIZED_SCHEMA)
+
+
+def frame_sample_batch(
+    df: DataFrame, fps_ms: int = 1000, max_frames: int = 4
+) -> DataFrame:
+    """Frame-sampling stage for video-like payloads: emits up to
+    ``max_frames`` (frame_idx, timestamp) rows per media row, sampled
+    every ``fps_ms`` ms of a synthetic duration derived from payload
+    size (a real build reads the container's duration metadata — the
+    1→N row expansion, schema, and batching are the tested contract).
+    """
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for doc_id, n_bytes in zip(pdf["doc_id"], pdf["n_bytes"]):
+                duration_ms = int(n_bytes) * 10
+                n = min(max_frames, max(1, duration_ms // fps_ms))
+                rows.extend((doc_id, i, i * fps_ms) for i in range(n))
+            yield pd.DataFrame(
+                rows, columns=["doc_id", "frame_idx", "frame_ts_ms"]
+            )
+
+    return df.select("doc_id", "n_bytes").mapInPandas(run, schema=FRAME_SCHEMA)

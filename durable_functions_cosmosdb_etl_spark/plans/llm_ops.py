@@ -329,3 +329,55 @@ def multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     real Spark plumbing — schema, batching, per-partition execution)."""
     media = mm.attach_binary(_docs(spark, sf_dir), "doc_id", "text")
     return mm.decode_image_batch(media)
+
+
+@query(
+    "multimodal_resize",
+    oracle="""
+    WITH m AS (SELECT doc_id, octet_length(encode(text)) AS n FROM documents),
+    d AS (SELECT doc_id,
+                 16 + (n % 64)        AS w0,
+                 16 + ((n // 64) % 64) AS h0
+          FROM m),
+    s AS (SELECT doc_id, w0, h0,
+                 greatest(w0, h0)            AS side,
+                 least(greatest(w0, h0), 32) AS clamp
+          FROM d)
+    SELECT doc_id,
+           CAST(greatest(1, w0 * clamp // side) AS INT) AS width,
+           CAST(greatest(1, h0 * clamp // side) AS INT) AS height,
+           3 AS n_channels
+    FROM s
+    """,
+)
+def multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """decode → resize pipeline: two chained mapInPandas stages, no
+    shuffle between them. The fake codec's dims are deterministic
+    integer arithmetic on payload size, so the whole two-stage Python
+    pipeline is oracle-checked end to end (features excluded — checked
+    in tests)."""
+    media = mm.attach_binary(_docs(spark, sf_dir), "doc_id", "text")
+    resized = mm.resize_batch(mm.decode_image_batch(media), max_side=32)
+    return resized.select("doc_id", "width", "height", "n_channels")
+
+
+@query(
+    "multimodal_frames",
+    oracle="""
+    WITH m AS (SELECT doc_id, octet_length(encode(text)) AS n_bytes
+               FROM documents)
+    SELECT doc_id, CAST(i AS INT) AS frame_idx,
+           CAST(i * 1000 AS BIGINT) AS frame_ts_ms
+    FROM (SELECT doc_id,
+                 unnest(range(least(4, greatest(1, n_bytes * 10 // 1000))))
+                     AS i
+          FROM m)
+    """,
+)
+def multimodal_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frame-sampling stage: 1→N row expansion per media payload inside
+    mapInPandas (video-style sampling every 1000 ms, ≤4 frames). The
+    synthetic duration is a pure function of payload size, so row
+    expansion is oracle-checked exactly."""
+    media = mm.attach_binary(_docs(spark, sf_dir), "doc_id", "text")
+    return mm.frame_sample_batch(media, fps_ms=1000, max_frames=4)

@@ -27,3 +27,36 @@ def test_decode_batch_schema_and_determinism(spark, sf_dir):
         # deterministic fake: re-run bit-identical
         assert out2[doc_id].feature == r.feature
         assert (out2[doc_id].width, out2[doc_id].height) == (r.width, r.height)
+
+
+def test_resize_clamps_and_preserves_aspect(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents").limit(50)
+    media = mm.attach_binary(docs, "doc_id", "text")
+    decoded = mm.decode_image_batch(media)
+    before = {r.doc_id: r for r in decoded.collect()}
+    after = {r.doc_id: r for r in mm.resize_batch(decoded, max_side=32).collect()}
+    assert set(after) == set(before)
+    for doc_id, r in after.items():
+        b = before[doc_id]
+        assert max(r.width, r.height) <= 32 and min(r.width, r.height) >= 1
+        if max(b.width, b.height) <= 32:  # small images pass through
+            assert (r.width, r.height) == (b.width, b.height)
+        # aspect ordering preserved
+        assert (b.width >= b.height) == (r.width >= r.height)
+        assert r.feature == b.feature  # resize doesn't touch features
+
+
+def test_frame_sample_expands_rows(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents").limit(20)
+    media = mm.attach_binary(docs, "doc_id", "text")
+    frames = mm.frame_sample_batch(media, fps_ms=1000, max_frames=4).collect()
+    by_doc = {}
+    for r in frames:
+        by_doc.setdefault(r.doc_id, []).append(r)
+    assert set(by_doc) == {r.doc_id for r in media.select("doc_id").collect()}
+    for doc_id, rows in by_doc.items():
+        idxs = sorted(r.frame_idx for r in rows)
+        assert idxs == list(range(len(idxs)))  # dense 0..n-1
+        assert 1 <= len(rows) <= 4
+        for r in rows:
+            assert r.frame_ts_ms == r.frame_idx * 1000
