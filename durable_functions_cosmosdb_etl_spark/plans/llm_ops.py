@@ -155,6 +155,81 @@ def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     return d.select("doc_id", tx.fingerprint(F.col("text")).alias("fp"))
 
 
+@query(
+    "text_tfidf",
+    oracle=rf"""
+    WITH w AS (SELECT doc_id, unnest({_WORDS}) AS word FROM documents),
+    tf AS (SELECT doc_id, word, count(*) AS tf
+           FROM w GROUP BY doc_id, word),
+    dfreq AS (SELECT word, count(*) AS df_w FROM tf GROUP BY word),
+    n AS (SELECT count(*) AS n_docs FROM documents),
+    scored AS (
+        SELECT tf.doc_id, tf.word, tf.tf, dfreq.df_w,
+               CAST(round(tf.tf * (ln((n.n_docs + 1.0) / (dfreq.df_w + 1.0))
+                                   + 1.0) * 1000000) AS BIGINT) / 1000000.0
+                   AS tfidf
+        FROM tf JOIN dfreq USING (word) CROSS JOIN n)
+    SELECT doc_id, word, tf, df_w, tfidf FROM (
+        SELECT *, row_number() OVER (PARTITION BY doc_id
+                                     ORDER BY tfidf DESC, word) AS rn
+        FROM scored) WHERE rn <= 3
+    """,
+)
+def text_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 TF-IDF terms per document, in pure DataFrame ops.
+
+    Plan shape: explode → (doc,word) hash agg → word-keyed document-
+    frequency agg → equi-join on word → per-doc window top-k. Corpus
+    size N enters via a broadcast 1-row cross join, not a driver
+    collect. All shuffles key on (doc,word) or word — linear at 100 TB
+    (pyspark.ml's HashingTF/IDF gives the same pipeline with hashed
+    vocab when exact terms aren't needed; exact terms kept here for
+    oracle parity). Smooth idf = ln((N+1)/(df+1)) + 1; scores rounded
+    to 1e-6 (libm ulp differences), ties break on word.
+    """
+    docs = _docs(spark, sf_dir)
+    w = docs.select(
+        "doc_id", F.split(F.trim(F.col("text")), r"\s+").alias("ws")
+    ).select("doc_id", F.explode("ws").alias("word"))
+    tf = w.groupBy("doc_id", "word").agg(F.count(F.lit(1)).alias("tf"))
+    dfreq = tf.groupBy("word").agg(F.count(F.lit(1)).alias("df_w"))
+    n = docs.agg(F.count(F.lit(1)).alias("n_docs"))
+    scored = (
+        tf.join(dfreq, "word")
+        .crossJoin(F.broadcast(n))
+        .select(
+            "doc_id",
+            "word",
+            "tf",
+            "df_w",
+            (
+                F.round(
+                    F.col("tf")
+                    * (
+                        F.log(
+                            (F.col("n_docs") + 1.0) / (F.col("df_w") + 1.0)
+                        )
+                        + 1.0
+                    )
+                    * 1000000,
+                    0,
+                ).cast("long")
+                / F.lit(1000000.0)
+            ).alias("tfidf"),
+        )
+    )
+    from pyspark.sql import Window
+
+    rn = F.row_number().over(
+        Window.partitionBy("doc_id").orderBy(F.desc("tfidf"), "word")
+    )
+    return (
+        scored.withColumn("rn", rn)
+        .filter(F.col("rn") <= 3)
+        .select("doc_id", "word", "tf", "df_w", "tfidf")
+    )
+
+
 # --------------------------------------------------------------------------
 # Deduplication
 # --------------------------------------------------------------------------

@@ -13,8 +13,18 @@ SF_DIR = os.environ.get("SPARK_GRAFT_TEST_SF_DIR", "/root/testdata/sf0.001")
 
 
 @pytest.fixture(scope="session")
-def spark():
-    s = get_spark("tests", shuffle_partitions=8)
+def spark(tmp_path_factory):
+    s = get_spark(
+        "tests",
+        shuffle_partitions=8,
+        extra_conf={
+            # static conf — must be set before the session exists
+            # (bucketed-table tests use saveAsTable)
+            "spark.sql.warehouse.dir": str(
+                tmp_path_factory.mktemp("spark-warehouse")
+            )
+        },
+    )
     s.sparkContext.setLogLevel("ERROR")
     yield s
 

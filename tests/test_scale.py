@@ -1,0 +1,92 @@
+"""Scale-posture tests: the properties SCALE.md claims, asserted on
+real plans — salting preserves join semantics, bucketed joins avoid
+shuffles, partition pruning reaches the scan.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from durable_functions_cosmosdb_etl_spark.operators.skew import salted_join
+
+
+def _plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_salted_join_matches_plain_join(spark):
+    # 90% of big rows share one hot key — the salting target.
+    big = spark.range(0, 2000).select(
+        F.when(F.col("id") % 10 < 9, F.lit(7))
+        .otherwise(F.col("id") % 50)
+        .alias("k"),
+        F.col("id").alias("payload"),
+    )
+    small = spark.range(0, 50).select(
+        F.col("id").alias("k"), (F.col("id") * 100).alias("dim")
+    )
+    plain = {(r.k, r.payload, r.dim) for r in big.join(small, ["k"]).collect()}
+    salted = {
+        (r.k, r.payload, r.dim)
+        for r in salted_join(big, small, ["k"], n_salts=8).collect()
+    }
+    assert salted == plain and len(plain) == 2000
+
+
+def test_salted_join_left_keeps_unmatched(spark):
+    big = spark.range(0, 100).select((F.col("id") % 60).alias("k"), "id")
+    small = spark.range(0, 30).select(F.col("id").alias("k"), F.lit(1).alias("d"))
+    plain = {(r.k, r.id, r.d) for r in big.join(small, ["k"], "left").collect()}
+    salted = {
+        (r.k, r.id, r.d)
+        for r in salted_join(big, small, ["k"], n_salts=4, how="left").collect()
+    }
+    assert salted == plain
+
+
+def test_salted_join_rejects_full_outer(spark):
+    df = spark.range(1).select(F.col("id").alias("k"))
+    with pytest.raises(ValueError):
+        salted_join(df, df, ["k"], how="full")
+
+
+def test_bucketed_join_has_no_shuffle(spark, tmp_path):
+    """Pre-bucketing both sides on the join key removes the Exchange —
+    the co-located-join strategy for repeated fact-fact joins at scale."""
+    left = spark.range(0, 1000).select(
+        F.col("id").alias("k"), (F.col("id") * 2).alias("a")
+    )
+    right = spark.range(0, 1000).select(
+        F.col("id").alias("k"), (F.col("id") * 3).alias("b")
+    )
+    for name, df in [("bkt_left", left), ("bkt_right", right)]:
+        df.write.bucketBy(8, "k").sortBy("k").mode("overwrite").saveAsTable(name)
+    # hint forces SMJ (these tiny tables would broadcast otherwise);
+    # the property under test is bucket co-location removing the Exchange
+    joined = spark.table("bkt_left").hint("merge").join(
+        spark.table("bkt_right"), "k"
+    )
+    plan = _plan(joined)
+    assert "SortMergeJoin" in plan
+    assert "Exchange hashpartitioning" not in plan
+    assert joined.count() == 1000
+
+
+def test_partition_pruning_reaches_scan(spark, tmp_path):
+    """write.partitionBy + filter on the partition column → the scan
+    lists only matching directories (PartitionFilters, not a full scan)."""
+    path = str(tmp_path / "events_parted")
+    df = spark.range(0, 300).select(
+        F.col("id"),
+        F.concat(F.lit("p"), (F.col("id") % 3).cast("string")).alias("part"),
+    )
+    df.write.partitionBy("part").mode("overwrite").parquet(path)
+    rd = spark.read.parquet(path).filter(F.col("part") == "p1")
+    plan = _plan(rd)
+    assert "PartitionFilters" in plan and "p1" in plan
+    assert rd.count() == 100
+    # Input partitions actually pruned: only one of three dirs read.
+    scanned = rd.select("id").rdd.getNumPartitions()
+    full = spark.read.parquet(path).select("id").rdd.getNumPartitions()
+    assert scanned <= full

@@ -203,3 +203,56 @@ def test_stateful_running_totals_across_batches(spark, tmp_path):
         n, c = expect.get(uid, (0, 0))
         expect[uid] = (n + 1, c + round(val * 100))
     assert got == expect
+
+
+def test_stream_stream_interval_join_matches_batch(spark, tmp_path):
+    """Stream-stream attribution join emits exactly the pairs a batch
+    interval join produces (per-user clicks within 30 min before a
+    purchase)."""
+    from durable_functions_cosmosdb_etl_spark.streaming.joins import (
+        streaming_click_attribution,
+    )
+
+    schema = T.StructType(
+        [
+            T.StructField("event_id", T.LongType()),
+            T.StructField("ts", T.TimestampType()),
+            T.StructField("user_id", T.LongType()),
+            T.StructField("event_type", T.StringType()),
+        ]
+    )
+    base = datetime(2026, 1, 15, 10, 0, 0)
+    clicks = [
+        (1, base, 1, "click"),
+        (2, base + timedelta(minutes=10), 1, "click"),
+        (3, base + timedelta(minutes=50), 1, "click"),
+        (4, base + timedelta(minutes=5), 2, "click"),
+        (9, base + timedelta(hours=3), 9, "click"),  # advances watermark
+    ]
+    purchases = [
+        (100, base + timedelta(minutes=20), 1, "purchase"),  # joins 1,2
+        (101, base + timedelta(minutes=55), 1, "purchase"),  # joins 3
+        (102, base + timedelta(minutes=45), 2, "purchase"),  # joins 4
+        (103, base + timedelta(minutes=30), 3, "purchase"),  # none
+        (109, base + timedelta(hours=3), 9, "purchase"),
+    ]
+    cdir, pdir = str(tmp_path / "clicks"), str(tmp_path / "purch")
+    spark.createDataFrame(clicks, schema).write.parquet(cdir)
+    spark.createDataFrame(purchases, schema).write.parquet(pdir)
+
+    q = streaming_click_attribution(spark, cdir, pdir, schema, query_name="attr")
+    q.awaitTermination()
+    got = {
+        (r.purchase_id, r.click_id)
+        for r in spark.sql("SELECT * FROM attr").collect()
+    }
+    cdf = spark.createDataFrame(clicks, schema)
+    pdf = spark.createDataFrame(purchases, schema)
+    expect = {
+        (p.event_id, c.event_id)
+        for p in pdf.collect()
+        for c in cdf.collect()
+        if p.user_id == c.user_id
+        and p.ts - timedelta(minutes=30) <= c.ts <= p.ts
+    }
+    assert got == expect and (100, 1) in got and (100, 2) in got
