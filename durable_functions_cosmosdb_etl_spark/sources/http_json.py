@@ -54,7 +54,10 @@ def extract_json(url: str, timeout: float = 30.0) -> list[dict] | None:
     try:
         req = Request(url, headers={"Accept": "application/json"})  # :141
         with urlopen(req, timeout=timeout) as resp:
-            if resp.status != 200:  # IsSuccessStatusCode check, :144
+            # IsSuccessStatusCode check (:144); non-HTTP schemes
+            # (file:// in tests) report status None → success
+            status = getattr(resp, "status", None)
+            if status is not None and status != 200:
                 return None
             payload = json.loads(resp.read().decode("utf-8"))
     except (URLError, OSError, ValueError):

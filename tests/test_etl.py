@@ -103,3 +103,72 @@ def test_batch_etl_failure_audits_and_reraises(spark, tmp_path):
     audit = spark.read.parquet(f"{work}/orchestration_runs").collect()
     assert len(audit) == 1 and audit[0].succeeded is False
     assert audit[0].additional_info.startswith("Error:")
+
+
+def test_lease_acquire_release_timeout(tmp_path):
+    """Reference lease semantics (EtlProcess.cs:87-103,280-316): free →
+    acquire; held+live → skip; held+timed-out → steal; release only by
+    owner."""
+    from datetime import datetime, timedelta
+
+    from durable_functions_cosmosdb_etl_spark.operators.lease import (
+        acquire_lease,
+        release_lease,
+    )
+
+    lease = str(tmp_path / "lease.json")
+    t0 = datetime(2026, 1, 15, 10, 0, 0)
+    assert acquire_lease(lease, "w1", now=t0)
+    # live lease: second worker skips (within 5-min timeout)
+    assert not acquire_lease(lease, "w2", now=t0 + timedelta(minutes=3))
+    # released by non-owner: no-op, still held
+    release_lease(lease, "w2", now=t0 + timedelta(minutes=3))
+    assert not acquire_lease(lease, "w2", now=t0 + timedelta(minutes=4))
+    # owner releases → acquirable
+    release_lease(lease, "w1", now=t0 + timedelta(minutes=4))
+    assert acquire_lease(lease, "w2", now=t0 + timedelta(minutes=4))
+    # timed out (>5 min): stolen by w3
+    assert acquire_lease(lease, "w3", now=t0 + timedelta(minutes=10))
+
+
+def test_http_extract_file_url_and_failure(spark, tmp_path):
+    """extract_json parses the reference's JSON shape (C# property
+    names, EtlProcess.cs:229-242) and returns None on failure."""
+    import json as _json
+
+    from durable_functions_cosmosdb_etl_spark.sources.http_json import (
+        extract_json,
+        extract_json_to_df,
+    )
+
+    docs = [
+        {
+            "id": "abc",
+            "Date": "01/15/2026 10:00:00",
+            "Desc": "Sample item #1 of 2",
+            "Done": "true",
+            "Name": "Item_202601_1",
+            "Pr": "Normal",
+            "LogicalPartition": "Partition_A",
+        },
+        # partial doc: id + partition key are required (non-null in
+        # SAMPLE_ITEM_SCHEMA), the rest null-pads
+        {"id": "def", "Desc": None, "LogicalPartition": "Partition_B"},
+    ]
+    p = tmp_path / "payload.json"
+    p.write_text(_json.dumps(docs))
+    url = p.as_uri()
+    got = extract_json(url)
+    assert got is not None and len(got) == 2
+    assert got[0]["logical_partition"] == "Partition_A"  # rename applied
+    assert got[1]["name"] is None  # missing fields null-padded
+    df = extract_json_to_df(spark, url)
+    assert df.count() == 2 and "logical_partition" in df.columns
+    # failure paths → None (EtlProcess.cs:153,159)
+    assert extract_json((tmp_path / "missing.json").as_uri()) is None
+    bad = tmp_path / "bad.json"
+    bad.write_text("{not json")
+    assert extract_json(bad.as_uri()) is None
+    notlist = tmp_path / "obj.json"
+    notlist.write_text('{"a": 1}')
+    assert extract_json(notlist.as_uri()) is None

@@ -1,0 +1,133 @@
+"""Property-based tests (hypothesis) — SURVEY.md §5.3.
+
+Each Spark operator is checked against an independent pure-Python
+reference implementation on randomized inputs. Example counts are kept
+small (Spark round-trip per example); the properties, not the volume,
+carry the weight.
+"""
+
+from __future__ import annotations
+
+from hypothesis import given, settings, strategies as st
+from pyspark.sql import functions as F
+
+WORD = st.text(alphabet="abcdefg", min_size=1, max_size=4)
+SPARK_SETTINGS = dict(max_examples=8, deadline=None)
+
+
+def _py_shingles(ws: list[str], n: int) -> list[str]:
+    if len(ws) < n:
+        return []
+    seen, out = set(), []
+    for i in range(len(ws) - n + 1):
+        g = " ".join(ws[i : i + n])
+        if g not in seen:
+            seen.add(g)
+            out.append(g)
+    return out
+
+
+@given(st.lists(WORD, min_size=0, max_size=12), st.integers(2, 4))
+@settings(**SPARK_SETTINGS)
+def test_shingles_match_python_reference(spark, ws, n):
+    from durable_functions_cosmosdb_etl_spark.operators.text import (
+        shingles_from_words,
+    )
+
+    df = spark.createDataFrame([(ws,)], "w array<string>")
+    got = df.select(shingles_from_words(F.col("w"), n).alias("sh")).first().sh
+    assert got == _py_shingles(ws, n)
+
+
+@given(
+    st.lists(
+        st.tuples(
+            st.text(alphabet="ab ", max_size=6),  # desc: may be blank/empty
+            st.text(alphabet="xy ", max_size=6),  # name
+        ),
+        min_size=1,
+        max_size=8,
+    )
+)
+@settings(**SPARK_SETTINGS)
+def test_transform_blank_coalesce_invariants(spark, rows):
+    """Transform invariants (EtlProcess.cs:251-252 semantics): row count
+    preserved; description/name never null/blank in the output; blank
+    inputs get the documented default message carrying the row id."""
+    from durable_functions_cosmosdb_etl_spark.operators.transform import (
+        transform_items,
+    )
+
+    items = [
+        (f"id{i}", "01/01/2026", d, "true", nm, "Normal", "Partition_A")
+        for i, (d, nm) in enumerate(rows)
+    ]
+    df = spark.createDataFrame(
+        items, "id string, date string, desc string, done string, "
+        "name string, pr string, logical_partition string"
+    )
+    out = transform_items(df, batch_id="b1").collect()
+    assert len(out) == len(rows)
+    for r in out:
+        assert r.description and r.description.strip()
+        assert r.name and r.name.strip()
+        assert r.transform_batch == "b1"
+    by_id = {r.id: r for r in out}
+    for i, (d, nm) in enumerate(rows):
+        r = by_id[f"id{i}"]
+        if not d.strip():
+            assert r.description == f"Empty Description in source for item id{i}"
+        else:
+            assert r.description == d
+        if not nm.strip():
+            assert f"id{i}" in r.name
+        else:
+            assert r.name == nm
+
+
+@given(
+    st.lists(st.tuples(st.integers(0, 5), st.integers(0, 100)), max_size=30),
+    st.lists(st.tuples(st.integers(0, 5), st.integers(0, 100)), max_size=10),
+    st.integers(2, 6),
+)
+@settings(**SPARK_SETTINGS)
+def test_salted_join_equivalence_random(spark, big_rows, small_rows, n_salts):
+    from durable_functions_cosmosdb_etl_spark.operators.skew import salted_join
+
+    big = spark.createDataFrame(
+        big_rows or [(99, 0)], "k bigint, v bigint"
+    )
+    small = spark.createDataFrame(
+        small_rows or [(98, 0)], "k bigint, d bigint"
+    )
+    plain = sorted(
+        (r.k, r.v, r.d) for r in big.join(small, ["k"]).collect()
+    )
+    salted = sorted(
+        (r.k, r.v, r.d)
+        for r in salted_join(big, small, ["k"], n_salts=n_salts).collect()
+    )
+    assert salted == plain
+
+
+@given(st.lists(WORD, min_size=0, max_size=10))
+@settings(**SPARK_SETTINGS)
+def test_fingerprint_matches_documented_formula(spark, ws):
+    from durable_functions_cosmosdb_etl_spark.operators.text import fingerprint
+
+    text = " ".join(ws)
+    df = spark.createDataFrame([(text,)], "t string")
+    got = df.select(fingerprint(F.col("t")).alias("fp")).first().fp
+    # words() on empty/whitespace text yields [""]: ascii("")=0, len=0
+    if text.strip():
+        words = text.strip().split()
+    else:
+        words = [""]
+    expect = (
+        sum(
+            (i + 1) * (100 * len(w) + (ord(w[0]) if w else 0))
+            for i, w in enumerate(words)
+        )
+        % 1_000_000_007
+    )
+    assert got == expect
