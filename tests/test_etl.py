@@ -172,3 +172,37 @@ def test_http_extract_file_url_and_failure(spark, tmp_path):
     notlist = tmp_path / "obj.json"
     notlist.write_text('{"a": 1}')
     assert extract_json(notlist.as_uri()) is None
+
+
+def test_python_datasource_sharded_generation(spark):
+    """Custom Python DataSource: sharded parallel generation with the
+    reference generator's row shape, deterministic across reads."""
+    from durable_functions_cosmosdb_etl_spark.sources.python_datasource import (
+        SampleItemDataSource,
+    )
+
+    spark.dataSource.register(SampleItemDataSource)
+    df = (
+        spark.read.format("sample_items")
+        .option("count", 100)
+        .option("shards", 8)
+        .option("clock", "2026-01-15T10:00:00")
+        .load()
+    )
+    assert df.rdd.getNumPartitions() == 8  # one task per shard
+    rows = df.collect()
+    assert len(rows) == 100
+    parts = {r.logical_partition for r in rows}
+    assert parts == {"Partition_A", "Partition_B", "Partition_C"}
+    assert all(r.done == "true" for r in rows)
+    assert len({r.id for r in rows}) == 100  # unique ids
+    # deterministic: second read is identical
+    again = (
+        spark.read.format("sample_items")
+        .option("count", 100)
+        .option("shards", 8)
+        .option("clock", "2026-01-15T10:00:00")
+        .load()
+        .collect()
+    )
+    assert sorted(map(tuple, rows)) == sorted(map(tuple, again))
