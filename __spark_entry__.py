@@ -22,6 +22,7 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 from durable_functions_cosmosdb_etl_spark.plans import registry  # noqa: E402
 from durable_functions_cosmosdb_etl_spark.plans import (  # noqa: F401,E402
     llm_ops,
+    pipelines,
     relational,
     relational_ext,
     streaming_windows,

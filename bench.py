@@ -34,6 +34,7 @@ HEADLINE = [
     "text_token_stats",
     "dedup_minhash",
     "similarity_topk",
+    "pipeline_llm_prep",
 ]
 
 

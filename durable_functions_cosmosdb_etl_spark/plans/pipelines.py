@@ -1,0 +1,174 @@
+"""Composite pipeline queries: multi-stage dataflows as single plans.
+
+The point of an engine is composition: quality-gate → language filter →
+exact dedup → context-window chunking → per-chunk stats, fused into ONE
+Catalyst plan (no materialization between stages — filters reach the
+scan, the dedup aggregate is the only wide stage before chunk
+explosion). The chunking here is the *native* formulation (slice over a
+materialized word array); plans/udx.py's UDTF is the imperative
+equivalent for logic that outgrows expressions.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..operators import text as tx
+from ..sources.tables import load_table, register_views
+from .registry import query
+
+CHUNK = 20
+
+
+@query(
+    "pipeline_llm_prep",
+    oracle=rf"""
+    WITH scored AS (
+        SELECT doc_id, text, lang,
+               CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT)
+                   AS n_words,
+               CAST(len(regexp_extract_all(lower(text),
+                    '\b(the|and|of|to|is|in)\b')) AS BIGINT) AS stop_hits
+        FROM documents),
+    gated AS (
+        SELECT * FROM scored
+        WHERE lang = 'en' AND n_words >= 30
+          AND CAST(stop_hits AS DOUBLE) / n_words >= 0.02),
+    deduped AS (
+        SELECT min(doc_id) AS doc_id, text,
+               string_split_regex(trim(text), '\s+') AS w
+        FROM gated GROUP BY text),
+    chunks AS (
+        SELECT doc_id,
+               unnest(list_transform(
+                   range(CAST(ceil(len(w) / {CHUNK}.0) AS BIGINT)),
+                   i -> {{'idx': i,
+                          'chunk': array_to_string(
+                              w[i*{CHUNK}+1 : (i+1)*{CHUNK}], ' ')}})) AS r
+        FROM deduped)
+    SELECT doc_id, r['idx'] AS chunk_idx, r['chunk'] AS chunk,
+           CAST(len(string_split_regex(r['chunk'], '\s+')) AS BIGINT)
+               AS chunk_words
+    FROM chunks
+    """,
+)
+def pipeline_llm_prep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LLM training-data prep as one fused plan:
+
+    quality gate (≥30 words, stopword ratio ≥ 0.02, lang = 'en') →
+    exact dedup (min-id keeper per text) → 20-word context chunks →
+    per-chunk word counts.
+
+    Plan shape: scan-side filters (pushable predicates + cheap scalar
+    gates) → ONE hash aggregate on text (the dedup) → narrow explode.
+    At 100 TB the dedup aggregate keys on the full text; production
+    would key on md5(text) to shrink shuffle keys (identical semantics,
+    see operators/dedup.exact_dedup_groups).
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    t = F.col("text")
+    gated = docs.filter(
+        (F.col("lang") == "en")
+        & (tx.word_count(t) >= 30)
+        & (
+            tx.marker_score(t, "en").cast("double") / tx.word_count(t)
+            >= 0.02
+        )
+    )
+    deduped = (
+        gated.groupBy("text")
+        .agg(F.min("doc_id").alias("doc_id"))
+        .select("doc_id", tx.words(F.col("text")).alias("w"))
+    )
+    n_chunks = F.ceil(F.size("w") / float(CHUNK)).cast("int")
+    chunks = deduped.select(
+        "doc_id",
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(0), n_chunks - 1),
+                lambda i: F.array_join(
+                    F.slice("w", i * CHUNK + 1, CHUNK), " "
+                ),
+            )
+        ).alias("chunk_idx", "chunk"),
+    )
+    return chunks.select(
+        "doc_id",
+        F.col("chunk_idx").cast("long").alias("chunk_idx"),
+        "chunk",
+        F.size(F.split("chunk", r"\s+")).cast("long").alias("chunk_words"),
+    )
+
+
+@query(
+    "scalar_regex",
+    oracle=r"""
+    SELECT doc_id,
+           regexp_extract(text, '([a-z]+)', 1)                  AS first_word,
+           CAST(len(regexp_extract_all(text, 'ta[a-z]+')) AS BIGINT)
+                                                                AS n_ta,
+           regexp_matches(text, 'join.*join')                   AS double_join,
+           length(regexp_replace(text, '[aeiou]', '', 'g'))     AS novowel_len
+    FROM documents
+    """,
+)
+def scalar_regex(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Regex scalar functions: extract / extract-all count / rlike /
+    global replace. Simple character-class + literal patterns only, so
+    Java regex (Spark) and RE2 (DuckDB) agree by construction.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    t = F.col("text")
+    return d.select(
+        "doc_id",
+        F.regexp_extract(t, r"([a-z]+)", 1).alias("first_word"),
+        F.size(F.regexp_extract_all(t, F.lit(r"ta[a-z]+"), 0))
+        .cast("long")
+        .alias("n_ta"),
+        t.rlike("join.*join").alias("double_join"),
+        F.length(F.regexp_replace(t, "[aeiou]", "")).alias("novowel_len"),
+    )
+
+
+@query(
+    "sql_cte_window",
+    oracle="""
+    WITH monthly AS (
+        SELECT o_custkey,
+               CAST(date_trunc('month', o_orderdate) AS TIMESTAMP) AS month,
+               CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS DOUBLE)
+                   / 100.0 AS spend
+        FROM orders GROUP BY o_custkey, date_trunc('month', o_orderdate)),
+    ranked AS (
+        SELECT o_custkey, month, spend,
+               row_number() OVER (PARTITION BY month
+                                  ORDER BY spend DESC, o_custkey) AS rnk
+        FROM monthly)
+    SELECT o_custkey, month, spend, rnk FROM ranked WHERE rnk <= 5
+    """,
+)
+def sql_cte_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full SQL front door: chained CTEs + aggregate + ranking window
+    (top-5 spenders per month), exactly as a SQL user would write it.
+    """
+    register_views(spark, sf_dir, ("orders",))
+    return spark.sql(
+        """
+        WITH monthly AS (
+            SELECT o_custkey,
+                   date_trunc('month', CAST(o_orderdate AS TIMESTAMP))
+                       AS month,
+                   CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT))
+                        AS DOUBLE) / 100.0 AS spend
+            FROM orders
+            GROUP BY o_custkey, date_trunc('month',
+                                           CAST(o_orderdate AS TIMESTAMP))),
+        ranked AS (
+            SELECT o_custkey, month, spend,
+                   row_number() OVER (PARTITION BY month
+                                      ORDER BY spend DESC, o_custkey) AS rnk
+            FROM monthly)
+        SELECT o_custkey, month, spend, rnk FROM ranked WHERE rnk <= 5
+        """
+    )
