@@ -256,3 +256,68 @@ def test_stream_stream_interval_join_matches_batch(spark, tmp_path):
         and p.ts - timedelta(minutes=30) <= c.ts <= p.ts
     }
     assert got == expect and (100, 1) in got and (100, 2) in got
+
+
+def test_streaming_session_window(spark, tmp_path):
+    """Event-time session windows in streaming mode: gaps > 15 min split
+    sessions; windows emit once the watermark passes."""
+    events_dir = str(tmp_path / "events")
+    out_dir = str(tmp_path / "sess_out")
+    ckpt = str(tmp_path / "ckpt")
+    base = datetime(2026, 1, 1, 12, 0, 0)
+    # user A: two bursts separated by 40 min → 2 sessions (3 + 2 events);
+    # closer: a late event far ahead advances the watermark.
+    rows = (
+        [(i, base + timedelta(minutes=i), "s") for i in range(3)]
+        + [(10 + i, base + timedelta(minutes=42 + i), "s") for i in range(2)]
+        + [(99, base + timedelta(hours=6), "s")]
+    )
+    spark.createDataFrame(rows, EVENTS_SCHEMA).coalesce(1).write.parquet(
+        events_dir
+    )
+    src = (
+        spark.readStream.schema(EVENTS_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(events_dir)
+    )
+    agg = (
+        src.withWatermark("ts", "10 minutes")
+        .groupBy(F.session_window("ts", "15 minutes").alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(F.col("w.start").alias("start"), "n")
+    )
+    q = (
+        agg.writeStream.outputMode("append")
+        .format("parquet")
+        .option("path", out_dir)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = {(r.start, r.n) for r in spark.read.parquet(out_dir).collect()}
+    assert (base, 3) in got
+    assert (base + timedelta(minutes=42), 2) in got
+
+
+def test_json_source_schema_on_read(spark, tmp_path):
+    """spark.read.schema(...).json — the schema-on-read path the
+    reference uses per document (EtlProcess.cs:199), as a source scan."""
+    import json as _json
+
+    p = tmp_path / "docs.jsonl"
+    docs = [
+        {"id": "a", "desc": "x", "done": "true",
+         "logical_partition": "Partition_A"},
+        {"id": "b", "extra_unknown_field": 1,
+         "logical_partition": "Partition_B"},
+    ]
+    p.write_text("\n".join(_json.dumps(d) for d in docs))
+    from durable_functions_cosmosdb_etl_spark.schemas import SAMPLE_ITEM_SCHEMA
+
+    df = spark.read.schema(SAMPLE_ITEM_SCHEMA).json(str(p))
+    rows = {r.id: r for r in df.collect()}
+    assert set(rows) == {"a", "b"}
+    assert rows["a"].desc == "x"
+    assert rows["b"].desc is None  # missing → null (schema-on-read)
+    assert "extra_unknown_field" not in df.columns  # pruned by schema
