@@ -288,6 +288,16 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dd.simhash_pairs(_docs(spark, sf_dir), max_hamming=8)
 
 
+@query("dedup_minhash_ml")  # library-randomized hashes → rows-only check
+def dedup_minhash_ml(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """pyspark.ml MinHashLSH.approxSimilarityJoin variant — the built-in
+    library path beside the native banding in dedup_minhash; tests gate
+    recall ≥0.9 vs exact Jaccard."""
+    from ..operators.ml_lsh import ml_minhash_pairs
+
+    return ml_minhash_pairs(_docs(spark, sf_dir), threshold=0.5)
+
+
 @query(
     "dedup_embedding",
     oracle="""
@@ -375,6 +385,19 @@ def similarity_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
         k=10,
         n_centroids=10,
         nprobe=3,
+    )
+
+
+@query("similarity_brp_lsh")  # approximate by construction → rows-only
+def similarity_brp_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BucketedRandomProjectionLSH approximate top-10 — pyspark.ml's
+    built-in ANN join beside the native IVF; tests gate mean recall@10
+    ≥0.8 vs brute force."""
+    from ..operators.ml_lsh import ml_brp_lsh_neighbors
+
+    em = _emb(spark, sf_dir)
+    return ml_brp_lsh_neighbors(
+        em.filter(F.col("vec_id") >= 5), em.filter(F.col("vec_id") < 5), k=10
     )
 
 

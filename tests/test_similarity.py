@@ -52,3 +52,33 @@ def test_cosine_pairs_threshold(spark, sf_dir):
     pairs = sim.cosine_pairs(em, threshold=0.3).collect()
     for r in pairs:
         assert r.vec_id_a < r.vec_id_b
+
+
+def test_ml_brp_lsh_recall_vs_brute_force(spark, sf_dir):
+    from durable_functions_cosmosdb_etl_spark.operators.ml_lsh import (
+        ml_brp_lsh_neighbors,
+    )
+    from durable_functions_cosmosdb_etl_spark.operators.similarity import (
+        brute_force_topk,
+    )
+    from durable_functions_cosmosdb_etl_spark.sources.tables import load_table
+    from pyspark.sql import functions as F
+
+    em = load_table(spark, sf_dir, "embeddings")
+    corpus, queries = em.filter(F.col("vec_id") >= 5), em.filter(
+        F.col("vec_id") < 5
+    )
+    exact = brute_force_topk(corpus, queries, k=10).collect()
+    approx = ml_brp_lsh_neighbors(corpus, queries, k=10).collect()
+    exact_sets = {}
+    for r in exact:
+        exact_sets.setdefault(r.query_id, set()).add(r.neighbor_id)
+    approx_sets = {}
+    for r in approx:
+        approx_sets.setdefault(r.query_id, set()).add(r.neighbor_id)
+    assert set(approx_sets) == set(exact_sets)
+    recalls = [
+        len(approx_sets[q] & exact_sets[q]) / len(exact_sets[q])
+        for q in exact_sets
+    ]
+    assert sum(recalls) / len(recalls) >= 0.8
