@@ -21,6 +21,7 @@ import uuid
 from datetime import datetime
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 from .operators.load import assign_surrogate_keys, save_documents
 from .operators.transform import transform_items
@@ -64,7 +65,15 @@ def run_batch_etl(
             return spark.createDataFrame([], "id string")
 
         keyed = assign_surrogate_keys(items, deterministic=deterministic)
+        # Row counts ride the write via observe() — the reference logs
+        # "{count} documents..." (EtlProcess.cs:170-177) but a .count()
+        # here would be a second full scan of the source.
+        from pyspark.sql import Observation
+
+        obs = Observation("load_metrics")
+        keyed = keyed.observe(obs, F.count(F.lit(1)).alias("n_loaded"))
         save_documents(keyed, staging)
+        n_loaded = obs.get.get("n_loaded", 0)
 
         out = transform_items(
             spark.read.option("basePath", staging).parquet(staging),
@@ -74,7 +83,8 @@ def run_batch_etl(
         upsert_batch(out, transformed, batch)
         audit_run(
             spark, audit, start, clock or datetime.now(), True,
-            "Documents extracted and saved for processing.",  # EtlProcess.cs:71
+            # message analog of EtlProcess.cs:71 + the :177 count log
+            f"{n_loaded} documents extracted and saved for processing.",
         )
         return out
     except Exception as exc:  # compensation path, EtlProcess.cs:79-85
