@@ -102,6 +102,50 @@ def pipeline_llm_prep(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "sample_systematic",
+    oracle="""
+    WITH r AS (SELECT doc_id, source, lang, n_chars,
+                      row_number() OVER (PARTITION BY source
+                                         ORDER BY doc_id) AS rn
+               FROM documents)
+    SELECT doc_id, source, lang, n_chars FROM r WHERE rn % 10 = 1
+    """,
+)
+def sample_systematic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic systematic sampling: every 10th document per source
+    stratum in doc_id order — the reproducible downsampling you want
+    when a training-data mix must be auditable (vs df.sample's
+    seed-and-partition-dependent Bernoulli draw, exposed as
+    sample_stratified). One window per stratum, no shuffle beyond its
+    partitioning.
+    """
+    from pyspark.sql import Window
+
+    d = load_table(spark, sf_dir, "documents")
+    rn = F.row_number().over(
+        Window.partitionBy("source").orderBy("doc_id")
+    )
+    return (
+        d.withColumn("rn", rn)
+        .filter(F.pmod(F.col("rn"), F.lit(10)) == 1)
+        .select("doc_id", "source", "lang", "n_chars")
+    )
+
+
+@query("sample_stratified")  # seeded RNG is engine-specific → rows-only
+def sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stratified Bernoulli sampling with per-language fractions
+    (df.sampleBy) — the mixture-weighting step of a training-data
+    pipeline. Spark's seeded draw is partition-layout-specific, so the
+    driver records rows-only; tests assert per-stratum proportions.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    return d.sampleBy(
+        "lang", {"en": 0.5, "es": 0.25, "de": 0.25, "zh": 0.1}, seed=42
+    ).select("doc_id", "lang")
+
+
+@query(
     "scalar_regex",
     oracle=r"""
     SELECT doc_id,

@@ -52,3 +52,31 @@ def test_quality_score_ranges(spark, sf_dir):
         F.min("q"), F.max("q")
     ).first()
     assert stats[0] >= 0.0 and stats[1] <= 1.5
+
+
+def test_stratified_sample_proportions(spark):
+    """sampleBy draws ≈ the requested fraction per stratum (±40% rel at
+    sf0.01 counts)."""
+    from pyspark.sql import functions as FF
+
+    from durable_functions_cosmosdb_etl_spark.sources.tables import load_table
+
+    d = load_table(spark, "/root/testdata/sf0.01", "documents")
+    fractions = {"en": 0.5, "es": 0.25, "de": 0.25, "zh": 0.1}
+    sampled = d.sampleBy("lang", fractions, seed=42)
+    totals = {r.lang: r.n for r in d.groupBy("lang").agg(
+        FF.count("*").alias("n")
+    ).collect()}
+    got = {r.lang: r.n for r in sampled.groupBy("lang").agg(
+        FF.count("*").alias("n")
+    ).collect()}
+    for lang, frac in fractions.items():
+        if totals.get(lang, 0) >= 40:
+            ratio = got.get(lang, 0) / totals[lang]
+            assert abs(ratio - frac) <= 0.4 * frac + 0.05, (lang, ratio, frac)
+    # deterministic for a fixed seed + layout
+    again = {r.lang: r.n for r in d.sampleBy("lang", fractions, seed=42)
+             .groupBy("lang").agg(
+        FF.count("*").alias("n")
+    ).collect()}
+    assert got == again
