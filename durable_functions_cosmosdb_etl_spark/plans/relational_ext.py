@@ -334,6 +334,42 @@ def map_fns(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "scalar_try",
+    oracle="""
+    SELECT event_id,
+           TRY_CAST(event_type AS INTEGER)        AS bad_cast,
+           TRY_CAST(CAST(round(value * 100) AS BIGINT) AS INTEGER)
+                                                  AS cents_int,
+           CASE WHEN event_id % 3 = 0 THEN NULL
+                ELSE CAST(round(value / (event_id % 3) * 1000000) AS BIGINT)
+                     / 1000000.0 END              AS safe_div,
+           event_type IS NOT DISTINCT FROM 'click' AS is_click
+    FROM events
+    """,
+)
+def scalar_try(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Error-safe scalar semantics under ANSI mode (Spark 4 default):
+    try_cast (bad casts → NULL instead of runtime error), try_divide
+    (÷0 → NULL), and null-safe equality (<=>), the data-cleaning trio
+    for ingesting untrusted records without job-killing exceptions.
+    """
+    ev = _t(spark, sf_dir, "events")
+    div = F.try_divide(F.col("value"), F.pmod("event_id", F.lit(3)))
+    return ev.select(
+        "event_id",
+        F.col("event_type").try_cast("int").alias("bad_cast"),
+        F.round(F.col("value") * 100, 0)
+        .cast("long")
+        .cast("int")
+        .alias("cents_int"),
+        (F.round(div * 1000000, 0).cast("long") / F.lit(1000000.0)).alias(
+            "safe_div"
+        ),
+        F.col("event_type").eqNullSafe(F.lit("click")).alias("is_click"),
+    )
+
+
+@query(
     "union_by_name",
     oracle="""
     SELECT c_name AS name, c_acctbal AS acctbal, 'customer' AS src,
