@@ -334,6 +334,33 @@ def map_fns(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "agg_collect",
+    oracle="""
+    SELECT o_orderstatus,
+           list_sort(list_distinct(list(o_orderpriority)))   AS priorities,
+           list_aggregate(list_sort(list_distinct(list(o_orderpriority))),
+                          'string_agg', '|')                 AS priorities_csv,
+           CAST(len(list_distinct(list(o_orderpriority))) AS BIGINT)
+                                                             AS n_priorities
+    FROM orders GROUP BY o_orderstatus
+    """,
+)
+def agg_collect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Collection aggregates: collect_set → sorted array, ordered string
+    aggregation, distinct count. Sorting the collected set makes the
+    result partition-order-independent — the only way collect_* can be
+    deterministic (and oracle-comparable) on a distributed engine.
+    """
+    o = _t(spark, sf_dir, "orders")
+    arr = F.array_sort(F.collect_set("o_orderpriority"))
+    return o.groupBy("o_orderstatus").agg(
+        arr.alias("priorities"),
+        F.array_join(arr, "|").alias("priorities_csv"),
+        F.size(arr).cast("long").alias("n_priorities"),
+    )
+
+
+@query(
     "scalar_try",
     oracle="""
     SELECT event_id,

@@ -90,3 +90,16 @@ def test_partition_pruning_reaches_scan(spark, tmp_path):
     scanned = rd.select("id").rdd.getNumPartitions()
     full = spark.read.parquet(path).select("id").rdd.getNumPartitions()
     assert scanned <= full
+
+
+def test_fan_out_repartitions_only_when_under(spark):
+    from durable_functions_cosmosdb_etl_spark.operators.dedup import fan_out
+
+    one = spark.range(0, 100).coalesce(1)
+    assert one.rdd.getNumPartitions() == 1
+    target = spark.sparkContext.defaultParallelism
+    assert fan_out(one).rdd.getNumPartitions() == target
+    assert fan_out(one, 4).rdd.getNumPartitions() == 4
+    many = spark.range(0, 100, 1, target + 4)
+    # already ≥ target: untouched (no shuffle added)
+    assert fan_out(many).rdd.getNumPartitions() == target + 4
