@@ -299,6 +299,44 @@ def dedup_minhash_ml(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "dedup_components",
+    oracle=rf"""
+    WITH RECURSIVE d AS (SELECT doc_id, {_WORDS} AS w FROM documents),
+    s AS (SELECT doc_id, {_SH3} AS sh FROM d WHERE len(w) >= 3),
+    pairs AS (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+        FROM s a JOIN s b ON a.doc_id < b.doc_id
+        WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+                / (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh)))
+                >= 0.5),
+    e AS (SELECT doc_a AS src, doc_b AS dst FROM pairs
+          UNION ALL SELECT doc_b, doc_a FROM pairs),
+    nodes AS (SELECT DISTINCT src AS n FROM e),
+    r AS (
+        SELECT n AS doc, n AS lab FROM nodes
+        UNION
+        SELECT e.dst, r.lab FROM r JOIN e ON r.doc = e.src
+    )
+    SELECT doc, min(lab) AS component FROM r GROUP BY doc
+    """,
+)
+def dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup pairs → duplicate GROUPS via distributed connected
+    components (iterative min-label propagation; each round one
+    edge⋈label join + aggregate). Oracle: DuckDB recursive CTE computing
+    min reachable id. Restricted to nodes appearing in ≥1 pair (isolated
+    docs are trivially their own component).
+    """
+    pairs = dd.jaccard_pairs(_docs(spark, sf_dir), threshold=0.5)
+    nodes = (
+        pairs.select(F.col("doc_a").alias("doc"))
+        .union(pairs.select("doc_b"))
+        .distinct()
+    )
+    return dd.connected_components(pairs, nodes)
+
+
+@query(
     "dedup_embedding",
     oracle="""
     WITH n AS (
