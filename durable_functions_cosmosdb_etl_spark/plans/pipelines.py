@@ -132,6 +132,92 @@ def sample_systematic(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "pipeline_pack",
+    oracle=r"""
+    WITH t AS (
+        SELECT doc_id, source,
+               CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT)
+                   AS n_tokens
+        FROM documents),
+    c AS (SELECT doc_id, source, n_tokens,
+                 sum(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
+                                     ROWS UNBOUNDED PRECEDING) AS cum
+          FROM t)
+    SELECT doc_id, source, n_tokens,
+           CAST((cum - 1) // 2048 AS BIGINT) AS pack_id
+    FROM c
+    """,
+)
+def pipeline_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence packing: assign documents to ~2048-token training packs
+    by running token total per source stream (the distributed analog of
+    greedy concat-and-split packing; deterministic given the doc order).
+    One window per source — shuffle keyed on source only.
+    """
+    from pyspark.sql import Window
+
+    d = load_table(spark, sf_dir, "documents")
+    toks = F.size(F.split(F.trim("text"), r"\s+")).cast("long")
+    w = (
+        Window.partitionBy("source")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return (
+        d.select("doc_id", "source", toks.alias("n_tokens"))
+        .withColumn("cum", F.sum("n_tokens").over(w))
+        .select(
+            "doc_id",
+            "source",
+            "n_tokens",
+            ((F.col("cum") - 1) / 2048).cast("long").alias("pack_id"),
+        )
+    )
+
+
+@query(
+    "text_scrub",
+    oracle=r"""
+    SELECT doc_id,
+           regexp_replace(
+             regexp_replace(
+               regexp_replace(text,
+                 '[a-z0-9.]+@[a-z0-9.]+', '<EMAIL>', 'g'),
+               'https?://[^ ]+', '<URL>', 'g'),
+             '[0-9][0-9][0-9]-[0-9][0-9][0-9][0-9]', '<PHONE>', 'g')
+               AS scrubbed,
+           CAST(len(regexp_extract_all(text,
+                '[a-z0-9.]+@[a-z0-9.]+')) AS BIGINT) AS n_emails
+    FROM documents
+    """,
+)
+def text_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scrubbing: chained regexp_replace redaction (emails → URLs →
+    phone-shaped digits) + a redaction count. Pure scan-side expressions
+    (no shuffle); patterns restricted to syntax Java regex and RE2 parse
+    identically.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    t = F.col("text")
+    scrubbed = F.regexp_replace(
+        F.regexp_replace(
+            F.regexp_replace(t, r"[a-z0-9.]+@[a-z0-9.]+", "<EMAIL>"),
+            r"https?://[^ ]+",
+            "<URL>",
+        ),
+        r"[0-9][0-9][0-9]-[0-9][0-9][0-9][0-9]",
+        "<PHONE>",
+    )
+    return d.select(
+        "doc_id",
+        scrubbed.alias("scrubbed"),
+        F.size(F.regexp_extract_all(t, F.lit(r"[a-z0-9.]+@[a-z0-9.]+"), 0))
+        .cast("long")
+        .alias("n_emails"),
+    )
+
+
 @query("sample_stratified")  # seeded RNG is engine-specific → rows-only
 def sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Stratified Bernoulli sampling with per-language fractions
