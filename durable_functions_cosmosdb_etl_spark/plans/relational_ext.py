@@ -334,6 +334,58 @@ def map_fns(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "funnel_conversion",
+    oracle="""
+    WITH per_user AS (
+        SELECT user_id,
+               min(CASE WHEN event_type = 'view' THEN ts END)     AS first_view,
+               min(CASE WHEN event_type = 'click' THEN ts END)    AS first_click,
+               min(CASE WHEN event_type = 'purchase' THEN ts END) AS first_purchase
+        FROM events GROUP BY user_id)
+    SELECT count(*)                                               AS n_users,
+           sum(CASE WHEN first_view IS NOT NULL THEN 1 ELSE 0 END)
+                                                                  AS viewed,
+           sum(CASE WHEN first_click > first_view THEN 1 ELSE 0 END)
+                                                                  AS clicked_after_view,
+           sum(CASE WHEN first_purchase > first_click
+                     AND first_click > first_view THEN 1 ELSE 0 END)
+                                                                  AS full_funnel
+    FROM per_user
+    """,
+)
+def funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Event-funnel analytics: view → click → purchase ordered per user.
+
+    One conditional-min aggregate per user (single shuffle on user_id),
+    then a global roll-up of stage counts — the funnel pattern that
+    stays two-shuffle no matter how many events, because stage ordering
+    is resolved with conditional mins instead of self-joins.
+    """
+    ev = _t(spark, sf_dir, "events")
+
+    def first(t: str):
+        return F.min(F.when(F.col("event_type") == t, F.col("ts")))
+
+    per_user = ev.groupBy("user_id").agg(
+        first("view").alias("first_view"),
+        first("click").alias("first_click"),
+        first("purchase").alias("first_purchase"),
+    )
+    one_if = lambda c: F.sum(F.when(c, 1).otherwise(0))  # noqa: E731
+    return per_user.agg(
+        F.count(F.lit(1)).alias("n_users"),
+        one_if(F.col("first_view").isNotNull()).alias("viewed"),
+        one_if(F.col("first_click") > F.col("first_view")).alias(
+            "clicked_after_view"
+        ),
+        one_if(
+            (F.col("first_purchase") > F.col("first_click"))
+            & (F.col("first_click") > F.col("first_view"))
+        ).alias("full_funnel"),
+    )
+
+
+@query(
     "agg_collect",
     oracle="""
     SELECT o_orderstatus,
