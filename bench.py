@@ -35,6 +35,7 @@ HEADLINE = [
     "dedup_minhash",
     "similarity_topk",
     "pipeline_llm_prep",
+    "join_sixway_revenue",
 ]
 
 

@@ -334,6 +334,63 @@ def map_fns(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "join_sixway_revenue",
+    oracle="""
+    SELECT n_name,
+           CAST(sum(CAST(round(l_extendedprice * (1 - l_discount) * 1000000)
+                         AS BIGINT)) AS DOUBLE) / 1000000.0 AS revenue
+    FROM customer
+    JOIN orders   ON c_custkey = o_custkey
+    JOIN lineitem ON l_orderkey = o_orderkey
+    JOIN supplier ON l_suppkey = s_suppkey
+                 AND c_nationkey = s_nationkey
+    JOIN nation   ON s_nationkey = n_nationkey
+    JOIN region   ON n_regionkey = r_regionkey
+    WHERE r_name = 'ASIA'
+    GROUP BY n_name
+    """,
+)
+def join_sixway_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5 shape: six-table join (local-supplier revenue by nation
+    within one region). The canonical join-ordering workload: region →
+    nation prune supplier/customer via broadcasts BEFORE the fact-fact
+    lineitem⋈orders work; revenue in fixed-point for oracle parity.
+    """
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    l = _t(spark, sf_dir, "lineitem")  # noqa: E741
+    s = _t(spark, sf_dir, "supplier")
+    n = _t(spark, sf_dir, "nation")
+    r = _t(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    nr = F.broadcast(
+        n.join(r, n.n_regionkey == r.r_regionkey).select(
+            "n_nationkey", "n_name"
+        )
+    )
+    sn = F.broadcast(
+        s.join(nr, s.s_nationkey == nr.n_nationkey).select(
+            "s_suppkey", "s_nationkey", "n_name"
+        )
+    )
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    joined = (
+        l.join(sn, l.l_suppkey == sn.s_suppkey)
+        .join(o, l.l_orderkey == o.o_orderkey)
+        .join(
+            c,
+            (o.o_custkey == c.c_custkey)
+            & (sn.s_nationkey == c.c_nationkey),
+        )
+    )
+    return joined.groupBy("n_name").agg(
+        (
+            F.sum(F.round(rev * 1000000, 0).cast("long")).cast("double")
+            / F.lit(1000000.0)
+        ).alias("revenue")
+    )
+
+
+@query(
     "funnel_conversion",
     oracle="""
     WITH per_user AS (
