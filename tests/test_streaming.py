@@ -321,3 +321,61 @@ def test_json_source_schema_on_read(spark, tmp_path):
     assert rows["a"].desc == "x"
     assert rows["b"].desc is None  # missing → null (schema-on-read)
     assert "extra_unknown_field" not in df.columns  # pruned by schema
+
+
+def test_transform_with_state_running_totals(spark, tmp_path):
+    """Spark 4 transformWithStateInPandas: same running-totals semantics
+    as the applyInPandasWithState variant, on the new typed-state API
+    (RocksDB provider). Requires protobuf (the TWS state-server protocol)
+    — absent in this container, so the test self-skips there."""
+    import pytest
+
+    pytest.importorskip(
+        "google.protobuf.descriptor",
+        reason="transformWithState's state-server protocol needs protobuf",
+    )
+    from durable_functions_cosmosdb_etl_spark.streaming.stateful import (
+        streaming_running_totals_tws,
+    )
+
+    schema = T.StructType(
+        [
+            T.StructField("event_id", T.LongType()),
+            T.StructField("ts", T.TimestampType()),
+            T.StructField("user_id", T.LongType()),
+            T.StructField("value", T.DoubleType()),
+        ]
+    )
+    events_dir = str(tmp_path / "events")
+    out_dir = str(tmp_path / "totals")
+    ckpt = str(tmp_path / "ckpt")
+    base = datetime(2026, 1, 15, 10, 0, 0)
+    batch1 = [(i, base, i % 2, 2.0 * (i + 1)) for i in range(6)]
+    batch2 = [(50 + i, base, i % 2, 5.0) for i in range(4)]
+    spark.createDataFrame(batch1, schema).coalesce(1).write.mode(
+        "append"
+    ).parquet(events_dir)
+    q = streaming_running_totals_tws(spark, events_dir, out_dir, ckpt, schema)
+    q.awaitTermination()
+    spark.createDataFrame(batch2, schema).coalesce(1).write.mode(
+        "append"
+    ).parquet(events_dir)
+    q = streaming_running_totals_tws(spark, events_dir, out_dir, ckpt, schema)
+    q.awaitTermination()
+
+    spark.read.parquet(out_dir).createOrReplaceTempView("tws_log")
+    rows = spark.sql(
+        """
+        SELECT user_id, n_events, total_value_cents FROM (
+            SELECT *, row_number() OVER (
+                PARTITION BY user_id ORDER BY batch_id DESC, n_events DESC)
+                AS rn
+            FROM tws_log) WHERE rn = 1
+        """
+    ).collect()
+    got = {r.user_id: (r.n_events, r.total_value_cents) for r in rows}
+    expect = {}
+    for eid, _ts, uid, val in batch1 + batch2:
+        n, c = expect.get(uid, (0, 0))
+        expect[uid] = (n + 1, c + round(val * 100))
+    assert got == expect
