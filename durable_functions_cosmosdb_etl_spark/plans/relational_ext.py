@@ -334,6 +334,116 @@ def map_fns(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "retention_cohorts",
+    oracle="""
+    WITH act AS (
+        SELECT DISTINCT user_id,
+               CAST(date_trunc('week', ts) AS TIMESTAMP) AS week
+        FROM events),
+    cohort AS (
+        SELECT user_id, min(week) AS cohort_week FROM act GROUP BY user_id)
+    SELECT c.cohort_week, a.week, count(DISTINCT a.user_id) AS n_active
+    FROM act a JOIN cohort c USING (user_id)
+    GROUP BY c.cohort_week, a.week
+    """,
+)
+def retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort retention matrix: users bucketed by first-activity week,
+    counted in every week they return. Two aggregates + one equi-join on
+    user_id — no per-user driver logic; the activity dedup happens
+    before the join so the join input is |users × active-weeks|, not
+    |events|.
+    """
+    ev = _t(spark, sf_dir, "events")
+    act = (
+        ev.select(
+            "user_id",
+            F.date_trunc("week", F.col("ts").cast("timestamp")).alias("week"),
+        )
+        .distinct()
+    )
+    cohort = act.groupBy("user_id").agg(F.min("week").alias("cohort_week"))
+    return (
+        act.join(cohort, "user_id")
+        .groupBy("cohort_week", "week")
+        .agg(F.count_distinct("user_id").alias("n_active"))
+    )
+
+
+@query(
+    "agg_histogram",
+    oracle="""
+    SELECT greatest(0, least(12, CAST(floor(o_totalprice / 50000) AS BIGINT)))
+               AS bucket,
+           count(*) AS n,
+           CAST(round(min(o_totalprice) * 100) AS BIGINT) / 100.0 AS lo,
+           CAST(round(max(o_totalprice) * 100) AS BIGINT) / 100.0 AS hi
+    FROM orders GROUP BY 1
+    """,
+)
+def agg_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-width histogram of order totals (50k-wide buckets, clamped
+    to [0,12]) with per-bucket bounds — one hash aggregate; the binning
+    expression is plain integer arithmetic so any engine agrees.
+    """
+    o = _t(spark, sf_dir, "orders")
+    bucket = F.greatest(
+        F.lit(0),
+        F.least(F.lit(12), F.floor(F.col("o_totalprice") / 50000).cast("long")),
+    )
+    cents = lambda c: (F.round(c * 100, 0).cast("long") / F.lit(100.0))  # noqa: E731
+    return o.groupBy(bucket.alias("bucket")).agg(
+        F.count(F.lit(1)).alias("n"),
+        cents(F.min("o_totalprice")).alias("lo"),
+        cents(F.max("o_totalprice")).alias("hi"),
+    )
+
+
+@query(
+    "text_source_entropy",
+    oracle="""
+    WITH c AS (SELECT source, lang, count(*) AS n
+               FROM documents GROUP BY source, lang),
+    t AS (SELECT source, lang, n,
+                 CAST(n AS DOUBLE) / sum(n) OVER (PARTITION BY source) AS p
+          FROM c)
+    SELECT source,
+           CAST(round(sum(-p * ln(p)) * 1000000) AS BIGINT) / 1000000.0
+               AS lang_entropy,
+           CAST(count(*) AS BIGINT) AS n_langs
+    FROM t GROUP BY source
+    """,
+)
+def text_source_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-mix diagnostic: Shannon entropy of the language distribution
+    per source stream (counts → window-normalized probabilities →
+    −Σ p·ln p). Low entropy flags a source collapsing to one language —
+    the check a training-data pipeline runs before fixing mixture
+    weights.
+    """
+    from pyspark.sql import Window
+
+    d = _t(spark, sf_dir, "documents")
+    c = d.groupBy("source", "lang").agg(F.count(F.lit(1)).alias("n"))
+    p = F.col("n").cast("double") / F.sum("n").over(
+        Window.partitionBy("source")
+    )
+    return (
+        c.withColumn("p", p)
+        .groupBy("source")
+        .agg(
+            (
+                F.round(F.sum(-F.col("p") * F.log("p")) * 1000000, 0).cast(
+                    "long"
+                )
+                / F.lit(1000000.0)
+            ).alias("lang_entropy"),
+            F.count(F.lit(1)).cast("long").alias("n_langs"),
+        )
+    )
+
+
+@query(
     "join_sixway_revenue",
     oracle="""
     SELECT n_name,
