@@ -1,0 +1,110 @@
+"""Scale probe: replicate sf0.1 up Nx and measure headline queries.
+
+Answers "would this plan hold at 1000x?" with data instead of
+assertions: fact tables (lineitem, orders, events, documents) are
+replicated with shifted keys into /tmp, dimensions stay fixed (that IS
+the 100 TB shape — facts grow, dims don't), and the same registered
+queries run unchanged. Linear wall-time growth with flat rows/sec means
+the plan is shuffle-bounded with no super-linear stage; rows/sec
+*rising* with scale means fixed overhead still dominates at the smaller
+size.
+
+Usage: python tools/scale_probe.py [multipliers ...] (default 1 4 16)
+Prints one JSON line per scale.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import functions as F  # noqa: E402
+
+import __spark_entry__ as entrymod  # noqa: E402
+from durable_functions_cosmosdb_etl_spark.session import get_spark  # noqa: E402
+from durable_functions_cosmosdb_etl_spark.sources.tables import (  # noqa: E402
+    TABLES,
+    load_table,
+)
+
+BASE = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+WORK = "/tmp/scale_probe"
+PROBES = ["pricing_summary", "join_inner_revenue", "window_running",
+          "topk_per_group", "text_token_stats"]
+# fact tables get replicated with shifted ids; everything else is copied
+FACT_KEYS = {
+    "lineitem": ["l_orderkey"],
+    "orders": ["o_orderkey"],
+    "events": ["event_id"],
+    "documents": ["doc_id"],
+    "embeddings": ["vec_id"],
+}
+
+
+def build_scaled(spark, mult: int) -> str:
+    out = f"{WORK}/x{mult}"
+    if os.path.exists(out):
+        return out
+    os.makedirs(out, exist_ok=True)
+    for name in TABLES:
+        src = load_table(spark, BASE, name)
+        dst = f"{out}/{name}.parquet"
+        if name in FACT_KEYS and mult > 1:
+            keys = FACT_KEYS[name]
+            offs = {k: src.agg(F.max(k)).first()[0] + 1 for k in keys}
+            parts = []
+            for i in range(mult):
+                p = src
+                for k in keys:
+                    p = p.withColumn(k, F.col(k) + F.lit(i * offs[k]))
+                parts.append(p)
+            scaled = parts[0]
+            for p in parts[1:]:
+                scaled = scaled.unionByName(p)
+            scaled.write.mode("overwrite").parquet(dst)
+        else:
+            src.write.mode("overwrite").parquet(dst)
+    return out
+
+
+def main() -> None:
+    mults = [int(a) for a in sys.argv[1:]] or [1, 4, 16]
+    spark = get_spark("scale-probe")
+    spark.sparkContext.setLogLevel("ERROR")
+    qs = entrymod.queries()
+    base_rows = load_table(spark, BASE, "lineitem").count()
+    for mult in mults:
+        sf_dir = build_scaled(spark, mult)
+        # warmup then measure (steady state, same policy as bench.py)
+        timings = {}
+        for measured in (False, True):
+            for name in PROBES:
+                t0 = time.perf_counter()
+                qs[name](spark, sf_dir).write.mode("overwrite").format(
+                    "noop"
+                ).save()
+                if measured:
+                    timings[name] = round(time.perf_counter() - t0, 3)
+        total = round(sum(timings.values()), 3)
+        rows = base_rows * mult
+        print(
+            json.dumps(
+                {
+                    "mult": mult,
+                    "lineitem_rows": rows,
+                    "total_sec": total,
+                    "rows_per_sec": int(rows / total) if total else None,
+                    "queries": timings,
+                }
+            )
+        )
+
+
+if __name__ == "__main__":
+    main()
+    shutil.rmtree(WORK, ignore_errors=True)
