@@ -34,8 +34,11 @@ from durable_functions_cosmosdb_etl_spark.sources.tables import (  # noqa: E402
 
 BASE = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 WORK = "/tmp/scale_probe"
-PROBES = ["pricing_summary", "join_inner_revenue", "window_running",
-          "topk_per_group", "text_token_stats"]
+PROBES = os.environ.get(
+    "SPARK_GRAFT_PROBES",
+    "pricing_summary,join_inner_revenue,window_running,"
+    "topk_per_group,text_token_stats",
+).split(",")
 # fact tables get replicated with shifted ids; everything else is copied
 FACT_KEYS = {
     "lineitem": ["l_orderkey"],
