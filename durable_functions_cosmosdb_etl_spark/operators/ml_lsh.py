@@ -33,9 +33,7 @@ def _shingle_vectors(
     2^18 for hundreds of shingles/doc). Sparse representation: memory
     per doc is O(|shingles|), not O(vocab).
     """
-    from pyspark.ml.functions import array_to_vector  # noqa: F401
     from pyspark.ml.linalg import Vectors, VectorUDT
-    from pyspark.sql import types as T
 
     dim = 1 << vocab_bits
     sh = (
