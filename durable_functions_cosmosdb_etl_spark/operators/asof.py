@@ -32,8 +32,16 @@ def asof_join(
     right_ts: str,
     value_col: str,
     value_alias: str = "asof_value",
+    tolerance: str | None = None,
 ) -> DataFrame:
-    """Backward as-of join of `right[value_col]` onto `left` rows."""
+    """Backward as-of join of `right[value_col]` onto `left` rows.
+
+    ``tolerance`` (SQL interval string, e.g. "30 minutes") bounds
+    staleness: a match older than ``left_ts − tolerance`` is nulled —
+    the feature-store freshness contract (pandas merge_asof tolerance).
+    Implemented by carrying the matched right timestamp forward in the
+    same window pass; no extra shuffle.
+    """
     r = right.select(
         F.col(on).alias(on),
         F.col(right_ts).alias("__ts"),
@@ -41,7 +49,7 @@ def asof_join(
         F.lit(0).alias("__tag"),
     )
     left_cols = [c for c in left.columns]
-    l = left.select(
+    l = left.select(  # noqa: E741
         *left_cols,
         F.col(left_ts).alias("__ts"),
         F.lit(None).cast(r.schema["__val"].dataType).alias("__val"),
@@ -58,8 +66,22 @@ def asof_join(
         .orderBy("__ts", "__tag")
         .rowsBetween(Window.unboundedPreceding, 0)
     )
+    out = unioned.withColumn(
+        "__asof", F.last("__val", ignorenulls=True).over(w)
+    )
+    if tolerance is not None:
+        src_ts = F.when(F.col("__tag") == 0, F.col("__ts"))
+        out = out.withColumn(
+            "__match_ts", F.last(src_ts, ignorenulls=True).over(w)
+        ).withColumn(
+            "__asof",
+            F.when(
+                F.col("__match_ts")
+                >= F.expr(f"__ts - INTERVAL {tolerance}"),
+                F.col("__asof"),
+            ),
+        )
     return (
-        unioned.withColumn("__asof", F.last("__val", ignorenulls=True).over(w))
-        .filter(F.col("__tag") == 1)
+        out.filter(F.col("__tag") == 1)
         .select(*left_cols, F.col("__asof").alias(value_alias))
     )

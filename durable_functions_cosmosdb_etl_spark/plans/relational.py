@@ -525,6 +525,38 @@ def join_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "join_asof_tolerance",
+    oracle="""
+    SELECT p.event_id, p.user_id, p.ts,
+           CASE WHEN c.ts >= p.ts - INTERVAL 30 MINUTE THEN c.ts END
+               AS last_click_ts
+    FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+    ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
+      ON p.user_id = c.user_id AND p.ts >= c.ts
+    """,
+)
+def join_asof_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join with a staleness bound: prior clicks older than 30
+    minutes are treated as no-match (feature-store freshness semantics).
+    Same single-shuffle window plan — the matched timestamp rides the
+    same pass.
+    """
+    e = _t(spark, sf_dir, "events")
+    purchases = e.filter(F.col("event_type") == "purchase")
+    clicks = e.filter(F.col("event_type") == "click")
+    return asof_join(
+        purchases.select("event_id", "user_id", "ts"),
+        clicks.select("user_id", "ts"),
+        on="user_id",
+        left_ts="ts",
+        right_ts="ts",
+        value_col="ts",
+        value_alias="last_click_ts",
+        tolerance="30 MINUTE",
+    )
+
+
 # --------------------------------------------------------------------------
 # Windows
 # --------------------------------------------------------------------------

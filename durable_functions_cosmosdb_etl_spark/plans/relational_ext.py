@@ -334,6 +334,29 @@ def map_fns(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "agg_grouping_id",
+    oracle="""
+    SELECT l_returnflag, l_linestatus,
+           CAST(grouping(l_returnflag) AS BIGINT)  AS g_rf,
+           CAST(grouping(l_linestatus) AS BIGINT)  AS g_ls,
+           count(*) AS n
+    FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)
+    """,
+)
+def agg_grouping_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rollup with grouping() markers — distinguishes a real NULL group
+    key from a subtotal row, which consumers of rollup output need
+    whenever the grouping columns are nullable.
+    """
+    l = _t(spark, sf_dir, "lineitem")  # noqa: E741
+    return l.rollup("l_returnflag", "l_linestatus").agg(
+        F.grouping("l_returnflag").cast("long").alias("g_rf"),
+        F.grouping("l_linestatus").cast("long").alias("g_ls"),
+        F.count(F.lit(1)).alias("n"),
+    )
+
+
+@query(
     "agg_corr",
     oracle="""
     SELECT l_returnflag,
