@@ -103,3 +103,56 @@ def test_fan_out_repartitions_only_when_under(spark):
     many = spark.range(0, 100, 1, target + 4)
     # already ≥ target: untouched (no shuffle added)
     assert fan_out(many).rdd.getNumPartitions() == target + 4
+
+
+def test_aqe_splits_skewed_join(spark):
+    """AQE skew-join handling, demonstrated live: with skew thresholds
+    lowered, a join against one hot key gets its oversized shuffle
+    partition split (final adaptive plan marks the join skew=true)."""
+    old = {
+        k: spark.conf.get(k, None)
+        for k in (
+            "spark.sql.adaptive.skewJoin.skewedPartitionFactor",
+            "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
+            "spark.sql.adaptive.advisoryPartitionSizeInBytes",
+            "spark.sql.adaptive.forceOptimizeSkewedJoin",
+            "spark.sql.autoBroadcastJoinThreshold",
+        )
+    }
+    try:
+        spark.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionFactor", "1")
+        spark.conf.set(
+            "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
+            "8KB",
+        )
+        spark.conf.set(
+            "spark.sql.adaptive.advisoryPartitionSizeInBytes", "8KB"
+        )
+        # the downstream count() agg means splitting adds a shuffle; force
+        # tells AQE the split is worth it anyway (same call a production
+        # job with known pathological keys would make)
+        spark.conf.set("spark.sql.adaptive.forceOptimizeSkewedJoin", "true")
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        left = spark.range(0, 200_000).select(
+            F.when(F.col("id") % 100 < 99, F.lit(7))
+            .otherwise(F.col("id") % 1000)
+            .alias("k"),
+            F.sha2(F.col("id").cast("string"), 256).alias("pad"),
+        )
+        # right is uniform (200 rows/key) — skew lives on the left only,
+        # so the hot partition is big without a quadratic join blowup
+        right = spark.range(0, 200_000).select(
+            (F.col("id") % 1000).alias("k"),
+            F.sha2((F.col("id") + 1).cast("string"), 256).alias("pad2"),
+        )
+        joined = left.join(right, "k").select(F.count(F.lit(1)).alias("n"))
+        joined.collect()
+        plan = joined._jdf.queryExecution().executedPlan().toString()
+        assert "isFinalPlan=true" in plan
+        assert "skew=true" in plan, plan[:2000]
+    finally:
+        for k, v in old.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
