@@ -379,3 +379,38 @@ def test_transform_with_state_running_totals(spark, tmp_path):
         n, c = expect.get(uid, (0, 0))
         expect[uid] = (n + 1, c + round(val * 100))
     assert got == expect
+
+
+def test_streaming_complete_mode_aggregation(spark, tmp_path):
+    """Complete output mode: the aggregation re-emits the FULL result
+    table each micro-batch (vs append's emit-once-on-close), so the sink
+    always holds current totals for every key seen so far."""
+    events_dir = str(tmp_path / "events")
+    base = datetime(2026, 1, 1, 12, 0, 0)
+    f1 = [(i, base + timedelta(minutes=i), "view") for i in range(6)]
+    f2 = [(10 + i, base + timedelta(minutes=i), "click") for i in range(4)]
+    spark.createDataFrame(f1, EVENTS_SCHEMA).coalesce(1).write.mode(
+        "append"
+    ).parquet(events_dir)
+    spark.createDataFrame(f2, EVENTS_SCHEMA).coalesce(1).write.mode(
+        "append"
+    ).parquet(events_dir)
+    src = (
+        spark.readStream.schema(EVENTS_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(events_dir)
+    )
+    agg = src.groupBy("event_type").agg(F.count(F.lit(1)).alias("n"))
+    q = (
+        agg.writeStream.outputMode("complete")
+        .format("memory")
+        .queryName("complete_counts")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = {
+        r.event_type: r.n
+        for r in spark.sql("SELECT * FROM complete_counts").collect()
+    }
+    assert got == {"view": 6, "click": 4}
