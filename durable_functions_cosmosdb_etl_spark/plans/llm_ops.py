@@ -337,6 +337,60 @@ def dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "dedup_contamination",
+    oracle=rf"""
+    WITH d AS (SELECT doc_id, {_WORDS} AS w FROM documents),
+    s AS (SELECT doc_id, {_SH3} AS sh FROM d WHERE len(w) >= 3),
+    bench AS (SELECT * FROM s WHERE doc_id % 10 = 0),
+    train AS (SELECT * FROM s WHERE doc_id % 10 <> 0)
+    SELECT DISTINCT t.doc_id,
+           CAST(max(len(list_intersect(t.sh, b.sh))) AS DOUBLE)
+               / len(t.sh) AS max_containment
+    FROM train t JOIN bench b
+      ON len(list_intersect(t.sh, b.sh)) >= 0.5 * len(t.sh)
+    GROUP BY t.doc_id, len(t.sh)
+    """,
+)
+def dedup_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination by n-gram containment: a training doc
+    is contaminated when ≥50% of its 3-gram shingles appear in some
+    held-out benchmark doc (split stand-in: doc_id % 10). Containment
+    (|T∩B| / |T|), not Jaccard — a benchmark question embedded in a
+    longer training doc still trips it.
+
+    Plan: shared inverted index (explode → equi-join on shingle →
+    per-pair counts) — linear in co-occurring pairs like dedup_jaccard;
+    an exact-hash broadcast semi join would be the cheap first pass for
+    verbatim contamination (this fixture has no verbatim dupes, so the
+    overlap form is the operative check).
+    """
+    d = _docs(spark, sf_dir)
+    sh = dd._shingled(d, "doc_id", "text", 3).filter(F.size("sh") > 0)
+    bench = sh.filter(F.col("doc") % 10 == 0)
+    train = sh.filter(F.col("doc") % 10 != 0)
+    t_ex = train.select(
+        F.col("doc").alias("t_doc"), "n_sh", F.explode("sh").alias("g")
+    )
+    b_ex = bench.select(F.col("doc").alias("b_doc"), F.explode("sh").alias("g"))
+    common = (
+        t_ex.join(b_ex, "g")
+        .groupBy("t_doc", "b_doc", "n_sh")
+        .agg(F.count(F.lit(1)).alias("common"))
+        .filter(F.col("common") >= 0.5 * F.col("n_sh"))
+    )
+    return (
+        common.groupBy(F.col("t_doc").alias("doc_id"), "n_sh")
+        .agg(
+            (F.max("common").cast("double") / F.col("n_sh")).alias(
+                "max_containment"
+            )
+        )
+        .select("doc_id", "max_containment")
+        .distinct()
+    )
+
+
+@query(
     "dedup_embedding",
     oracle="""
     WITH n AS (
