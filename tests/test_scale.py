@@ -156,3 +156,24 @@ def test_aqe_splits_skewed_join(spark):
                 spark.conf.unset(k)
             else:
                 spark.conf.set(k, v)
+
+
+def test_approx_aggregates_within_error_bounds(spark, sf_dir):
+    """Sketch-based aggregates stay within their documented error vs the
+    exact answers: approx_count_distinct (HLL++, rsd=0.05 default) and
+    approx_percentile (KLL-ish, accuracy=10000)."""
+    from durable_functions_cosmosdb_etl_spark.sources.tables import load_table
+
+    o = load_table(spark, sf_dir, "orders")
+    exact_n = o.select(F.countDistinct("o_custkey")).first()[0]
+    approx_n = o.select(F.approx_count_distinct("o_custkey")).first()[0]
+    assert abs(approx_n - exact_n) <= 0.15 * exact_n  # 3×rsd margin
+
+    exact_p50 = o.select(
+        F.percentile("o_totalprice", F.lit(0.5)).alias("p")
+    ).first()[0]
+    approx_p50 = o.select(
+        F.percentile_approx("o_totalprice", F.lit(0.5), F.lit(10000)).alias("p")
+    ).first()[0]
+    # rank error ≤ n/accuracy ⇒ value within a few percent on this data
+    assert abs(approx_p50 - exact_p50) <= 0.05 * exact_p50

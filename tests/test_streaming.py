@@ -414,3 +414,74 @@ def test_streaming_complete_mode_aggregation(spark, tmp_path):
         for r in spark.sql("SELECT * FROM complete_counts").collect()
     }
     assert got == {"view": 6, "click": 4}
+
+
+def test_stream_stream_left_outer_emits_unmatched(spark, tmp_path):
+    """Stream-stream LEFT OUTER interval join: matched pairs emit like
+    inner; unmatched purchases emit with nulls once the watermark
+    guarantees no future click can match them."""
+    schema = T.StructType(
+        [
+            T.StructField("event_id", T.LongType()),
+            T.StructField("ts", T.TimestampType()),
+            T.StructField("user_id", T.LongType()),
+            T.StructField("event_type", T.StringType()),
+        ]
+    )
+    base = datetime(2026, 1, 15, 10, 0, 0)
+    clicks = [
+        (1, base, 1, "click"),
+        (9, base + timedelta(hours=6), 9, "click"),  # watermark driver
+    ]
+    purchases = [
+        (100, base + timedelta(minutes=10), 1, "purchase"),  # matches 1
+        (103, base + timedelta(minutes=30), 3, "purchase"),  # no click
+        (109, base + timedelta(hours=6), 9, "purchase"),
+    ]
+    cdir, pdir = str(tmp_path / "clicks"), str(tmp_path / "purch")
+    spark.createDataFrame(clicks, schema).write.parquet(cdir)
+    spark.createDataFrame(purchases, schema).write.parquet(pdir)
+
+    c = (
+        spark.readStream.schema(schema).parquet(cdir)
+        .filter(F.col("event_type") == "click")
+        .select(
+            F.col("event_id").alias("click_id"),
+            F.col("user_id").alias("c_user"),
+            F.col("ts").alias("click_ts"),
+        )
+        .withWatermark("click_ts", "10 minutes")
+    )
+    p = (
+        spark.readStream.schema(schema).parquet(pdir)
+        .filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("event_id").alias("purchase_id"),
+            F.col("user_id").alias("p_user"),
+            F.col("ts").alias("purchase_ts"),
+        )
+        .withWatermark("purchase_ts", "10 minutes")
+    )
+    joined = p.join(
+        c,
+        F.expr(
+            "p_user = c_user AND click_ts >= purchase_ts - INTERVAL 30 MINUTES"
+            " AND click_ts <= purchase_ts"
+        ),
+        "left_outer",
+    ).select("purchase_id", "click_id")
+    q = (
+        joined.writeStream.outputMode("append")
+        .format("memory")
+        .queryName("lo_attr")
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = {
+        (r.purchase_id, r.click_id)
+        for r in spark.sql("SELECT * FROM lo_attr").collect()
+    }
+    assert (100, 1) in got
+    assert (103, None) in got  # unmatched emitted with null after watermark
