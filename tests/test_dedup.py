@@ -72,3 +72,44 @@ def test_ml_minhash_agrees_with_exact(spark, sf_dir):
     assert recall >= 0.9
     # precision on the hashed feature space: allow few borderline extras
     assert len(got - exact) <= max(2, len(exact) // 4)
+
+
+def test_incremental_dedup_across_batches(spark, tmp_path):
+    """Continuous-ingestion dedup: batch 2's near-dups of batch 1 docs
+    are rejected via the persistent band index; fresh docs pass; in-batch
+    dups collapse; replaying a batch accepts nothing new (idempotent)."""
+    from durable_functions_cosmosdb_etl_spark.streaming.dedup_incremental import (
+        dedup_batch_against_index,
+    )
+
+    idx = str(tmp_path / "index")
+    base = [
+        "the quick brown fox jumps over the lazy dog again and again today",
+        "completely different content about spark plans and shuffle behavior",
+        "a third unique document mentioning windows aggregates and joins",
+    ]
+    b1 = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(base)], "doc_id long, text string"
+    )
+    acc1 = dedup_batch_against_index(spark, b1, idx)
+    assert {r.doc_id for r in acc1.collect()} == {0, 1, 2}
+
+    near_dup0 = "the quick brown fox jumps over the lazy dog again and again"
+    fresh = "entirely new material covering streaming state stores and rocksdb"
+    b2 = spark.createDataFrame(
+        [
+            (10, near_dup0),          # near-dup of doc 0 → rejected
+            (11, fresh),              # fresh → accepted
+            (12, fresh + " !"),       # near-dup of 11 within batch → dropped
+        ],
+        "doc_id long, text string",
+    )
+    acc2 = dedup_batch_against_index(spark, b2, idx)
+    assert {r.doc_id for r in acc2.collect()} == {11}
+
+    # replay batch 2: its accepted doc now collides with its own index row
+    acc2b = dedup_batch_against_index(spark, b2, idx)
+    assert acc2b.count() == 0
+
+    accepted = spark.read.parquet(f"{idx}/accepted")
+    assert {r.doc_id for r in accepted.collect()} == {0, 1, 2, 11}
