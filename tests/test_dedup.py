@@ -113,3 +113,35 @@ def test_incremental_dedup_across_batches(spark, tmp_path):
 
     accepted = spark.read.parquet(f"{idx}/accepted")
     assert {r.doc_id for r in accepted.collect()} == {0, 1, 2, 11}
+
+
+def test_streaming_dedup_ingest_end_to_end(spark, tmp_path):
+    """foreachBatch wrapper: files arrive as micro-batches; the accepted
+    table ends with exactly the cross-batch-unique docs."""
+    from durable_functions_cosmosdb_etl_spark.streaming.dedup_incremental import (
+        streaming_dedup_ingest,
+    )
+
+    incoming = str(tmp_path / "incoming")
+    idx = str(tmp_path / "index")
+    ckpt = str(tmp_path / "ckpt")
+    f1 = [(0, "alpha beta gamma delta epsilon zeta eta theta iota kappa")]
+    f2 = [
+        (10, "alpha beta gamma delta epsilon zeta eta theta iota"),  # dup of 0
+        (11, "totally fresh words about catalyst optimizer rule batches"),
+    ]
+    schema = "doc_id long, text string"
+    spark.createDataFrame(f1, schema).coalesce(1).write.mode("append").parquet(
+        incoming
+    )
+    spark.createDataFrame(f2, schema).coalesce(1).write.mode("append").parquet(
+        incoming
+    )
+    streaming_dedup_ingest(
+        spark, incoming, idx, ckpt,
+        schema="doc_id long, text string",
+    )
+    accepted = {
+        r.doc_id for r in spark.read.parquet(f"{idx}/accepted").collect()
+    }
+    assert accepted == {0, 11}
