@@ -20,8 +20,10 @@ North-star addition (no vector ops exist in the reference). Two paths:
 
 from __future__ import annotations
 
+import pandas as pd
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 
 def _d(c: Column) -> Column:
@@ -187,18 +189,107 @@ def ivf_topk(
     return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
 
 
+def _sign_bands_udf(n_bands: int, band_bits: int):
+    """Arrow-batched sign-LSH banding: vector → array of per-band codes.
+
+    Deterministic random hyperplanes (fixed seed); per batch, ONE
+    (rows × dim) @ (dim × n_bands·band_bits) matmul, then bit-packing of
+    each band's sign bits into an integer code. Python only sees
+    fixed-width numeric Arrow buffers — same discipline as the MinHash
+    signature UDF (operators/dedup.py).
+    """
+    import numpy as np
+
+    total_bits = n_bands * band_bits
+    weights = np.power(2, np.arange(band_bits), dtype=np.int64)
+
+    @F.pandas_udf(T.ArrayType(T.LongType()))
+    def sign_bands(vec: pd.Series) -> pd.Series:
+        if len(vec) == 0:
+            return pd.Series([], dtype=object)
+        mat = np.stack([np.asarray(v, dtype=np.float64) for v in vec])
+        rng = np.random.RandomState(1337)
+        planes = rng.standard_normal((mat.shape[1], total_bits))
+        bits = (mat @ planes > 0).astype(np.int64)
+        codes = bits.reshape(len(vec), n_bands, band_bits) @ weights
+        return pd.Series(codes.tolist())
+
+    return sign_bands
+
+
+def cosine_pairs_lsh(
+    vectors: DataFrame,
+    threshold: float,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_bands: int = 128,
+    band_bits: int = 4,
+) -> DataFrame:
+    """Embedding near-dup pairs via random-hyperplane sign-LSH banding.
+
+    Candidate generation is an EQUI-join on (band_idx, band_code) — the
+    same hash-partitionable shape as dedup.simhash_pairs — followed by
+    exact-cosine verification, so precision is 1.0 and recall is the
+    banding capture rate. With p = 1 − acos(τ)/π the per-pair miss
+    probability is (1 − p^band_bits)^n_bands: at the defaults
+    (128 bands × 4 bits) a τ=0.35 pair is missed with p ≈ 3·10⁻⁹ —
+    statistically certain recall, verified against the exact-join oracle
+    at sf0.01. No BroadcastNestedLoopJoin/Cartesian appears anywhere in
+    the plan (asserted in tests/test_similarity.py).
+
+    Scale note: pruning power rises steeply with the threshold — at
+    τ≥0.8 (real near-dup territory) 16 bands × 8 bits discards ≥99.9% of
+    random pairs; at τ≈0.35 sign bits barely separate signal from noise,
+    so the default goes wide on bands to buy recall. The knobs are the
+    caller's cost/recall dial; candidates never exceed the band-join
+    output and the driver holds no state either way.
+    """
+    v = vectors.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"))
+    banded = v.withColumn(
+        "bands", _sign_bands_udf(n_bands, band_bits)(F.col("v"))
+    )
+    codes = banded.select(
+        "id", F.posexplode("bands").alias("band_idx", "band_code")
+    )
+    a, b = codes.alias("a"), codes.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band_idx") == F.col("b.band_idx"))
+            & (F.col("a.band_code") == F.col("b.band_code"))
+            & (F.col("a.id") < F.col("b.id")),
+        )
+        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .distinct()
+    )
+    n = v.withColumn("nrm", l2_norm(F.col("v")))
+    return (
+        cand.join(n.alias("na"), cand.id_a == F.col("na.id"))
+        .join(n.alias("nb"), cand.id_b == F.col("nb.id"))
+        .select(
+            F.col("id_a").alias("vec_id_a"),
+            F.col("id_b").alias("vec_id_b"),
+            (
+                dot(F.col("na.v"), F.col("nb.v"))
+                / (F.col("na.nrm") * F.col("nb.nrm"))
+            ).alias("sim"),
+        )
+        .filter(F.col("sim") >= threshold)
+        .select("vec_id_a", "vec_id_b")
+    )
+
+
 def cosine_pairs(
     vectors: DataFrame,
     threshold: float,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
 ) -> DataFrame:
-    """Embedding near-dup: all pairs with cosine ≥ threshold.
-
-    Test-scale implementation is the exact self-join (id< id). The 100 TB
-    path replaces the cross product with LSH bucketing (random-hyperplane
-    sign bits → band join, same shape as dedup.simhash_pairs) or IVF
-    cell-restricted pairing — both reduce to equi-joins.
+    """Embedding near-dup: all pairs with cosine ≥ threshold — the EXACT
+    all-pairs form (non-equi self-join ⇒ cartesian). Oracle/test-scale
+    reference only; the production plan is ``cosine_pairs_lsh`` (band
+    equi-join + exact verify), which the registered ``dedup_embedding``
+    query uses.
     """
     n = vectors.select(
         F.col(id_col).alias("id"),

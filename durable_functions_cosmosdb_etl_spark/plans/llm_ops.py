@@ -65,6 +65,7 @@ def text_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "text_lang_id",
+    extra=True,
     oracle=r"""
     WITH s AS (
         SELECT doc_id, lang,
@@ -102,6 +103,7 @@ def text_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "text_quality",
+    extra=True,
     oracle=r"""
     WITH f AS (
         SELECT doc_id,
@@ -141,6 +143,7 @@ def text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "text_fingerprint",
+    extra=True,
     oracle=rf"""
     SELECT doc_id,
            CAST(list_sum(list_transform({_WORDS},
@@ -153,6 +156,94 @@ def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Polynomial rolling-hash document fingerprint (portable integers)."""
     d = _docs(spark, sf_dir)
     return d.select("doc_id", tx.fingerprint(F.col("text")).alias("fp"))
+
+
+@query(
+    "text_analysis",
+    oracle=r"""
+    WITH f AS (
+        SELECT doc_id, lang, text,
+            CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT) AS n_words,
+            CAST(length(text) AS BIGINT)                               AS n_chars,
+            CAST(length(replace(text, ' ', '')) AS BIGINT)             AS non_space,
+            CAST(length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS BIGINT)
+                                                                       AS alpha,
+            CAST(len(regexp_extract_all(lower(text),
+                 '\b(the|and|of|to|is|in)\b')) AS BIGINT)              AS s_en,
+            CAST(len(regexp_extract_all(lower(text),
+                 '\b(el|la|de|los|que|y)\b')) AS BIGINT)               AS s_es,
+            CAST(len(regexp_extract_all(lower(text),
+                 '\b(der|die|das|und|ist)\b')) AS BIGINT)              AS s_de,
+            CAST(len(regexp_extract_all(lower(text),
+                 '(的|是|在|了)')) AS BIGINT)                           AS s_zh
+        FROM documents)
+    SELECT doc_id, lang,
+           CASE WHEN s_en >= s_es AND s_en >= s_de AND s_en >= s_zh THEN 'en'
+                WHEN s_es >= s_de AND s_es >= s_zh THEN 'es'
+                WHEN s_de >= s_zh THEN 'de'
+                ELSE 'zh' END                        AS pred_lang,
+           n_words, n_chars,
+           CAST(non_space AS DOUBLE) / n_words       AS avg_word_len,
+           CAST(s_en AS DOUBLE) / n_words            AS stop_ratio,
+           CAST(alpha AS DOUBLE) / n_chars           AS alpha_ratio,
+           (CAST(s_en AS DOUBLE) / n_words) * 0.5
+             + (CAST(alpha AS DOUBLE) / n_chars) * 0.5
+             + least(CAST(n_words AS DOUBLE) / 100.0, 1.0) * 0.5 AS quality,
+           CAST(list_sum(list_transform(string_split_regex(trim(text), '\s+'),
+                (x, i) -> i * (100 * length(x) + ascii(x))))
+                % 1000000007 AS BIGINT)              AS fp,
+           regexp_replace(
+             regexp_replace(
+               regexp_replace(text,
+                 '[a-z0-9.]+@[a-z0-9.]+', '<EMAIL>', 'g'),
+               'https?://[^ ]+', '<URL>', 'g'),
+             '[0-9][0-9][0-9]-[0-9][0-9][0-9][0-9]', '<PHONE>', 'g')
+                                                     AS scrubbed,
+           CAST(len(regexp_extract_all(text,
+                '[a-z0-9.]+@[a-z0-9.]+')) AS BIGINT) AS n_emails
+    FROM f
+    """,
+)
+def text_analysis(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document text-analysis suite in ONE scan-side select: language
+    ID (marker-stopword heuristic), quality scoring (length / word-length
+    / stopword / alpha ratios), rolling-hash fingerprint, and PII
+    scrubbing (email/URL/phone redaction + count).
+
+    Consolidates the text_lang_id / text_quality / text_fingerprint /
+    text_scrub entries (still individually registered as extras) into a
+    single driver-checked query. All JVM expressions, no shuffle — the
+    shape of a 100 TB quality-gate pass: every feature computed in one
+    pipelined scan of the corpus.
+    """
+    d = _docs(spark, sf_dir)
+    t = F.col("text")
+    f = tx.quality_features(t)
+    scrubbed = F.regexp_replace(
+        F.regexp_replace(
+            F.regexp_replace(t, r"[a-z0-9.]+@[a-z0-9.]+", "<EMAIL>"),
+            r"https?://[^ ]+",
+            "<URL>",
+        ),
+        r"[0-9][0-9][0-9]-[0-9][0-9][0-9][0-9]",
+        "<PHONE>",
+    )
+    return d.select(
+        "doc_id",
+        "lang",
+        tx.lang_id(t).alias("pred_lang"),
+        f["n_words"].alias("n_words"),
+        f["n_chars"].alias("n_chars"),
+        f["avg_word_len"].alias("avg_word_len"),
+        f["stop_ratio"].alias("stop_ratio"),
+        f["alpha_ratio"].alias("alpha_ratio"),
+        tx.quality_score(t).alias("quality"),
+        tx.fingerprint(t).alias("fp"),
+        scrubbed.alias("scrubbed"),
+        F.size(F.regexp_extract_all(t, F.lit(r"[a-z0-9.]+@[a-z0-9.]+"), 0))
+        .cast("long")
+        .alias("n_emails"),
+    )
 
 
 @query(
@@ -271,6 +362,46 @@ def dedup_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dd.jaccard_pairs(_docs(spark, sf_dir), threshold=0.5)
 
 
+_JACCARD_DF_CAP = 50
+
+
+@query(
+    "dedup_jaccard_capped",
+    oracle=rf"""
+    WITH d AS (SELECT doc_id, {_WORDS} AS w FROM documents),
+    s AS (SELECT doc_id, {_SH3} AS sh FROM d WHERE len(w) >= 3),
+    ex AS (SELECT doc_id, len(sh) AS n_sh, unnest(sh) AS g FROM s),
+    keep AS (SELECT g FROM ex GROUP BY g
+             HAVING count(*) <= {_JACCARD_DF_CAP}),
+    k AS (SELECT ex.* FROM ex JOIN keep USING (g)),
+    c AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                 a.n_sh AS na, b.n_sh AS nb, count(*) AS common
+          FROM k a JOIN k b ON a.g = b.g AND a.doc_id < b.doc_id
+          GROUP BY 1, 2, 3, 4)
+    SELECT doc_a, doc_b,
+           CAST(common AS DOUBLE) / (na + nb - common) AS jaccard
+    FROM c
+    WHERE CAST(common AS DOUBLE) / (na + nb - common) >= 0.5
+    """,
+)
+def dedup_jaccard_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Production skew-capped Jaccard near-dup pairs.
+
+    Same inverted-index plan as ``dedup_jaccard`` but shingles whose
+    document frequency exceeds ``max_shingle_df`` are dropped from the
+    index (stop-shingles cause quadratic candidate blowup: one shingle in
+    10⁶ docs alone generates 5·10¹¹ join rows). Overlap counts shrink by
+    the dropped shingles while set sizes stay exact, so the capped
+    jaccard lower-bounds the true value — recall-only loss, precision
+    1.0. The oracle expresses the identical cap, so this variant is
+    fully hash-checked (not rows-only); recall vs the exact form is
+    additionally gated in tests/test_dedup.py.
+    """
+    return dd.jaccard_pairs(
+        _docs(spark, sf_dir), threshold=0.5, max_shingle_df=_JACCARD_DF_CAP
+    )
+
+
 @query("dedup_minhash")  # hash-randomized candidates → rows-only check
 def dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash(64) → 16×4 banded LSH → exact-Jaccard-verified pairs.
@@ -288,7 +419,7 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dd.simhash_pairs(_docs(spark, sf_dir), max_hamming=8)
 
 
-@query("dedup_minhash_ml")  # library-randomized hashes → rows-only check
+@query("dedup_minhash_ml", extra=True)  # library-randomized → rows-only
 def dedup_minhash_ml(spark: SparkSession, sf_dir: str) -> DataFrame:
     """pyspark.ml MinHashLSH.approxSimilarityJoin variant — the built-in
     library path beside the native banding in dedup_minhash; tests gate
@@ -408,10 +539,16 @@ def dedup_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Embedding near-dup pairs: exact cosine ≥ 0.35 (pairs only —
-    excluding the float sim from output removes all cross-engine fp
-    surface except the threshold itself)."""
-    return sim.cosine_pairs(_emb(spark, sf_dir), threshold=0.35)
+    """Embedding near-dup pairs: cosine ≥ 0.35 via sign-LSH banding +
+    exact-cosine verification (pairs only — excluding the float sim from
+    output removes all cross-engine fp surface except the threshold).
+
+    The plan is a band equi-join (no cartesian product); the oracle is
+    the exact all-pairs form — they agree because the banding's per-pair
+    miss probability at these parameters is ~3e-9 and every candidate is
+    exactly verified (see operators/similarity.cosine_pairs_lsh).
+    """
+    return sim.cosine_pairs_lsh(_emb(spark, sf_dir), threshold=0.35)
 
 
 # --------------------------------------------------------------------------
@@ -480,7 +617,7 @@ def similarity_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("similarity_brp_lsh")  # approximate by construction → rows-only
+@query("similarity_brp_lsh", extra=True)  # approximate → rows-only
 def similarity_brp_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """BucketedRandomProjectionLSH approximate top-10 — pyspark.ml's
     built-in ANN join beside the native IVF; tests gate mean recall@10
@@ -501,28 +638,71 @@ def similarity_brp_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "multimodal_meta",
     oracle="""
+    WITH m AS (SELECT doc_id, octet_length(encode(text)) AS n_bytes
+               FROM documents),
+    d AS (SELECT doc_id, n_bytes,
+                 16 + (n_bytes % 64)         AS w0,
+                 16 + ((n_bytes // 64) % 64) AS h0
+          FROM m),
+    s AS (SELECT doc_id, n_bytes, w0, h0,
+                 greatest(w0, h0)            AS side,
+                 least(greatest(w0, h0), 32) AS clamp
+          FROM d)
     SELECT doc_id, 'application/octet-stream' AS mime,
-           CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes
-    FROM documents
+           CAST(n_bytes AS BIGINT) AS n_bytes,
+           CAST(greatest(1, w0 * clamp // side) AS INT) AS width,
+           CAST(greatest(1, h0 * clamp // side) AS INT) AS height,
+           3 AS n_channels
+    FROM s
     """,
 )
 def multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Binary payload plumbing: text→bytes wrap + typed metadata."""
-    return mm.attach_binary(_docs(spark, sf_dir), "doc_id", "text").select(
+    """Binary-column plumbing end to end: text→bytes wrap with typed
+    metadata, then the decode → resize mapInPandas chain (two Arrow
+    stages, no shuffle between them), projecting metadata + resized
+    dims. The fake codec's dims are deterministic integer arithmetic on
+    payload size, so the whole Python pipeline is oracle-checked.
+    (Absorbs the former multimodal_resize entry — kept as an extra.)
+    """
+    media = mm.attach_binary(_docs(spark, sf_dir), "doc_id", "text")
+    resized = mm.resize_batch(mm.decode_image_batch(media), max_side=32)
+    meta = mm.attach_binary(_docs(spark, sf_dir), "doc_id", "text").select(
         "doc_id", "mime", "n_bytes"
+    )
+    return meta.join(
+        resized.select("doc_id", "width", "height", "n_channels"), "doc_id"
     )
 
 
 @query("multimodal_decode")  # stubbed decoder → rows-only check
 def multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Arrow-batched mapInPandas decode stage (deterministic fake codec;
-    real Spark plumbing — schema, batching, per-partition execution)."""
+    real Spark plumbing — schema, batching, per-partition execution).
+
+    Scalar projection of the decoded output: the feature vector itself
+    (array<float>) is exercised in tests — the driver's rows-only
+    canonicalizer sorts a pandas frame and cannot hash list cells
+    (CORRECTNESS_r01 multimodal_decode err), so the registered query
+    exposes the vector through scalar reductions instead.
+    """
     media = mm.attach_binary(_docs(spark, sf_dir), "doc_id", "text")
-    return mm.decode_image_batch(media)
+    decoded = mm.decode_image_batch(media)
+    return decoded.select(
+        "doc_id",
+        "width",
+        "height",
+        "n_channels",
+        F.size("feature").alias("feat_dim"),
+        F.round(
+            F.aggregate("feature", F.lit(0.0), lambda a, x: a + x.cast("double")),
+            6,
+        ).alias("feat_sum"),
+    )
 
 
 @query(
     "multimodal_resize",
+    extra=True,
     oracle="""
     WITH m AS (SELECT doc_id, octet_length(encode(text)) AS n FROM documents),
     d AS (SELECT doc_id,

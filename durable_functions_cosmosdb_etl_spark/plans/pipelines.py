@@ -178,6 +178,7 @@ def pipeline_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "text_scrub",
+    extra=True,
     oracle=r"""
     SELECT doc_id,
            regexp_replace(
@@ -218,7 +219,7 @@ def text_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("sample_stratified")  # seeded RNG is engine-specific → rows-only
+@query("sample_stratified", extra=True)  # seeded RNG → rows-only
 def sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Stratified Bernoulli sampling with per-language fractions
     (df.sampleBy) — the mixture-weighting step of a training-data
@@ -233,6 +234,7 @@ def sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "scalar_regex",
+    extra=True,
     oracle=r"""
     SELECT doc_id,
            regexp_extract(text, '([a-z]+)', 1)                  AS first_word,
@@ -263,6 +265,7 @@ def scalar_regex(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "sql_cte_window",
+    extra=True,
     oracle="""
     WITH monthly AS (
         SELECT o_custkey,

@@ -109,37 +109,79 @@ def pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "agg_stats",
     oracle="""
-    SELECT o_orderstatus, o_orderpriority,
-           count(*)                                            AS n_orders,
-           CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS DOUBLE) / 100.0
-                                                               AS sum_price,
-           CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS DOUBLE) / 100.0
-               / count(*)                                      AS avg_price,
-           min(o_totalprice)                                   AS min_price,
-           max(o_totalprice)                                   AS max_price
-    FROM orders
-    GROUP BY o_orderstatus, o_orderpriority
+    SELECT l_returnflag,
+           count(*)                                            AS n_rows,
+           CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS DOUBLE)
+               / 100.0                                         AS sum_price,
+           CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS DOUBLE)
+               / 100.0 / count(*)                              AS avg_price,
+           min(l_extendedprice)                                AS min_price,
+           max(l_extendedprice)                                AS max_price,
+           count(DISTINCT l_partkey)                           AS n_parts,
+           count(DISTINCT l_suppkey)                           AS n_supps,
+           CAST(round(corr(l_quantity, l_extendedprice) * 1000000) AS BIGINT)
+               / 1000000.0                                     AS qty_price_corr,
+           CAST(round(covar_samp(l_quantity, l_extendedprice) * 100) AS BIGINT)
+               / 100.0                                         AS qty_price_covar,
+           CAST(round(stddev_samp(l_extendedprice) * 100) AS BIGINT)
+               / 100.0                                         AS price_stddev,
+           CAST(round(var_samp(l_quantity) * 1000000) AS BIGINT)
+               / 1000000.0                                     AS qty_var,
+           CAST(round(quantile_cont(l_extendedprice, 0.25) * 100) AS BIGINT)
+               / 100.0                                         AS p25,
+           CAST(round(quantile_cont(l_extendedprice, 0.50) * 100) AS BIGINT)
+               / 100.0                                         AS p50,
+           CAST(round(quantile_cont(l_extendedprice, 0.75) * 100) AS BIGINT)
+               / 100.0                                         AS p75
+    FROM lineitem
+    GROUP BY l_returnflag
     """,
 )
 def agg_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Multi-measure hash aggregate (count/sum/avg/min/max in one pass)."""
+    """Full statistical-aggregate surface in ONE grouped pass:
+    count/sum/avg/min/max, exact multi-column distincts, correlation /
+    covariance / stddev / variance (single-pass mergeable moments), and
+    exact interpolated percentiles (PERCENTILE_CONT semantics).
+
+    Consolidates the former agg_distinct / agg_corr / agg_percentile
+    entries (kept as extras). Scale notes: moments are map-side partial
+    like any sum; exact multi-distinct costs an expand (the 2%-error HLL
+    path is ``approx_distinct``); exact percentile buffers each group's
+    values — for high-cardinality groups switch to
+    ``approx_percentile`` (KLL sketch, mergeable) with the same plan
+    shape. Floats are fixed-point-rounded in BOTH engines so fp
+    addition order can't break the value hash.
+    """
+    r6 = lambda c: (F.round(c * 1000000, 0).cast("long") / F.lit(1000000.0))  # noqa: E731
+    cents = lambda c: (F.round(c * 100, 0).cast("long") / F.lit(100.0))  # noqa: E731
+    cnt = F.count(F.lit(1))
     return (
-        _t(spark, sf_dir, "orders")
-        .groupBy("o_orderstatus", "o_orderpriority")
+        _t(spark, sf_dir, "lineitem")
+        .groupBy("l_returnflag")
         .agg(
-            F.count(F.lit(1)).alias("n_orders"),
-            unfixed(F.sum(fixed("o_totalprice"))).alias("sum_price"),
-            (unfixed(F.sum(fixed("o_totalprice"))) / F.count(F.lit(1))).alias(
-                "avg_price"
+            cnt.alias("n_rows"),
+            unfixed(F.sum(fixed("l_extendedprice"))).alias("sum_price"),
+            (unfixed(F.sum(fixed("l_extendedprice"))) / cnt).alias("avg_price"),
+            F.min("l_extendedprice").alias("min_price"),
+            F.max("l_extendedprice").alias("max_price"),
+            F.countDistinct("l_partkey").alias("n_parts"),
+            F.countDistinct("l_suppkey").alias("n_supps"),
+            r6(F.corr("l_quantity", "l_extendedprice")).alias("qty_price_corr"),
+            cents(F.covar_samp("l_quantity", "l_extendedprice")).alias(
+                "qty_price_covar"
             ),
-            F.min("o_totalprice").alias("min_price"),
-            F.max("o_totalprice").alias("max_price"),
+            cents(F.stddev_samp("l_extendedprice")).alias("price_stddev"),
+            r6(F.var_samp("l_quantity")).alias("qty_var"),
+            cents(F.percentile("l_extendedprice", F.lit(0.25))).alias("p25"),
+            cents(F.percentile("l_extendedprice", F.lit(0.50))).alias("p50"),
+            cents(F.percentile("l_extendedprice", F.lit(0.75))).alias("p75"),
         )
     )
 
 
 @query(
     "agg_distinct",
+    extra=True,
     oracle="""
     SELECT l_returnflag,
            count(DISTINCT l_partkey) AS n_parts,
@@ -167,7 +209,7 @@ def agg_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("approx_distinct")  # sketch output engine-specific → rows-only check
+@query("approx_distinct", extra=True)  # sketch output → rows-only
 def approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     """HyperLogLog++ distinct estimate — the 100 TB path for distincts.
 
@@ -187,6 +229,7 @@ def approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "agg_rollup",
+    extra=True,
     oracle="""
     SELECT o_orderstatus, o_orderpriority, count(*) AS n_orders,
            CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS DOUBLE) / 100.0
@@ -209,6 +252,7 @@ def agg_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "agg_cube",
+    extra=True,
     oracle="""
     SELECT l_returnflag, l_linestatus, count(*) AS n_rows,
            CAST(sum(CAST(round(l_quantity * 10000) AS BIGINT)) AS DOUBLE) / 10000.0
@@ -231,6 +275,7 @@ def agg_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "agg_grouping_sets",
+    extra=True,
     oracle="""
     SELECT o_orderstatus, o_orderpriority, count(*) AS n_orders
     FROM orders
@@ -246,6 +291,44 @@ def agg_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM orders
         GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
         """
+    )
+
+
+@query(
+    "agg_grouping",
+    oracle="""
+    SELECT o_orderstatus, o_orderpriority,
+           CAST(grouping(o_orderstatus) AS BIGINT)   AS g_status,
+           CAST(grouping(o_orderpriority) AS BIGINT) AS g_priority,
+           CAST(2 * grouping(o_orderstatus) + grouping(o_orderpriority)
+                AS BIGINT)                           AS gid,
+           count(*)                                  AS n_orders,
+           CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS DOUBLE)
+               / 100.0                               AS sum_price
+    FROM orders
+    GROUP BY CUBE (o_orderstatus, o_orderpriority)
+    """,
+)
+def agg_grouping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multidimensional grouping surface in one query: CUBE over
+    (status, priority) — all four grouping sets, subsuming ROLLUP — with
+    grouping() flags and grouping_id() so consumers can tell a subtotal
+    row from a NULL group key. Consolidates the former agg_rollup /
+    agg_cube / agg_grouping_sets / agg_grouping_id entries (kept as
+    extras exercising the dedicated rollup()/GROUPING SETS APIs).
+    Catalyst plans one Expand + hash aggregate: shuffle rows = groups ×
+    sets, never a re-scan per set.
+    """
+    return (
+        _t(spark, sf_dir, "orders")
+        .cube("o_orderstatus", "o_orderpriority")
+        .agg(
+            F.grouping("o_orderstatus").cast("long").alias("g_status"),
+            F.grouping("o_orderpriority").cast("long").alias("g_priority"),
+            F.grouping_id().cast("long").alias("gid"),
+            F.count(F.lit(1)).alias("n_orders"),
+            unfixed(F.sum(fixed("o_totalprice"))).alias("sum_price"),
+        )
     )
 
 
@@ -290,6 +373,7 @@ def filter_project(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "case_when",
+    extra=True,
     oracle="""
     SELECT c_custkey,
            CASE WHEN c_acctbal < 0 THEN 'delinquent'
@@ -386,6 +470,7 @@ def join_left_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "join_semi",
+    extra=True,
     oracle="""
     SELECT c_custkey, c_name FROM customer
     WHERE EXISTS (SELECT 1 FROM orders
@@ -403,6 +488,7 @@ def join_semi(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "join_anti",
+    extra=True,
     oracle="""
     SELECT c_custkey, c_name FROM customer
     WHERE NOT EXISTS (SELECT 1 FROM orders
@@ -415,6 +501,85 @@ def join_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = _t(spark, sf_dir, "orders").filter(F.col("o_totalprice") > 400000)
     return c.join(o, c.c_custkey == o.o_custkey, "left_anti").select(
         "c_custkey", "c_name"
+    )
+
+
+@query(
+    "join_semi_anti",
+    oracle="""
+    SELECT c_custkey, c_name, 'has_big_order' AS side FROM customer
+    WHERE EXISTS (SELECT 1 FROM orders
+                  WHERE o_custkey = c_custkey AND o_totalprice > 400000)
+    UNION ALL
+    SELECT c_custkey, c_name, 'no_big_order' AS side FROM customer
+    WHERE NOT EXISTS (SELECT 1 FROM orders
+                      WHERE o_custkey = c_custkey AND o_totalprice > 400000)
+    """,
+)
+def join_semi_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left-semi + left-anti joins (EXISTS / NOT EXISTS) in one tagged
+    result: customers partitioned by whether they placed a >400k order.
+    Both joins probe the same filtered-and-broadcast orders side, so the
+    customer scan is the only large input and it is never shuffled.
+    (Former join_semi / join_anti entries kept as extras.)
+    """
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders").filter(F.col("o_totalprice") > 400000)
+    semi = c.join(o, c.c_custkey == o.o_custkey, "left_semi").select(
+        "c_custkey", "c_name", F.lit("has_big_order").alias("side")
+    )
+    anti = c.join(o, c.c_custkey == o.o_custkey, "left_anti").select(
+        "c_custkey", "c_name", F.lit("no_big_order").alias("side")
+    )
+    return semi.union(anti)
+
+
+@query(
+    "join_outer_cross",
+    oracle="""
+    WITH c AS (SELECT c_nationkey AS nk, count(*) AS n_cust
+               FROM customer GROUP BY c_nationkey),
+         s AS (SELECT s_nationkey AS nk, count(*) AS n_supp
+               FROM supplier GROUP BY s_nationkey),
+         t AS (SELECT count(*) AS total_cust FROM customer)
+    SELECT coalesce(c.nk, s.nk) AS nationkey,
+           coalesce(n_cust, 0)  AS n_cust,
+           coalesce(n_supp, 0)  AS n_supp,
+           total_cust
+    FROM c FULL OUTER JOIN s ON c.nk = s.nk CROSS JOIN t
+    """,
+)
+def join_outer_cross(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full-outer join of two aggregates (customer vs supplier presence
+    per nation) cross-joined with a broadcast 1-row global total.
+
+    Both sides pre-aggregate to |nations| rows before the full-outer
+    shuffle — tiny regardless of fact size (aggregate-then-join). The
+    CROSS JOIN is the legitimate kind: a broadcast scalar attached to
+    every row. (Former join_full / join_cross entries kept as extras.)
+    """
+    c = (
+        _t(spark, sf_dir, "customer")
+        .groupBy(F.col("c_nationkey").alias("nk"))
+        .agg(F.count(F.lit(1)).alias("n_cust"))
+    )
+    s = (
+        _t(spark, sf_dir, "supplier")
+        .groupBy(F.col("s_nationkey").alias("nk"))
+        .agg(F.count(F.lit(1)).alias("n_supp"))
+    )
+    t = _t(spark, sf_dir, "customer").agg(
+        F.count(F.lit(1)).alias("total_cust")
+    )
+    return (
+        c.join(s, "nk", "full_outer")
+        .crossJoin(F.broadcast(t))
+        .select(
+            F.coalesce(c["nk"], s["nk"]).alias("nationkey"),
+            F.coalesce("n_cust", F.lit(0)).alias("n_cust"),
+            F.coalesce("n_supp", F.lit(0)).alias("n_supp"),
+            "total_cust",
+        )
     )
 
 
@@ -527,6 +692,7 @@ def join_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "join_asof_tolerance",
+    extra=True,
     oracle="""
     SELECT p.event_id, p.user_id, p.ts,
            CASE WHEN c.ts >= p.ts - INTERVAL 30 MINUTE THEN c.ts END
@@ -564,6 +730,7 @@ def join_asof_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "window_rank",
+    extra=True,
     oracle="""
     SELECT o_orderkey, o_custkey, o_totalprice,
            row_number() OVER (PARTITION BY o_custkey
@@ -591,6 +758,56 @@ def window_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "window_fns",
+    oracle="""
+    SELECT o_orderkey, o_custkey, o_totalprice,
+           row_number() OVER (PARTITION BY o_custkey
+                              ORDER BY o_totalprice DESC, o_orderkey) AS rn,
+           rank()       OVER wd AS rnk,
+           dense_rank() OVER wd AS drnk,
+           ntile(4)     OVER wa AS quartile,
+           CAST(round(percent_rank() OVER wa * 1000000) AS BIGINT)
+               / 1000000.0 AS pct_rank,
+           CAST(round(cume_dist() OVER wa * 1000000) AS BIGINT)
+               / 1000000.0 AS cume,
+           lag(o_totalprice)  OVER wa AS prev_price,
+           lead(o_totalprice) OVER wa AS next_price
+    FROM orders
+    WINDOW wd AS (PARTITION BY o_custkey ORDER BY o_totalprice DESC),
+           wa AS (PARTITION BY o_custkey ORDER BY o_totalprice, o_orderkey)
+    """,
+)
+def window_fns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Window-function surface in one pass over orders: ranking
+    (row_number/rank/dense_rank), distribution (ntile/percent_rank/
+    cume_dist), and analytic offsets (lag/lead). Consolidates the former
+    window_rank / window_ntile / window_lag_lead entries (kept as
+    extras). All specs share the o_custkey partitioning, so Catalyst
+    plans a single exchange + sort feeding every window operator —
+    shuffle once, compute eight functions.
+    """
+    w_tb = Window.partitionBy("o_custkey").orderBy(
+        F.col("o_totalprice").desc(), F.col("o_orderkey")
+    )
+    wd = Window.partitionBy("o_custkey").orderBy(F.col("o_totalprice").desc())
+    wa = Window.partitionBy("o_custkey").orderBy("o_totalprice", "o_orderkey")
+    r6 = lambda c: (F.round(c * 1000000, 0).cast("long") / F.lit(1000000.0))  # noqa: E731
+    return _t(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        "o_custkey",
+        "o_totalprice",
+        F.row_number().over(w_tb).alias("rn"),
+        F.rank().over(wd).alias("rnk"),
+        F.dense_rank().over(wd).alias("drnk"),
+        F.ntile(4).over(wa).alias("quartile"),
+        r6(F.percent_rank().over(wa)).alias("pct_rank"),
+        r6(F.cume_dist().over(wa)).alias("cume"),
+        F.lag("o_totalprice").over(wa).alias("prev_price"),
+        F.lead("o_totalprice").over(wa).alias("next_price"),
+    )
+
+
+@query(
     "window_running",
     oracle="""
     SELECT event_id, user_id, ts, value,
@@ -602,16 +819,28 @@ def window_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
                       ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS DOUBLE) / 100.0
                / count(*) OVER (PARTITION BY user_id ORDER BY ts, event_id
                                 ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)
-               AS moving_avg3
+               AS moving_avg3,
+           CAST(sum(CAST(round(value * 100) AS BIGINT))
+                OVER (PARTITION BY user_id ORDER BY epoch_us(ts)
+                      RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW)
+                AS DOUBLE) / 100.0 AS sum_1h
     FROM events
     """,
 )
 def window_running(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Running sum + ROWS-frame moving average per user."""
+    """Running sum + ROWS-frame moving average + trailing-1-hour RANGE
+    frame per user (absorbs the former window_range_frame entry, kept as
+    an extra). ROWS and RANGE frames share the user_id partitioning —
+    one exchange serves all three windows."""
     e = _t(spark, sf_dir, "events")
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
     w_run = w.rowsBetween(Window.unboundedPreceding, 0)
     w3 = w.rowsBetween(-2, 0)
+    w1h = (
+        Window.partitionBy("user_id")
+        .orderBy(F.unix_micros("ts"))
+        .rangeBetween(-3_600_000_000, 0)
+    )
     return e.select(
         "event_id",
         "user_id",
@@ -621,11 +850,13 @@ def window_running(spark: SparkSession, sf_dir: str) -> DataFrame:
         (unfixed(F.sum(fixed("value")).over(w3)) / F.count(F.lit(1)).over(w3)).alias(
             "moving_avg3"
         ),
+        unfixed(F.sum(fixed("value")).over(w1h)).alias("sum_1h"),
     )
 
 
 @query(
     "window_lag_lead",
+    extra=True,
     oracle="""
     SELECT event_id, user_id, ts,
            lag(value)  OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_value,
@@ -651,6 +882,7 @@ def window_lag_lead(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "window_range_frame",
+    extra=True,
     oracle="""
     SELECT event_id, user_id, ts,
            CAST(sum(CAST(round(value * 100) AS BIGINT))
@@ -683,6 +915,7 @@ def window_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "sort_limit",
+    extra=True,
     oracle="""
     SELECT o_orderkey, o_custkey, o_totalprice
     FROM orders ORDER BY o_totalprice DESC, o_orderkey LIMIT 20
@@ -730,6 +963,7 @@ def topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "set_union",
+    extra=True,
     oracle="""
     SELECT c_nationkey AS nationkey FROM customer WHERE c_mktsegment = 'BUILDING'
     UNION
@@ -749,6 +983,7 @@ def set_union(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "set_intersect",
+    extra=True,
     oracle="""
     SELECT c_nationkey AS nationkey FROM customer
     INTERSECT
@@ -764,6 +999,7 @@ def set_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "set_except",
+    extra=True,
     oracle="""
     SELECT c_nationkey AS nationkey FROM customer
     EXCEPT
@@ -775,6 +1011,63 @@ def set_except(spark: SparkSession, sf_dir: str) -> DataFrame:
     c = _t(spark, sf_dir, "customer").select(F.col("c_nationkey").alias("nationkey"))
     s = _t(spark, sf_dir, "supplier").select(F.col("s_nationkey").alias("nationkey"))
     return c.subtract(s)
+
+
+@query(
+    "set_ops",
+    oracle="""
+    SELECT 'union' AS op, nationkey, 'building' AS src_filter FROM (
+        SELECT c_nationkey AS nationkey FROM customer
+        WHERE c_mktsegment = 'BUILDING'
+        UNION
+        SELECT s_nationkey FROM supplier)
+    UNION ALL
+    SELECT 'intersect', nationkey, NULL FROM (
+        SELECT c_nationkey AS nationkey FROM customer
+        INTERSECT
+        SELECT s_nationkey FROM supplier)
+    UNION ALL
+    SELECT 'except', nationkey, NULL FROM (
+        SELECT c_nationkey AS nationkey FROM customer
+        EXCEPT
+        SELECT s_nationkey FROM supplier)
+    """,
+)
+def set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Set-operation surface in one tagged result: UNION (distinct),
+    INTERSECT, and EXCEPT over customer/supplier nation-key sets,
+    combined with unionByName(allowMissingColumns=True) — the
+    schema-aligned union (the union branch carries a src_filter column
+    the others null-pad). Consolidates the former set_union /
+    set_intersect / set_except / union_by_name entries (kept as extras).
+    Each set op is a hash-partitioned aggregate/join on the key —
+    linear shuffles, no driver-side set logic.
+    """
+    cb = (
+        _t(spark, sf_dir, "customer")
+        .filter(F.col("c_mktsegment") == "BUILDING")
+        .select(F.col("c_nationkey").alias("nationkey"))
+    )
+    c = _t(spark, sf_dir, "customer").select(
+        F.col("c_nationkey").alias("nationkey")
+    )
+    s = _t(spark, sf_dir, "supplier").select(
+        F.col("s_nationkey").alias("nationkey")
+    )
+    u = (
+        cb.union(s)
+        .distinct()
+        .select(
+            F.lit("union").alias("op"),
+            "nationkey",
+            F.lit("building").alias("src_filter"),
+        )
+    )
+    i = c.intersect(s).select(F.lit("intersect").alias("op"), "nationkey")
+    e = c.subtract(s).select(F.lit("except").alias("op"), "nationkey")
+    return u.unionByName(i, allowMissingColumns=True).unionByName(
+        e, allowMissingColumns=True
+    )
 
 
 # --------------------------------------------------------------------------
@@ -796,13 +1089,28 @@ def set_except(spark: SparkSession, sf_dir: str) -> DataFrame:
            printf('%s/%d', c_mktsegment, c_custkey)        AS seg_key,
            lpad(CAST(c_custkey AS VARCHAR), 10, '0')       AS padded_key,
            regexp_extract(c_name, '([0-9]+)', 1)           AS digits,
-           replace(c_name, 'Customer', 'Cust')             AS short_name
+           replace(c_name, 'Customer', 'Cust')             AS short_name,
+           CAST(len(regexp_extract_all(c_name, '[0-9]+')) AS BIGINT)
+                                                           AS n_digit_runs,
+           regexp_matches(c_name, '00')                    AS has_double_zero,
+           length(regexp_replace(lower(c_name), '[aeiou]', '', 'g'))
+                                                           AS novowel_len,
+           CASE WHEN c_acctbal < 0 THEN 'delinquent'
+                WHEN c_acctbal < 5000 THEN 'standard'
+                ELSE 'premium' END                         AS tier,
+           coalesce(nullif(trim(c_mktsegment), ''), 'UNKNOWN') AS segment
     FROM customer
     """,
 )
 def scalar_string(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """String function surface incl. the reference's split-first idiom
-    (``PreferredLocations.Split(',')[0]``, EtlProcess.cs:257)."""
+    """String + regex + conditional scalar surface in one select,
+    incl. the reference's split-first idiom
+    (``PreferredLocations.Split(',')[0]``, EtlProcess.cs:257), regex
+    extract/extract-all/rlike/global-replace, CASE/WHEN tiers, and the
+    reference's blank-coalesce rule (EtlProcess.cs:251). Consolidates
+    the former scalar_regex / case_when entries (kept as extras).
+    Patterns restricted to syntax Java regex and RE2 parse identically.
+    """
     c = _t(spark, sf_dir, "customer")
     return c.select(
         "c_custkey",
@@ -817,6 +1125,20 @@ def scalar_string(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lpad(F.col("c_custkey").cast("string"), 10, "0").alias("padded_key"),
         F.regexp_extract("c_name", "([0-9]+)", 1).alias("digits"),
         F.expr("replace(c_name, 'Customer', 'Cust')").alias("short_name"),
+        F.size(F.regexp_extract_all("c_name", F.lit("[0-9]+"), 0))
+        .cast("long")
+        .alias("n_digit_runs"),
+        F.col("c_name").rlike("00").alias("has_double_zero"),
+        F.length(F.regexp_replace(F.lower("c_name"), "[aeiou]", "")).alias(
+            "novowel_len"
+        ),
+        F.when(F.col("c_acctbal") < 0, "delinquent")
+        .when(F.col("c_acctbal") < 5000, "standard")
+        .otherwise("premium")
+        .alias("tier"),
+        F.coalesce(
+            F.nullif(F.trim("c_mktsegment"), F.lit("")), F.lit("UNKNOWN")
+        ).alias("segment"),
     )
 
 
@@ -874,14 +1196,23 @@ def scalar_date(spark: SparkSession, sf_dir: str) -> DataFrame:
                                                              AS tax_sq,
            CAST(round(ln(l_extendedprice) * 1000000) AS BIGINT) / 1000000.0
                                                              AS log_price,
-           greatest(l_tax, l_discount)                       AS max_rate
+           greatest(l_tax, l_discount)                       AS max_rate,
+           TRY_CAST(l_returnflag AS INTEGER)                 AS bad_cast,
+           CASE WHEN l_orderkey % 3 = 0 THEN NULL
+                ELSE CAST(round(l_quantity / (l_orderkey % 3) * 1000000)
+                          AS BIGINT) / 1000000.0 END         AS safe_div,
+           l_returnflag IS NOT DISTINCT FROM 'R'             AS is_return
     FROM lineitem
     """,
 )
 def scalar_math(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Math scalar surface (reference analogs: rnd.Next :224, modulo
-    round-robin :236)."""
+    """Math + error-safe scalar surface (reference analogs: rnd.Next
+    :224, modulo round-robin :236) incl. the ANSI-mode data-cleaning
+    trio absorbed from the former scalar_try entry (kept as an extra):
+    try_cast (bad casts → NULL, not runtime error), try_divide (÷0 →
+    NULL), and null-safe equality (<=>)."""
     l = _t(spark, sf_dir, "lineitem")
+    div = F.try_divide(F.col("l_quantity"), F.pmod("l_orderkey", F.lit(3)))
     return l.select(
         "l_orderkey",
         "l_linenumber",
@@ -896,6 +1227,9 @@ def scalar_math(spark: SparkSession, sf_dir: str) -> DataFrame:
         unfixed(fixed(F.pow(1 + F.col("l_tax"), 2), 1000000), 1000000).alias("tax_sq"),
         unfixed(fixed(F.log("l_extendedprice"), 1000000), 1000000).alias("log_price"),
         F.greatest("l_tax", "l_discount").alias("max_rate"),
+        F.col("l_returnflag").try_cast("int").alias("bad_cast"),
+        unfixed(fixed(div, 1000000), 1000000).alias("safe_div"),
+        F.col("l_returnflag").eqNullSafe(F.lit("R")).alias("is_return"),
     )
 
 
@@ -926,6 +1260,7 @@ def json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "array_fns",
+    extra=True,
     oracle="""
     SELECT vec_id,
            CAST(len(embedding) AS INT)                       AS dim,
@@ -963,6 +1298,7 @@ def array_fns(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "array_explode",
+    extra=True,
     oracle="""
     SELECT vec_id, x.pos, x.val FROM (
         SELECT vec_id,
@@ -978,6 +1314,64 @@ def array_explode(spark: SparkSession, sf_dir: str) -> DataFrame:
     return em.select(
         "vec_id", F.posexplode("embedding").alias("pos", "v")
     ).select("vec_id", "pos", F.round(F.col("v").cast("double"), 4).alias("val"))
+
+
+@query(
+    "array_agg_fns",
+    oracle="""
+    SELECT vec_id,
+           CAST(len(embedding) AS INT)                       AS dim,
+           round(CAST(embedding[1] AS DOUBLE), 4)            AS first_val,
+           round(sqrt(list_sum(list_transform(embedding,
+                 x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))), 4) AS l2_norm,
+           round(CAST(list_aggregate(embedding, 'max') AS DOUBLE), 4) AS arr_max,
+           CAST(len(list_filter(embedding, x -> x > 0)) AS INT)       AS n_pos,
+           list_aggregate(list_transform(embedding[1:3],
+                 x -> CAST(CAST(round(CAST(x AS DOUBLE) * 10000) AS BIGINT)
+                           AS VARCHAR)), 'string_agg', '|')           AS head_csv
+    FROM embeddings WHERE vec_id < 50
+    """,
+)
+def array_agg_fns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Array round-trip: posexplode each embedding to (pos, val) rows,
+    re-assemble per vector with array_sort(collect_list(struct(pos,
+    val))) — the deterministic form of collection aggregation — then
+    apply the higher-order-function surface (aggregate fold, array_max,
+    filter, slice + array_join) on the rebuilt array. Consolidates the
+    former array_fns / array_explode / agg_collect entries (kept as
+    extras). Everything is JVM-side; collect_list is made
+    partition-order-independent by sorting on the carried position.
+    """
+    em = _t(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 50)
+    ex = em.select(
+        "vec_id", F.posexplode("embedding").alias("pos", "v")
+    ).select("vec_id", "pos", F.col("v").cast("double").alias("val"))
+    rebuilt = (
+        ex.groupBy("vec_id")
+        .agg(
+            F.array_sort(F.collect_list(F.struct("pos", "val"))).alias("pv")
+        )
+        .select(
+            "vec_id", F.transform("pv", lambda s: s["val"]).alias("arr")
+        )
+    )
+    return rebuilt.select(
+        "vec_id",
+        F.size("arr").alias("dim"),
+        F.round(F.element_at("arr", 1), 4).alias("first_val"),
+        F.round(
+            F.sqrt(F.aggregate("arr", F.lit(0.0), lambda a, v: a + v * v)), 4
+        ).alias("l2_norm"),
+        F.round(F.array_max("arr"), 4).alias("arr_max"),
+        F.size(F.filter("arr", lambda v: v > 0)).alias("n_pos"),
+        F.array_join(
+            F.transform(
+                F.slice("arr", 1, 3),
+                lambda v: F.round(v * 10000, 0).cast("long").cast("string"),
+            ),
+            "|",
+        ).alias("head_csv"),
+    )
 
 
 # --------------------------------------------------------------------------

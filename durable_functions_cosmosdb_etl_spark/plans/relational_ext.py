@@ -29,6 +29,7 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 
 @query(
     "join_full",
+    extra=True,
     oracle="""
     WITH c AS (SELECT c_nationkey AS nk, count(*) AS n_cust
                FROM customer GROUP BY c_nationkey),
@@ -65,6 +66,7 @@ def join_full(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "join_cross",
+    extra=True,
     oracle="""
     SELECT r_name, o_orderstatus
     FROM region CROSS JOIN (SELECT DISTINCT o_orderstatus FROM orders) s
@@ -133,6 +135,7 @@ def agg_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "agg_percentile",
+    extra=True,
     oracle="""
     SELECT o_orderstatus,
            CAST(round(quantile_cont(o_totalprice, 0.25) * 100) AS BIGINT)
@@ -173,6 +176,7 @@ def agg_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "subquery_in",
+    extra=True,
     oracle="""
     SELECT o_orderkey, o_custkey, o_totalprice
     FROM orders
@@ -197,6 +201,7 @@ def subquery_in(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "subquery_exists",
+    extra=True,
     oracle="""
     SELECT c_custkey, c_name
     FROM customer c
@@ -224,6 +229,7 @@ def subquery_exists(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "subquery_scalar",
+    extra=True,
     oracle="""
     SELECT p_partkey, p_name, p_retailprice
     FROM part
@@ -259,6 +265,7 @@ def subquery_scalar(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "window_ntile",
+    extra=True,
     oracle="""
     SELECT o_orderkey, o_orderstatus,
            ntile(4) OVER w                                       AS quartile,
@@ -335,6 +342,7 @@ def map_fns(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "agg_grouping_id",
+    extra=True,
     oracle="""
     SELECT l_returnflag, l_linestatus,
            CAST(grouping(l_returnflag) AS BIGINT)  AS g_rf,
@@ -358,6 +366,7 @@ def agg_grouping_id(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "agg_corr",
+    extra=True,
     oracle="""
     SELECT l_returnflag,
            CAST(round(corr(l_quantity, l_extendedprice) * 1000000) AS BIGINT)
@@ -393,6 +402,7 @@ def agg_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "retention_cohorts",
+    extra=True,
     oracle="""
     WITH act AS (
         SELECT DISTINCT user_id,
@@ -430,6 +440,7 @@ def retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "agg_histogram",
+    extra=True,
     oracle="""
     SELECT greatest(0, least(12, CAST(floor(o_totalprice / 50000) AS BIGINT)))
                AS bucket,
@@ -459,6 +470,7 @@ def agg_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "text_source_entropy",
+    extra=True,
     oracle="""
     WITH c AS (SELECT source, lang, count(*) AS n
                FROM documents GROUP BY source, lang),
@@ -560,6 +572,7 @@ def join_sixway_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "funnel_conversion",
+    extra=True,
     oracle="""
     WITH per_user AS (
         SELECT user_id,
@@ -612,6 +625,7 @@ def funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "agg_collect",
+    extra=True,
     oracle="""
     SELECT o_orderstatus,
            list_sort(list_distinct(list(o_orderpriority)))   AS priorities,
@@ -639,6 +653,7 @@ def agg_collect(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "scalar_try",
+    extra=True,
     oracle="""
     SELECT event_id,
            TRY_CAST(event_type AS INTEGER)        AS bad_cast,
@@ -675,6 +690,7 @@ def scalar_try(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "union_by_name",
+    extra=True,
     oracle="""
     SELECT c_name AS name, c_acctbal AS acctbal, 'customer' AS src,
            CAST(NULL AS BIGINT) AS supp_id
@@ -710,3 +726,76 @@ def union_by_name(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return c.unionByName(s, allowMissingColumns=True)
+
+
+@query(
+    "sql_front_door",
+    oracle="""
+    WITH monthly AS (
+        SELECT o_custkey,
+               CAST(date_trunc('month', o_orderdate) AS TIMESTAMP) AS month,
+               CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS DOUBLE)
+                   / 100.0 AS spend
+        FROM orders
+        WHERE o_custkey IN
+            (SELECT c_custkey FROM customer WHERE c_acctbal > 1000.0)
+        GROUP BY o_custkey, date_trunc('month', o_orderdate)),
+    ranked AS (
+        SELECT o_custkey, month, spend,
+               row_number() OVER (PARTITION BY month
+                                  ORDER BY spend DESC, o_custkey) AS rnk
+        FROM monthly)
+    SELECT r.o_custkey, r.month, r.spend, r.rnk
+    FROM ranked r
+    WHERE r.rnk <= 5
+      AND EXISTS (SELECT 1 FROM customer c
+                  WHERE c.c_custkey = r.o_custkey
+                    AND c.c_mktsegment <> 'MACHINERY')
+      AND r.spend > (SELECT CAST(sum(CAST(round(o_totalprice * 100)
+                                          AS BIGINT)) AS DOUBLE)
+                            / 100.0 / count(*)
+                     FROM orders)
+    """,
+)
+def sql_front_door(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The engine's full SQL surface in one statement: chained CTEs, an
+    aggregate, a ranking window, an uncorrelated IN-subquery (Catalyst →
+    left-semi join), a correlated EXISTS (decorrelated to a semi join on
+    the correlation key), and a scalar subquery (computed once,
+    broadcast into the filter) — exactly as a SQL user would write it.
+    Consolidates the former sql_cte_window / subquery_in /
+    subquery_exists / subquery_scalar entries (kept as extras). The
+    scalar threshold is a fixed-point mean so it is bit-identical across
+    engines.
+    """
+    register_views(spark, sf_dir, ("orders", "customer"))
+    return spark.sql(
+        """
+        WITH monthly AS (
+            SELECT o_custkey,
+                   date_trunc('month', CAST(o_orderdate AS TIMESTAMP))
+                       AS month,
+                   CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT))
+                        AS DOUBLE) / 100.0 AS spend
+            FROM orders
+            WHERE o_custkey IN
+                (SELECT c_custkey FROM customer WHERE c_acctbal > 1000.0)
+            GROUP BY o_custkey, date_trunc('month',
+                                           CAST(o_orderdate AS TIMESTAMP))),
+        ranked AS (
+            SELECT o_custkey, month, spend,
+                   row_number() OVER (PARTITION BY month
+                                      ORDER BY spend DESC, o_custkey) AS rnk
+            FROM monthly)
+        SELECT r.o_custkey, r.month, r.spend, r.rnk
+        FROM ranked r
+        WHERE r.rnk <= 5
+          AND EXISTS (SELECT 1 FROM customer c
+                      WHERE c.c_custkey = r.o_custkey
+                        AND c.c_mktsegment <> 'MACHINERY')
+          AND r.spend > (SELECT CAST(sum(CAST(round(o_totalprice * 100)
+                                              AS BIGINT)) AS DOUBLE)
+                                / 100.0 / count(*)
+                         FROM orders)
+        """
+    )

@@ -26,6 +26,7 @@ def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "window_tumbling",
+    extra=True,
     oracle="""
     SELECT CAST(time_bucket(INTERVAL '1 hour', ts) AS TIMESTAMP) AS window_start,
            event_type, count(*) AS n_events,
@@ -60,6 +61,7 @@ def window_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "window_sliding",
+    extra=True,
     oracle="""
     WITH starts AS (
         SELECT CAST(time_bucket(INTERVAL '30 minutes', ts) AS TIMESTAMP)
@@ -86,6 +88,68 @@ def window_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select(F.col("w.start").alias("window_start"), "n_events", "total_value")
     )
+
+
+@query(
+    "window_tumbling_sliding",
+    oracle="""
+    SELECT 'tumbling' AS kind,
+           CAST(time_bucket(INTERVAL '1 hour', ts) AS TIMESTAMP)
+               AS window_start,
+           count(*) AS n_events,
+           CAST(sum(CAST(round(value * 100) AS BIGINT)) AS DOUBLE) / 100.0
+               AS total_value
+    FROM events GROUP BY 2
+    UNION ALL
+    SELECT 'sliding', window_start, count(*),
+           CAST(sum(CAST(round(value * 100) AS BIGINT)) AS DOUBLE) / 100.0
+    FROM (
+        SELECT CAST(time_bucket(INTERVAL '30 minutes', ts) AS TIMESTAMP)
+                   AS window_start, value FROM events
+        UNION ALL
+        SELECT CAST(time_bucket(INTERVAL '30 minutes', ts) AS TIMESTAMP)
+                   - INTERVAL 30 MINUTE, value FROM events)
+    GROUP BY window_start
+    """,
+)
+def window_tumbling_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling (1 h) and sliding (1 h size / 30 min slide) event-time
+    windows in one tagged result — both via the `window` generator the
+    streaming engine uses; each event lands in one tumbling and two
+    sliding windows. Consolidates the former window_tumbling /
+    window_sliding entries (kept as extras; the live readStream
+    counterparts with watermarks run in tests/test_streaming.py).
+    Scale: map-side partial aggregation keeps shuffle volume
+    O(windows), not O(events).
+    """
+    e = _events(spark, sf_dir)
+    tumbling = (
+        e.groupBy(F.window("ts", "1 hour").alias("w"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            unfixed(F.sum(fixed("value"))).alias("total_value"),
+        )
+        .select(
+            F.lit("tumbling").alias("kind"),
+            F.col("w.start").alias("window_start"),
+            "n_events",
+            "total_value",
+        )
+    )
+    sliding = (
+        e.groupBy(F.window("ts", "1 hour", "30 minutes").alias("w"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            unfixed(F.sum(fixed("value"))).alias("total_value"),
+        )
+        .select(
+            F.lit("sliding").alias("kind"),
+            F.col("w.start").alias("window_start"),
+            "n_events",
+            "total_value",
+        )
+    )
+    return tumbling.union(sliding)
 
 
 @query(

@@ -3,16 +3,32 @@
 Batch LSH dedup (operators/dedup.py) assumes the whole corpus is
 present. A training-data pipeline ingests continuously: each arriving
 micro-batch must be checked against *everything already accepted*
-without rescanning it. This module keeps a persistent accepted-band
-index (parquet; Delta in production) and, per micro-batch:
+without rescanning it. This module keeps a persistent accepted index
+(parquet; Delta in production) and, per micro-batch:
 
 1. shingle + MinHash-sign the batch (same operators as the batch path);
 2. drop in-batch near-dups (batch-local LSH pairs → keep min doc id);
 3. equi-join the batch's bands against the accepted-band index —
    band-hash collision ⇒ candidate; exact-Jaccard verify against the
    colliding docs' stored shingles;
-4. append the survivors' docs to the accepted table and their bands +
-   shingles to the index.
+4. persist the survivors: band index + shingle store + accepted docs,
+   all partitioned by the ingest-batch tag.
+
+Index layout (normalized — shingles are stored ONCE per doc, not once
+per band row):
+
+    {index_dir}/bands/     (doc, band_idx, band_hash)      × LSH_BANDS
+    {index_dir}/shingles/  (doc, sh, n_sh)                 × 1
+    {index_dir}/accepted/  (original batch columns)        × 1
+
+every table partitioned by ``ingest_batch``.
+
+Exactly-once under replay: writes use dynamic partition overwrite keyed
+on a deterministic batch tag (the foreachBatch ``batch_id`` in the
+streaming path), so a crashed-and-replayed batch REWRITES its own
+partitions instead of appending duplicates, and the index probe
+excludes the batch's own partitions — no write-ordering window exists
+in which a crash can either lose docs or leak duplicates.
 
 Scale shape: the per-batch cost is O(batch × bands) for the probe join
 (hash-partitioned on band_hash) — the accepted index is never scanned
@@ -26,20 +42,21 @@ from __future__ import annotations
 
 import os
 
+from pyspark.errors import AnalysisException
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..operators import dedup as dd
 
 _BANDS_SUBDIR = "bands"
+_SHINGLES_SUBDIR = "shingles"
 _DOCS_SUBDIR = "accepted"
+_TAG_COL = "ingest_batch"
 
 
 def _bands_of(sigs: DataFrame) -> DataFrame:
     return sigs.select(
         "doc",
-        "sh",
-        "n_sh",
         F.posexplode(
             F.transform(
                 F.sequence(F.lit(0), F.lit(dd.LSH_BANDS - 1)),
@@ -47,6 +64,45 @@ def _bands_of(sigs: DataFrame) -> DataFrame:
             )
         ).alias("band_idx", "band_hash"),
     )
+
+
+def _read_index_part(
+    spark: SparkSession, path: str, exclude_tag: str
+) -> DataFrame | None:
+    """Read one index table, excluding the current batch's partitions.
+
+    Only a missing path reads as "no index yet" — any other failure
+    (corrupt file, transient FS error) propagates so the batch retries
+    instead of silently skipping the dedup probe and corrupting the
+    corpus.
+    """
+    if "://" not in path and not os.path.isdir(path):
+        return None  # local path, nothing written yet
+    try:
+        df = spark.read.parquet(path)
+    except AnalysisException as e:
+        if "PATH_NOT_FOUND" in str(e) or "Path does not exist" in str(e):
+            return None
+        raise
+    return df.filter(F.col(_TAG_COL) != exclude_tag).drop(_TAG_COL)
+
+
+def _write_partition(df: DataFrame, path: str) -> None:
+    """Dynamic-partition-overwrite write of one batch's partition.
+
+    The mode is set as a per-write OPTION (not session conf) because
+    inside foreachBatch the writes execute on the streaming-clone
+    session, whose conf a setting on the outer session doesn't reach.
+    """
+    df.write.mode("overwrite").option(
+        "partitionOverwriteMode", "dynamic"
+    ).partitionBy(_TAG_COL).parquet(path)
+
+
+def _jaccard(sh_a, sh_b):  # noqa: ANN001 - Column exprs
+    return F.size(F.array_intersect(sh_a, sh_b)).cast("double") / F.size(
+        F.array_union(sh_a, sh_b)
+    ).cast("double")
 
 
 def dedup_batch_against_index(
@@ -57,104 +113,123 @@ def dedup_batch_against_index(
     text_col: str = "text",
     n: int = 3,
     threshold: float = 0.5,
+    batch_tag: str | None = None,
 ) -> DataFrame:
     """Process one micro-batch; returns the accepted (unique) rows.
 
-    Appends accepted docs to ``{index_dir}/accepted`` and their band
-    index to ``{index_dir}/bands``; both grow monotonically — rerunning
-    a batch of already-accepted docs yields zero new acceptances (the
-    docs now collide with their own index entries), which is the
-    idempotency the at-least-once source needs.
+    ``batch_tag`` keys this batch's partitions in every index table.
+    Pass a deterministic tag (e.g. the streaming batch_id) to make
+    replays exactly-once: the same partitions are overwritten and the
+    probe ignores them. The default (fresh uuid) gives at-least-once
+    append semantics in which a replayed batch accepts nothing new (its
+    docs collide with their own earlier index entries).
     """
     bands_dir = os.path.join(index_dir, _BANDS_SUBDIR)
+    shingles_dir = os.path.join(index_dir, _SHINGLES_SUBDIR)
     docs_dir = os.path.join(index_dir, _DOCS_SUBDIR)
+    if batch_tag is None:
+        import uuid as _uuid
+
+        batch_tag = str(_uuid.uuid4())
 
     sigs = dd.minhash_signatures(batch, id_col, text_col, n).cache()
+    shingles = sigs.select("doc", "sh", "n_sh")
     bands = _bands_of(sigs).cache()
 
-    # (2) in-batch dedup: batch-local LSH pairs, drop the larger id.
+    # (2) in-batch dedup: batch-local LSH candidates (bands carry only
+    # ids — shingles join in once, not 16× per band row), exact verify,
+    # drop the larger id.
     a, b = bands.alias("a"), bands.alias("b")
-    local_pairs = (
+    cand_local = (
         a.join(
             b,
             (F.col("a.band_idx") == F.col("b.band_idx"))
             & (F.col("a.band_hash") == F.col("b.band_hash"))
             & (F.col("a.doc") < F.col("b.doc")),
         )
-        .select(
-            F.col("a.doc").alias("doc_a"),
-            F.col("b.doc").alias("doc_b"),
-            F.col("a.sh").alias("sh_a"),
-            F.col("a.n_sh").alias("na"),
-            F.col("b.sh").alias("sh_b"),
-            F.col("b.n_sh").alias("nb"),
-        )
+        .select(F.col("a.doc").alias("doc_a"), F.col("b.doc").alias("doc_b"))
         .distinct()
-        .withColumn(
-            "jaccard",
-            F.size(F.array_intersect("sh_a", "sh_b")).cast("double")
-            / F.size(F.array_union("sh_a", "sh_b")).cast("double"),
-        )
-        .filter(F.col("jaccard") >= threshold)
     )
-    local_dupes = local_pairs.select(F.col("doc_b").alias("doc")).distinct()
-    survivors = bands.join(local_dupes, "doc", "left_anti")
+    local_dupes = (
+        cand_local.join(
+            shingles.select(
+                F.col("doc").alias("doc_a"), F.col("sh").alias("sh_a")
+            ),
+            "doc_a",
+        )
+        .join(
+            shingles.select(
+                F.col("doc").alias("doc_b"), F.col("sh").alias("sh_b")
+            ),
+            "doc_b",
+        )
+        .filter(_jaccard(F.col("sh_a"), F.col("sh_b")) >= threshold)
+        .select(F.col("doc_b").alias("doc"))
+        .distinct()
+    )
+    survivor_bands = bands.join(local_dupes, "doc", "left_anti")
 
-    # (3) probe the accepted index (if it exists yet).
-    try:
-        idx = spark.read.parquet(bands_dir)
-        have_index = True
-    except Exception:
-        have_index = False
-    if have_index:
-        cand = (
-            survivors.alias("s")
+    # (3) probe the accepted index (excluding this batch's partitions).
+    idx_bands = _read_index_part(spark, bands_dir, batch_tag)
+    if idx_bands is not None:
+        idx_shingles = _read_index_part(spark, shingles_dir, batch_tag)
+        cand_idx = (
+            survivor_bands.alias("s")
             .join(
-                idx.alias("i"),
+                idx_bands.alias("i"),
                 (F.col("s.band_idx") == F.col("i.band_idx"))
                 & (F.col("s.band_hash") == F.col("i.band_hash")),
             )
             .select(
-                F.col("s.doc").alias("doc"),
-                F.col("s.sh").alias("sh_new"),
-                F.col("i.sh").alias("sh_old"),
+                F.col("s.doc").alias("doc"), F.col("i.doc").alias("old_doc")
             )
             .distinct()
-            .withColumn(
-                "jaccard",
-                F.size(F.array_intersect("sh_new", "sh_old")).cast("double")
-                / F.size(F.array_union("sh_new", "sh_old")).cast("double"),
-            )
-            .filter(F.col("jaccard") >= threshold)
         )
-        index_dupes = cand.select("doc").distinct()
-        survivors = survivors.join(index_dupes, "doc", "left_anti")
+        index_dupes = (
+            cand_idx.join(shingles.select("doc", "sh"), "doc")
+            .join(
+                idx_shingles.select(
+                    F.col("doc").alias("old_doc"), F.col("sh").alias("sh_old")
+                ),
+                "old_doc",
+            )
+            .filter(_jaccard(F.col("sh"), F.col("sh_old")) >= threshold)
+            .select("doc")
+            .distinct()
+        )
+        survivor_bands = survivor_bands.join(index_dupes, "doc", "left_anti")
 
-    accepted_ids = survivors.select("doc").distinct()
+    accepted_ids = survivor_bands.select("doc").distinct()
     accepted_rows = batch.join(
         accepted_ids.withColumnRenamed("doc", id_col), id_col
     )
 
-    # (4) persist: docs + band index entries of the accepted set. The
-    # docs write carries an ingest-batch lineage id (the reference's
-    # TransformBatch pattern, EtlProcess.cs:194,256) — and the RETURN
-    # value is a read-back filtered on it: the lazy plan above references
-    # the band index we are about to append to, so re-evaluating it
-    # after the append would see the batch's own entries and reject
-    # everything. Reading back the written files is the stable snapshot.
-    import uuid as _uuid
-
-    tag = str(_uuid.uuid4())
-    accepted_rows.withColumn("ingest_batch", F.lit(tag)).write.mode(
-        "append"
-    ).parquet(docs_dir)
-    survivors.select("doc", "sh", "n_sh", "band_idx", "band_hash").write.mode(
-        "append"
-    ).parquet(bands_dir)
+    # (4) persist under this batch's partition in every table. Dynamic
+    # partition overwrite makes the whole step idempotent per tag: a
+    # replay rewrites partitions {tag} and touches nothing else, so
+    # there is no ordering window between the three writes in which a
+    # crash loses docs (bands-without-docs) or leaks duplicates
+    # (docs-without-bands). The RETURN value is a read-back of the docs
+    # table pruned to this partition — the lazy plan above references
+    # the index tables we just wrote, so re-evaluating it later would
+    # see the batch's own entries and reject everything; the written
+    # files are the stable snapshot (and the partition filter prunes the
+    # read to this batch's files only).
+    tagged = F.lit(batch_tag).alias(_TAG_COL)
+    _write_partition(
+        survivor_bands.select("doc", "band_idx", "band_hash", tagged), bands_dir
+    )
+    _write_partition(
+        shingles.join(accepted_ids, "doc").select("doc", "sh", "n_sh", tagged),
+        shingles_dir,
+    )
+    _write_partition(accepted_rows.select("*", tagged), docs_dir)
+    sigs.unpersist()
+    bands.unpersist()
     return (
         spark.read.parquet(docs_dir)
-        .filter(F.col("ingest_batch") == tag)
-        .drop("ingest_batch")
+        .filter(F.col(_TAG_COL) == batch_tag)
+        .drop(_TAG_COL)
     )
 
 
@@ -167,11 +242,18 @@ def streaming_dedup_ingest(
     threshold: float = 0.5,
 ):
     """Continuous form: each file micro-batch is deduped against the
-    accumulated index inside foreachBatch."""
+    accumulated index inside foreachBatch. The streaming ``batch_id`` is
+    the partition tag, so a batch replayed after a crash overwrites its
+    own partitions — exactly-once output from an at-least-once source.
+    """
 
     def process(batch_df, batch_id: int) -> None:
         dedup_batch_against_index(
-            spark, batch_df, index_dir, threshold=threshold
+            spark,
+            batch_df,
+            index_dir,
+            threshold=threshold,
+            batch_tag=f"b{batch_id}",
         )
 
     src = (

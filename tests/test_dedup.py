@@ -145,3 +145,48 @@ def test_streaming_dedup_ingest_end_to_end(spark, tmp_path):
         r.doc_id for r in spark.read.parquet(f"{idx}/accepted").collect()
     }
     assert accepted == {0, 11}
+
+
+def test_incremental_dedup_partition_pruning_and_replay(spark, tmp_path):
+    """The per-batch read-back prunes to the batch's own partition
+    (VERDICT r01 #4), and a deterministic batch tag makes replays
+    exactly-once: same partitions overwritten, no duplicates, no loss."""
+    from durable_functions_cosmosdb_etl_spark.streaming.dedup_incremental import (
+        dedup_batch_against_index,
+    )
+
+    idx = str(tmp_path / "index")
+    b1 = spark.createDataFrame(
+        [(0, "alpha beta gamma delta epsilon zeta eta theta iota kappa")],
+        "doc_id long, text string",
+    )
+    b2 = spark.createDataFrame(
+        [(10, "totally fresh words about catalyst optimizer rule batches")],
+        "doc_id long, text string",
+    )
+    acc1 = dedup_batch_against_index(spark, b1, idx, batch_tag="b0")
+    assert {r.doc_id for r in acc1.collect()} == {0}
+    acc2 = dedup_batch_against_index(spark, b2, idx, batch_tag="b1")
+    assert {r.doc_id for r in acc2.collect()} == {10}
+    # read-back prunes to the batch's own partition: the scan carries a
+    # PartitionFilter on the tag (inputFiles() lists the pre-pruning
+    # relation, so inspect the physical plan instead)
+    plan = acc2._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan
+    assert "ingest_batch" in plan.split("PartitionFilters", 1)[1][:200]
+
+    # replay batch 2 under the SAME tag: its partition is rewritten in
+    # place — the returned acceptance is identical (not empty, not
+    # duplicated) and the stored table still has exactly one row per doc
+    acc2r = dedup_batch_against_index(spark, b2, idx, batch_tag="b1")
+    assert {r.doc_id for r in acc2r.collect()} == {10}
+    accepted = spark.read.parquet(f"{idx}/accepted")
+    assert sorted(r.doc_id for r in accepted.collect()) == [0, 10]
+    # the band index holds each doc's bands exactly once after replay
+    from durable_functions_cosmosdb_etl_spark.operators.dedup import LSH_BANDS
+
+    bands = spark.read.parquet(f"{idx}/bands")
+    assert bands.count() == 2 * LSH_BANDS
+    # shingles stored once per doc, not once per band row
+    shingles = spark.read.parquet(f"{idx}/shingles")
+    assert shingles.count() == 2

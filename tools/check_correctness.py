@@ -5,7 +5,12 @@ at the given SF, comparing row count, sorted column names, and an
 order-insensitive value hash (rows stringified, column-name-sorted,
 multiset-hashed). Usage:
 
-    python tools/check_correctness.py [sf_dir] [query ...]
+    python tools/check_correctness.py [--extras] [sf_dir] [query ...]
+
+``--extras`` additionally checks the secondary-tier queries
+(plans.registry.EXTRA_QUERIES) the driver never sees. Rows-only queries
+are also canonicalized the way the driver does (pandas sort over every
+column) so unhashable column types fail HERE, not in the driver.
 """
 
 from __future__ import annotations
@@ -57,8 +62,11 @@ def value_hash(cols: list[str], rows: list[tuple]) -> str:
 
 
 def main() -> int:
-    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
-    only = set(sys.argv[2:])
+    args = sys.argv[1:]
+    extras = "--extras" in args
+    args = [a for a in args if a != "--extras"]
+    sf_dir = args[0] if args else "/root/testdata/sf0.01"
+    only = set(args[1:])
     spark = get_spark("correctness-check")
     con = duckdb.connect()
     for t in TABLES:
@@ -67,6 +75,11 @@ def main() -> int:
         )
     qs = entrymod.queries()
     oracles = entrymod.oracle_sql()
+    if extras:
+        from durable_functions_cosmosdb_etl_spark.plans import registry
+
+        qs = {**qs, **registry.EXTRA_QUERIES}
+        oracles = {**oracles, **registry.EXTRA_ORACLES}
     n_pass = n_fail = n_rowsonly = 0
     for name, fn in qs.items():
         if only and name not in only:
@@ -81,6 +94,20 @@ def main() -> int:
             n_fail += 1
             continue
         if name not in oracles:
+            # Emulate the driver's rows-only canonicalization: pandas
+            # sort over every column — dies on unhashable cell types
+            # (lists/dicts), which is exactly what killed
+            # multimodal_decode in CORRECTNESS_r01.
+            try:
+                import pandas as _pd
+
+                pdf = _pd.DataFrame(srows, columns=scols)
+                if len(pdf):
+                    pdf.sort_values(by=list(pdf.columns))
+            except Exception as e:
+                print(f"FAIL {name}: rows-only canonicalization: {e}")
+                n_fail += 1
+                continue
             print(f"rows-only {name}: {len(srows)} rows ({time.time()-t0:.1f}s)")
             n_rowsonly += 1
             continue
