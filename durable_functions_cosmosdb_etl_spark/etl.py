@@ -80,7 +80,12 @@ def run_batch_etl(
             batch_id=batch,
             clock=clock,
         )
-        upsert_batch(out, transformed, batch)
+        # Sink version is monotonic epoch-micros (deterministic under an
+        # injected clock), NOT the uuid lineage id: latest_view resolves
+        # last-writer-wins by numeric version order, and a uuid would
+        # leave it to the string-fallback ordering — lexicographic, not
+        # temporal.
+        upsert_batch(out, transformed, int(start.timestamp() * 1_000_000))
         audit_run(
             spark, audit, start, clock or datetime.now(), True,
             # message analog of EtlProcess.cs:71 + the :177 count log

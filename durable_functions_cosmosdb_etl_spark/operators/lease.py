@@ -8,14 +8,18 @@ one driver per pipeline, but scheduled submissions can still overlap
 (previous run overran its cron slot — exactly the case the reference's
 timeout handles), so the engine keeps the same guard.
 
-Implementation: a JSON state file updated via write-temp + os.replace.
-Atomic replace gives last-writer-wins; the version field (the ETag
-analog) detects a lost race after the fact — the loser observes a
-version it didn't write and backs off (EtlProcess.cs:306-310's
-PreconditionFailed path, checked post-hoc instead of pre-conditioned).
-On a shared filesystem this needs rename atomicity (POSIX/HDFS-like);
-object stores would use a conditional-put (If-Match) instead — same
-protocol, different primitive.
+Implementation: winner election via an ATOMIC primitive —
+``os.open(lock, O_CREAT | O_EXCL)`` creates the lock file for exactly
+one contender (the filesystem analog of the reference's ETag-
+conditional upsert: contended creation fails for everyone but one,
+EtlProcess.cs:306-310's PreconditionFailed path). A timed-out lock is
+stolen by atomically renaming it aside (``os.rename`` of the same
+source succeeds for exactly one stealer) and re-running the exclusive
+create. The JSON state file carries metadata only (worker, times,
+forced flag) — it is never the mutual-exclusion mechanism. On a shared
+filesystem this needs O_EXCL + rename atomicity (POSIX/NFSv4/HDFS-
+like); object stores would use a conditional-put (If-Match/
+If-None-Match) instead — same protocol, different primitive.
 """
 
 from __future__ import annotations
@@ -44,6 +48,34 @@ def _write(path: str, state: dict) -> None:
     os.replace(tmp, path)
 
 
+def _lock_path(path: str) -> str:
+    return path + ".lock"
+
+
+def _try_exclusive_create(
+    lock: str, path: str, worker: str, now: datetime, forced: bool
+) -> bool:
+    """One O_CREAT|O_EXCL attempt; on success also writes the metadata
+    state file. Returns False iff the lock already exists."""
+    try:
+        fd = os.open(lock, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+    except FileExistsError:
+        return False
+    with os.fdopen(fd, "w") as f:
+        json.dump({"worker": worker, "start_time": now.isoformat()}, f)
+    _write(
+        path,
+        {
+            "locked": True,
+            "worker": worker,
+            "start_time": now.isoformat(),
+            "forced": forced,
+            "version": str(uuid.uuid4()),
+        },
+    )
+    return True
+
+
 def acquire_lease(
     path: str,
     worker: str,
@@ -55,41 +87,48 @@ def acquire_lease(
     Mirrors GetOrchestrationLeaseAsync: free or timed-out leases are
     (re)acquired — a lease older than ``timeout_min`` is presumed dead
     and stolen (EtlProcess.cs:94,286-292); a live lease means skip this
-    run (:98-102).
+    run (:98-102). Mutual exclusion comes from the exclusive-create of
+    the lock file: two contenders racing on a free lease see exactly one
+    winner (the loser's O_EXCL fails), unlike a write-then-read-back
+    check, which can double-grant.
     """
     now = now or datetime.now()
-    state = _read(path)
-    if state and state.get("locked"):
-        held_at = datetime.fromisoformat(state["start_time"])
-        if now <= held_at + timedelta(minutes=timeout_min):
-            return False  # live lease — skip (EtlProcess.cs:98-102)
-        forced = True
-    else:
-        forced = False
-    version = str(uuid.uuid4())
-    _write(
-        path,
-        {
-            "locked": True,
-            "worker": worker,
-            "start_time": now.isoformat(),
-            "forced": forced,
-            "version": version,
-        },
-    )
-    # Post-hoc race check (the ETag analog): if another contender
-    # replaced the file between our read and write, exactly one version
-    # survives — losers back off.
-    final = _read(path)
-    return bool(final and final.get("version") == version)
+    lock = _lock_path(path)
+    if _try_exclusive_create(lock, path, worker, now, forced=False):
+        return True
+    holder = _read(lock)
+    if holder is None:
+        # Lock vanished (holder released between our attempts) or is
+        # unreadable mid-write: retry the exclusive create once; if the
+        # lock re-exists, treat as held.
+        return _try_exclusive_create(lock, path, worker, now, forced=False)
+    held_at = datetime.fromisoformat(holder["start_time"])
+    if now <= held_at + timedelta(minutes=timeout_min):
+        return False  # live lease — skip (EtlProcess.cs:98-102)
+    # Timed out: steal atomically. Renaming the stale lock aside
+    # succeeds for exactly ONE stealer (the source disappears for the
+    # rest), and the winner re-runs the exclusive create.
+    stale = f"{lock}.stale-{uuid.uuid4()}"
+    try:
+        os.rename(lock, stale)
+    except OSError:
+        return False  # another contender stole it first
+    os.unlink(stale)
+    return _try_exclusive_create(lock, path, worker, now, forced=True)
 
 
 def release_lease(path: str, worker: str, now: datetime | None = None) -> None:
     """Unlock if still held by ``worker`` (ReleaseLeaseAsync,
     EtlProcess.cs:319-344). A stolen lease is left to its new owner."""
     now = now or datetime.now()
-    state = _read(path)
-    if not state or state.get("worker") != worker:
+    lock = _lock_path(path)
+    holder = _read(lock)
+    if not holder or holder.get("worker") != worker:
         return
+    state = _read(path) or {}
     state.update(locked=False, end_time=now.isoformat())
     _write(path, state)
+    try:
+        os.unlink(lock)
+    except OSError:
+        pass

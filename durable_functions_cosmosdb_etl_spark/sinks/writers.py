@@ -50,11 +50,80 @@ def latest_view(
     window runs per key-partition; no global sort.
     """
     df = spark.read.option("basePath", table_dir).parquet(table_dir)
-    w = Window.partitionBy(key).orderBy(F.col(version_col).cast("long").desc())
+    # Numeric versions order numerically; non-integral versions (e.g. a
+    # uuid batch id) would all try_cast to NULL, so the raw string is the
+    # deterministic fallback ordering — a plain cast would silently make
+    # row_number pick an arbitrary row per key.
+    w = Window.partitionBy(key).orderBy(
+        F.col(version_col).try_cast("long").desc_nulls_last(),
+        F.col(version_col).desc(),
+    )
     return (
         df.withColumn("__rn", F.row_number().over(w))
         .filter(F.col("__rn") == 1)
         .drop("__rn")
+    )
+
+
+def compact_upsert(
+    spark: SparkSession,
+    table_dir: str,
+    updates: DataFrame,
+    key: str = "id",
+    n_buckets: int = 64,
+) -> None:
+    """MERGE-semantics upsert without a transaction log: key-hash-
+    bucketed rewrite (the reference's true upsert-on-id sink,
+    EtlProcess.cs:188-206, at table scale).
+
+    Layout: the table is partitioned by ``__bucket = xxhash64(key) mod
+    n_buckets``. An upsert computes the buckets its keys land in, reads
+    ONLY those buckets (partition-pruned scan), anti-joins the stored
+    rows against the update keys (updates win), and rewrites just those
+    partitions via dynamic partition overwrite. Unlike the
+    per-batch-overwrite + latest-wins-view pair (``upsert_batch`` /
+    ``latest_view``), reads pay nothing: the stored table always holds
+    exactly one row per key — no per-key window over the batch history.
+
+    Scale: cost per upsert is O(|affected buckets|) of the table, not
+    O(history); size n_buckets so a bucket ≈ a comfortable rewrite unit
+    (at 100 TB, thousands of buckets; here 64). Re-delivered batches
+    rewrite the same buckets to the same state — idempotent. Cross-
+    bucket atomicity is the transaction log's job (Delta/Iceberg MERGE
+    INTO is the drop-in production seam); parquet-level the unit of
+    atomicity is one partition directory.
+    """
+    from pyspark.errors import AnalysisException
+
+    bucket = F.pmod(F.xxhash64(F.col(key)), F.lit(n_buckets)).alias("__bucket")
+    up = updates.select("*", bucket)
+    # Affected-bucket list is driver-side but bounded by n_buckets —
+    # the one acceptable collect (same class as a lease/audit row).
+    affected = [r.__bucket for r in up.select("__bucket").distinct().collect()]
+    merged = up
+    try:
+        current = (
+            spark.read.option("basePath", table_dir)
+            .parquet(table_dir)
+            .filter(F.col("__bucket").isin(affected))
+        )
+        keep = current.join(updates.select(key), key, "left_anti")
+        merged = keep.unionByName(up)
+    except AnalysisException as e:
+        # First write: table doesn't exist yet. Anything else propagates.
+        if "PATH_NOT_FOUND" not in str(e) and "Path does not exist" not in str(e):
+            raise
+    merged.write.mode("overwrite").option(
+        "partitionOverwriteMode", "dynamic"
+    ).partitionBy("__bucket").parquet(table_dir)
+
+
+def read_compacted(spark: SparkSession, table_dir: str) -> DataFrame:
+    """Read a compact_upsert table (drops the bucketing column)."""
+    return (
+        spark.read.option("basePath", table_dir)
+        .parquet(table_dir)
+        .drop("__bucket")
     )
 
 
