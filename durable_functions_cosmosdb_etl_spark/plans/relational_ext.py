@@ -93,16 +93,16 @@ _PRIORITIES = ["1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW"]
     "agg_pivot",
     oracle="""
     SELECT o_orderstatus,
-           sum(CASE WHEN o_orderpriority = '1-URGENT' THEN 1 ELSE 0 END)
-               AS p_urgent,
-           sum(CASE WHEN o_orderpriority = '2-HIGH' THEN 1 ELSE 0 END)
-               AS p_high,
-           sum(CASE WHEN o_orderpriority = '3-MEDIUM' THEN 1 ELSE 0 END)
-               AS p_medium,
-           sum(CASE WHEN o_orderpriority = '4-NOT SPECIFIED' THEN 1 ELSE 0 END)
-               AS p_notspec,
-           sum(CASE WHEN o_orderpriority = '5-LOW' THEN 1 ELSE 0 END)
-               AS p_low
+           CAST(sum(CASE WHEN o_orderpriority = '1-URGENT' THEN 1 ELSE 0 END)
+                AS BIGINT) AS p_urgent,
+           CAST(sum(CASE WHEN o_orderpriority = '2-HIGH' THEN 1 ELSE 0 END)
+                AS BIGINT) AS p_high,
+           CAST(sum(CASE WHEN o_orderpriority = '3-MEDIUM' THEN 1 ELSE 0 END)
+                AS BIGINT) AS p_medium,
+           CAST(sum(CASE WHEN o_orderpriority = '4-NOT SPECIFIED'
+                         THEN 1 ELSE 0 END) AS BIGINT) AS p_notspec,
+           CAST(sum(CASE WHEN o_orderpriority = '5-LOW' THEN 1 ELSE 0 END)
+                AS BIGINT) AS p_low
     FROM orders GROUP BY o_orderstatus
     """,
 )
@@ -305,10 +305,10 @@ def window_ntile(spark: SparkSession, sf_dir: str) -> DataFrame:
     "map_fns",
     oracle="""
     WITH s AS (SELECT user_id,
-                      sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)
-                          AS n_click,
-                      sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END)
-                          AS n_view,
+                      CAST(sum(CASE WHEN event_type = 'click'
+                                    THEN 1 ELSE 0 END) AS BIGINT) AS n_click,
+                      CAST(sum(CASE WHEN event_type = 'view'
+                                    THEN 1 ELSE 0 END) AS BIGINT) AS n_view,
                       count(DISTINCT event_type) AS n_types
                FROM events GROUP BY user_id)
     SELECT user_id, n_click, n_view, n_types FROM s
@@ -580,14 +580,14 @@ def join_sixway_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
                min(CASE WHEN event_type = 'click' THEN ts END)    AS first_click,
                min(CASE WHEN event_type = 'purchase' THEN ts END) AS first_purchase
         FROM events GROUP BY user_id)
-    SELECT count(*)                                               AS n_users,
-           sum(CASE WHEN first_view IS NOT NULL THEN 1 ELSE 0 END)
-                                                                  AS viewed,
-           sum(CASE WHEN first_click > first_view THEN 1 ELSE 0 END)
-                                                                  AS clicked_after_view,
-           sum(CASE WHEN first_purchase > first_click
-                     AND first_click > first_view THEN 1 ELSE 0 END)
-                                                                  AS full_funnel
+    SELECT count(*) AS n_users,
+           CAST(sum(CASE WHEN first_view IS NOT NULL THEN 1 ELSE 0 END)
+                AS BIGINT) AS viewed,
+           CAST(sum(CASE WHEN first_click > first_view THEN 1 ELSE 0 END)
+                AS BIGINT) AS clicked_after_view,
+           CAST(sum(CASE WHEN first_purchase > first_click
+                          AND first_click > first_view THEN 1 ELSE 0 END)
+                AS BIGINT) AS full_funnel
     FROM per_user
     """,
 )

@@ -30,21 +30,35 @@ from durable_functions_cosmosdb_etl_spark.sources.tables import TABLES  # noqa: 
 
 
 def normalize_cell(v) -> str:
+    """Canonical string for one cell.
+
+    Deliberately does NOT coerce whole floats to int: the driver fetches
+    the DuckDB oracle through pandas, where HUGEINT (e.g. ``sum(CASE …)``)
+    materializes as float64 — ``976.0`` vs Spark's BIGINT ``976``. Round 2
+    masked exactly that divergence with a float→int coercion here and the
+    driver failed two queries the local gate passed. Typing mismatches
+    must fail HERE first; the fix belongs in the oracle SQL
+    (``CAST(... AS BIGINT)``), not in the comparator.
+    """
     import datetime
     import math
 
+    import numpy as np
+
+    if isinstance(v, np.generic):
+        v = v.item()
+    if isinstance(v, np.ndarray):
+        v = list(v)
     if v is None:
         return "NULL"
+    if isinstance(v, bool):
+        return str(int(v))
     if isinstance(v, float):
         if math.isnan(v):
             return "NaN"
-        if v == int(v) and abs(v) < 1e15:
-            return str(int(v))
         return repr(round(v, 9))
     if isinstance(v, datetime.datetime):
         return v.isoformat()
-    if isinstance(v, bool):
-        return str(int(v))
     if isinstance(v, list):
         return "[" + ",".join(normalize_cell(x) for x in v) + "]"
     return str(v)
@@ -87,8 +101,12 @@ def main() -> int:
         t0 = time.time()
         try:
             sdf = fn(spark, sf_dir)
-            scols = sdf.columns
-            srows = [tuple(r) for r in sdf.collect()]
+            # Fetch through pandas (Arrow) like the driver does, so type
+            # materialization quirks (int64 vs float64, timestamps)
+            # surface locally instead of only in the driver's gate.
+            spdf = sdf.toPandas()
+            scols = list(spdf.columns)
+            srows = [tuple(r) for r in spdf.itertuples(index=False, name=None)]
         except Exception as e:
             print(f"FAIL {name}: spark error: {e}")
             n_fail += 1
@@ -112,9 +130,11 @@ def main() -> int:
             n_rowsonly += 1
             continue
         try:
-            res = con.execute(oracles[name])
-            dcols = [d[0] for d in res.description]
-            drows = res.fetchall()
+            # fetchdf(), not fetchall(): the driver materializes the
+            # oracle via pandas, where DuckDB HUGEINT becomes float64.
+            dpdf = con.execute(oracles[name]).fetchdf()
+            dcols = list(dpdf.columns)
+            drows = [tuple(r) for r in dpdf.itertuples(index=False, name=None)]
         except Exception as e:
             print(f"FAIL {name}: duckdb error: {e}")
             n_fail += 1
