@@ -31,6 +31,38 @@ LSH_BANDS = 16
 LSH_ROWS = 4
 _MERSENNE = (1 << 61) - 1
 
+# Portable SimHash: 48-bit hash, 6 × 8-bit band chunks. Pigeonhole:
+# any pair within Hamming distance SIMHASH_CHUNKS-1 shares >= 1 intact
+# chunk, so the banded equi-join is EXACTLY equivalent to the all-pairs
+# form at cutoff = SIMHASH_CHUNKS - 1 (no probabilistic miss at all).
+SIMHASH_BITS = 48
+SIMHASH_CHUNKS = 6
+_POLY_MOD = 1 << 48  # 281474976710656
+
+
+def pick_bands(
+    threshold: float, k: int = MINHASH_K, target_miss: float = 1e-9
+) -> tuple[int, int]:
+    """Choose (bands, rows) for MinHash LSH from the Jaccard threshold.
+
+    Returns the banding with the MOST rows per band (= strongest
+    candidate pruning) whose per-pair miss probability at jaccard ==
+    ``threshold`` is still <= ``target_miss``: miss = (1 - t^r)^(k/r).
+    Examples at k=64: t=0.5 -> (64, 1) (miss 5e-20; r=2 already leaks
+    1e-4), t=0.8 -> (32, 2) (miss 6e-15). Low thresholds force wide
+    single-row bands — pruning power necessarily collapses as t drops,
+    which is inherent to LSH, not to this implementation; production
+    near-dup thresholds (>=0.7) keep multi-row bands and real pruning.
+    """
+    best = (k, 1)
+    for r in range(1, k + 1):
+        if k % r:
+            continue
+        b = k // r
+        if (1.0 - threshold**r) ** b <= target_miss:
+            best = (b, r)
+    return best
+
 
 def exact_dedup(df: DataFrame, cols: list[str]) -> DataFrame:
     """Exact dedup: one row per distinct key set (dropDuplicates)."""
@@ -197,6 +229,7 @@ def minhash_lsh_pairs(
     text_col: str = "text",
     n: int = 3,
     threshold: float = 0.5,
+    target_miss: float | None = None,
 ) -> DataFrame:
     """Near-dup pairs: MinHash signatures → banded LSH → exact verify.
 
@@ -204,15 +237,27 @@ def minhash_lsh_pairs(
     hash-partitionable, linear shuffle — the property that makes near-dup
     feasible at 100 TB. Candidates are then *verified* with exact shingle
     Jaccard, so precision is 1.0 and recall is the LSH capture rate
-    (16 bands × 4 rows ⇒ P(capture) ≈ 1-(1-j^4)^16, ~0.99 at j=0.7).
+    (default 16 bands × 4 rows ⇒ P(capture) ≈ 1-(1-j^4)^16, ~0.99 at
+    j=0.7).
+
+    ``target_miss``: when set, bands/rows are chosen by ``pick_bands`` so
+    a pair AT the threshold is missed with probability <= target_miss —
+    at 1e-9 the LSH output is statistically identical to the exact
+    inverted-index join, which is what lets the registered dedup_minhash
+    query share the exact-Jaccard DuckDB oracle (same recipe as
+    dedup_embedding). None keeps the production 16×4 default.
     """
+    if target_miss is not None:
+        n_bands, n_rows = pick_bands(threshold, MINHASH_K, target_miss)
+    else:
+        n_bands, n_rows = LSH_BANDS, LSH_ROWS
     sigs = minhash_signatures(df, id_col, text_col, n).cache()
     bands = sigs.select(
         "doc",
         F.posexplode(
             F.transform(
-                F.sequence(F.lit(0), F.lit(LSH_BANDS - 1)),
-                lambda j: F.hash(F.slice("sig", j * LSH_ROWS + 1, LSH_ROWS)),
+                F.sequence(F.lit(0), F.lit(n_bands - 1)),
+                lambda j: F.hash(F.slice("sig", j * n_rows + 1, n_rows)),
             )
         ).alias("band_idx", "band_hash"),
     )
@@ -345,6 +390,109 @@ def simhash(hs_col: Column) -> Column:
     filter/size passes — but is both slower and unreadable.)
     """
     return _simhash_udf()(hs_col)
+
+
+def portable_shingle_hashes(
+    df: DataFrame, id_col: str, text_col: str, n: int = 3
+) -> DataFrame:
+    """48-bit polynomial shingle hashes with engine-portable arithmetic.
+
+    h = fold over codepoints of (acc*31 + codepoint) mod 2^48 — plain
+    integer ops any SQL engine reproduces bit-for-bit (verified equal in
+    Spark and DuckDB, incl. multibyte codepoints). Slower than xxhash64
+    (interpreted HOF fold vs one codegen'd hash call) — this is the
+    cross-engine-verifiable path; `_shingle_hashes` (xxhash64) is the
+    production hot path.
+    """
+    d = _shingled(df, id_col, text_col, n)
+    return d.select(
+        "doc",
+        "n_sh",
+        "sh",
+        F.expr(
+            "transform(sh, g -> aggregate("
+            "  transform(sequence(1, length(g)),"
+            "            i -> CAST(ascii(substring(g, i, 1)) AS BIGINT)),"
+            "  0L, (acc, c) -> (acc * 31 + c) % 281474976710656))"
+        ).alias("hs"),
+    )
+
+
+def simhash_pairs_portable(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+) -> DataFrame:
+    """Deterministic cross-engine SimHash near-dup pairs (oracle-exact).
+
+    48-bit SimHash (majority vote per bit over portable polynomial
+    shingle hashes), banded into SIMHASH_CHUNKS 8-bit chunks, Hamming
+    cutoff = SIMHASH_CHUNKS - 1. By pigeonhole any pair within that
+    Hamming distance shares at least one intact chunk, so the banded
+    equi-join provably equals the brute-force all-pairs form — no
+    probabilistic miss — while keeping the linear-shuffle equi-join
+    shape. This is the variant a DuckDB oracle can replay exactly; the
+    xxhash64 `simhash_pairs` is the cheaper engine-specific analog.
+
+    Output: (doc_a, doc_b, hamming) for pairs with hamming <= chunks-1.
+    """
+    cutoff = SIMHASH_CHUNKS - 1
+    hashed = portable_shingle_hashes(df, id_col, text_col, n)
+    # Majority vote as a pure JVM expression (no Python): bit i of sim is
+    # set iff more than half the shingle hashes have bit i set — the
+    # exact expression the DuckDB oracle evaluates. 48 × |hs| interpreted
+    # lambda steps per doc; at scale swap in the vectorized simhash()
+    # pandas UDF (same result for identical hash inputs).
+    vote = (
+        "aggregate(sequence(0, 47), 0L, (acc, i) -> acc + "
+        "CASE WHEN 2 * aggregate(hs, 0L,"
+        "             (a, h) -> a + (shiftright(h, i) & 1)) > size(hs)"
+        "     THEN shiftleft(1L, i) ELSE 0L END)"
+    )
+    sh = (
+        hashed.filter(F.col("n_sh") >= 1)
+        .select("doc", F.expr(vote).alias("sim"))
+        .cache()
+    )
+    chunks = sh.select(
+        "doc",
+        "sim",
+        F.posexplode(
+            F.array(
+                *[
+                    F.shiftrightunsigned(F.col("sim"), j * 8).bitwiseAND(
+                        F.lit(0xFF)
+                    )
+                    for j in range(SIMHASH_CHUNKS)
+                ]
+            )
+        ).alias("chunk_idx", "chunk_val"),
+    )
+    a, b = chunks.alias("a"), chunks.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.chunk_idx") == F.col("b.chunk_idx"))
+            & (F.col("a.chunk_val") == F.col("b.chunk_val"))
+            & (F.col("a.doc") < F.col("b.doc")),
+        )
+        .select(
+            F.col("a.doc").alias("doc_a"),
+            F.col("b.doc").alias("doc_b"),
+            F.col("a.sim").alias("sim_a"),
+            F.col("b.sim").alias("sim_b"),
+        )
+        .distinct()
+    )
+    return (
+        cand.withColumn(
+            "hamming",
+            F.bit_count(F.col("sim_a").bitwiseXOR(F.col("sim_b"))).cast("long"),
+        )
+        .filter(F.col("hamming") <= cutoff)
+        .select("doc_a", "doc_b", "hamming")
+    )
 
 
 def simhash_pairs(

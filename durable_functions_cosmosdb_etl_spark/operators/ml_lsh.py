@@ -30,33 +30,26 @@ def _shingle_vectors(
 
     MinHashLSH needs ml Vectors; shingles are hashed into a fixed
     feature space (collision rate ≈ |shingles| / 2^bits — negligible at
-    2^18 for hundreds of shingles/doc). Sparse representation: memory
-    per doc is O(|shingles|), not O(vocab).
+    2^18 for hundreds of shingles/doc). The hashing AND sparse-vector
+    construction run entirely JVM-side via ``HashingTF(binary=True)`` —
+    no Python touches the rows (replaces the former row-at-a-time
+    ``F.udf`` SparseVector builder, the last per-row Python UDF in the
+    package). Sparse representation: memory per doc is O(|shingles|).
     """
-    from pyspark.ml.linalg import Vectors, VectorUDT
+    from pyspark.ml.feature import HashingTF
 
-    dim = 1 << vocab_bits
     sh = (
         df.select(F.col(id_col).alias("doc"), words(F.col(text_col)).alias("w"))
         .select("doc", shingles_from_words(F.col("w"), n).alias("sh"))
         .filter(F.size("sh") > 0)
-        .select(
-            "doc",
-            F.array_sort(
-                F.array_distinct(
-                    F.transform(
-                        "sh", lambda s: F.pmod(F.xxhash64(s), F.lit(dim))
-                    )
-                )
-            ).alias("idx"),
-        )
     )
-
-    @F.udf(returnType=VectorUDT())
-    def to_sparse(idx):
-        return Vectors.sparse(dim, idx, [1.0] * len(idx))
-
-    return sh.select("doc", to_sparse("idx").alias("features"))
+    tf = HashingTF(
+        inputCol="sh",
+        outputCol="features",
+        numFeatures=1 << vocab_bits,
+        binary=True,
+    )
+    return tf.transform(sh).select("doc", "features")
 
 
 def ml_minhash_pairs(

@@ -49,19 +49,51 @@ def cosine(a: Column, b: Column) -> Column:
     return dot(a, b) / (l2_norm(a) * l2_norm(b))
 
 
+def _topk_prereduce(k: int, schema):
+    """Per-Arrow-batch local top-k (exact reduction before the window).
+
+    The global per-query top-k is a subset of the union of per-batch
+    top-ks (each batch sits inside one partition), so reducing every
+    batch to its own top-k per query is lossless. Ordering replicates
+    the downstream window exactly: sim desc, neighbor_id asc.
+    """
+
+    def run(batches):
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            pdf = pdf.sort_values(
+                ["query_id", "sim", "neighbor_id"],
+                ascending=[True, False, True],
+            )
+            yield pdf.groupby("query_id", sort=False).head(k)
+
+    return run
+
+
 def brute_force_topk(
     corpus: DataFrame,
     queries: DataFrame,
     k: int = 10,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    sim_floor: float | None = None,
+    prereduce: bool = True,
 ) -> DataFrame:
-    """Exact cosine top-k: broadcast queries × corpus scan × window top-k.
+    """Exact cosine top-k: broadcast queries × corpus scan × local top-k
+    pre-reduce × window top-k.
 
     Output: query_id, neighbor_id, sim, rank. The corpus is never
-    shuffled for scoring; the only exchange is the rank window keyed by
-    query_id (|queries| × |corpus| rows pre-filter — at scale insert a
-    coarse sim floor before the window to cap it).
+    shuffled for scoring. Without the pre-reduce, the rank window's
+    exchange carries |queries| × |corpus| rows — the 100× scale killer.
+    With ``prereduce`` (default), an Arrow-batched local top-k runs
+    BEFORE the exchange, so the window only sees
+    O(partitions × |queries| × k) rows; the reduction is exact (global
+    top-k ⊆ union of per-batch top-ks) and the scoring stays JVM-side.
+    ``sim_floor`` additionally drops scored rows below a caller-known
+    bound (e.g. a dedup threshold) before the reduction — changes
+    results only if the floor exceeds a true k-th similarity, so it is
+    opt-in.
     """
     q = F.broadcast(
         queries.select(
@@ -74,6 +106,12 @@ def brute_force_topk(
         "neighbor_id",
         cosine(F.col("q_vec"), F.col("c_vec")).alias("sim"),
     )
+    if sim_floor is not None:
+        scored = scored.filter(F.col("sim") >= sim_floor)
+    if prereduce:
+        scored = scored.mapInPandas(
+            _topk_prereduce(k, scored.schema), schema=scored.schema
+        )
     w = Window.partitionBy("query_id").orderBy(
         F.col("sim").desc(), F.col("neighbor_id")
     )
@@ -88,20 +126,46 @@ def fit_ivf_centroids(
     n_centroids: int = 10,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    fit_fraction: float = 0.25,
+    min_fit_rows: int = 200,
 ) -> DataFrame:
     """Deterministic IVF codebook: seed with the n lowest-id vectors,
-    one Lloyd refinement step (assign → mean), all in DataFrame ops."""
+    one Lloyd refinement step (assign → mean), all in DataFrame ops.
+
+    Fitting runs on a deterministic hash-sample of the corpus
+    (``abs(xxhash64(id)) % 100 < fit_fraction*100``), never the full
+    table: centroid quality converges on a sample while the full-corpus
+    posexplode-per-Lloyd-step would re-scan 100 TB per iteration. The
+    floor ``min_fit_rows × n_centroids`` guards tiny inputs (sampling is
+    skipped when the corpus is already small enough to fit cheaply).
+    The hash-sample is engine/partitioning-independent, so codebooks are
+    reproducible — unlike ``DataFrame.sample``, whose output depends on
+    physical partitioning.
+    """
+    pct = max(1, min(100, int(round(fit_fraction * 100))))
+    fit_set = corpus.filter(
+        (F.abs(F.xxhash64(F.col(id_col))) % 100 < pct)
+        | F.lit(pct >= 100)
+    )
+    # Small-corpus guard: sampling 500 rows to fit 10 cells saves
+    # nothing and costs recall — use the full input below the floor.
+    # count() on the raw corpus is a metadata-cheap scan compared to the
+    # posexplode it gates.
+    if pct < 100 and corpus.limit(min_fit_rows * n_centroids).count() < (
+        min_fit_rows * n_centroids
+    ):
+        fit_set = corpus
     seeds = (
-        corpus.orderBy(id_col)
+        fit_set.orderBy(id_col)
         .limit(n_centroids)
         .select(
             F.row_number().over(Window.orderBy(id_col)).alias("centroid_id"),
             F.col(vec_col).alias("centroid"),
         )
     )
-    assigned = assign_to_centroids(corpus, seeds, id_col, vec_col)
+    assigned = assign_to_centroids(fit_set, seeds, id_col, vec_col)
     dim_means = (
-        assigned.join(corpus, id_col)
+        assigned.join(fit_set, id_col)
         .select("centroid_id", F.posexplode(vec_col).alias("pos", "val"))
         .groupBy("centroid_id", "pos")
         .agg(F.avg(_d(F.col("val"))).alias("m"))

@@ -402,20 +402,81 @@ def dedup_jaccard_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("dedup_minhash")  # hash-randomized candidates → rows-only check
+@query(
+    "dedup_minhash",
+    oracle=rf"""
+    WITH d AS (SELECT doc_id, {_WORDS} AS w FROM documents),
+    s AS (SELECT doc_id, {_SH3} AS sh FROM d WHERE len(w) >= 3)
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+             / (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh)))
+             AS jaccard
+    FROM s a JOIN s b ON a.doc_id < b.doc_id
+    WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+            / (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))) >= 0.5
+    """,
+)
 def dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """MinHash(64) → 16×4 banded LSH → exact-Jaccard-verified pairs.
+    """MinHash(64) → banded LSH → exact-Jaccard-verified pairs, with
+    bands sized for completeness (same recipe as dedup_embedding).
 
-    Rows-only for the driver (xxhash64-seeded signatures are
-    engine-specific); tests assert precision=1.0 vs `dedup_jaccard` and
-    recall ≥0.9 at τ=0.5.
+    Candidates come from the band equi-join; every candidate is verified
+    with exact shingle Jaccard, so precision is 1.0. ``target_miss=1e-9``
+    makes ``pick_bands`` choose a banding whose per-pair capture failure
+    at τ=0.5 is <= 1e-9 (actual: 64 single-row bands, miss 5e-20), so
+    the output is statistically identical to the exact inverted-index
+    join — which is exactly what the DuckDB all-pairs oracle computes.
+    The 16×4 production default remains the `target_miss=None` path.
     """
-    return dd.minhash_lsh_pairs(_docs(spark, sf_dir), threshold=0.5)
+    return dd.minhash_lsh_pairs(
+        _docs(spark, sf_dir), threshold=0.5, target_miss=1e-9
+    )
 
 
-@query("dedup_simhash")  # hash-randomized → rows-only check
+@query(
+    "dedup_simhash",
+    oracle=rf"""
+    WITH d AS (SELECT doc_id, {_WORDS} AS w FROM documents),
+    s AS (SELECT doc_id, {_SH3} AS sh FROM d WHERE len(w) >= 3),
+    h AS (SELECT doc_id,
+                 list_transform(sh, g -> list_reduce(
+                     [CAST(ascii(substr(g, i, 1)) AS BIGINT)
+                      for i in range(1, len(g) + 1)],
+                     (acc, c) -> (acc * 31 + c) % 281474976710656)) AS hs
+          FROM s WHERE len(sh) >= 1),
+    sh2 AS (SELECT doc_id,
+                   CAST(list_sum(
+                       [CASE WHEN 2 * list_sum([(h >> i) & 1 for h in hs])
+                                  > len(hs)
+                             THEN (CAST(1 AS BIGINT) << i)
+                             ELSE CAST(0 AS BIGINT) END
+                        for i in range(0, 48)]) AS BIGINT) AS sim
+            FROM h)
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           CAST(bit_count(xor(a.sim, b.sim)) AS BIGINT) AS hamming
+    FROM sh2 a JOIN sh2 b ON a.doc_id < b.doc_id
+    WHERE bit_count(xor(a.sim, b.sim)) <= 5
+    """,
+)
 def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SimHash64 + 16-bit banding + Hamming≤8 verification."""
+    """Deterministic SimHash near-dup pairs, fully oracle-checked.
+
+    48-bit SimHash over engine-portable polynomial shingle hashes
+    (fold of acc*31+codepoint mod 2^48 — byte-identical in Spark and
+    DuckDB), banded into 6 × 8-bit chunks with Hamming cutoff 5: by
+    pigeonhole every pair within distance 5 shares an intact chunk, so
+    the banded equi-join EXACTLY equals the oracle's brute-force
+    all-pairs form — deterministic completeness, not probabilistic.
+    The xxhash64 variant stays registered as dedup_simhash_fast (extra):
+    same plan shape, cheaper hashing, engine-specific values.
+    """
+    return dd.simhash_pairs_portable(_docs(spark, sf_dir))
+
+
+@query("dedup_simhash_fast", extra=True)  # engine-specific hash → rows-only
+def dedup_simhash_fast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Production SimHash path: xxhash64 shingle hashes (JVM codegen),
+    64-bit simhash, 4×16-bit banding, Hamming≤8 verification."""
     return dd.simhash_pairs(_docs(spark, sf_dir), max_hamming=8)
 
 
@@ -674,16 +735,43 @@ def multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("multimodal_decode")  # stubbed decoder → rows-only check
+@query(
+    "multimodal_decode",
+    oracle="""
+    WITH m AS (SELECT doc_id, hex(encode(text)) AS hx,
+                      octet_length(encode(text)) AS n
+               FROM documents),
+    c AS (SELECT doc_id, n,
+                 coalesce(list_sum(
+                     [(strpos('0123456789ABCDEF',
+                              substr(hx, 2*i-1, 1)) - 1) * 16
+                      + (strpos('0123456789ABCDEF',
+                                substr(hx, 2*i, 1)) - 1)
+                      for i in range(1, least(n, 64) + 1)]), 0) AS checksum
+          FROM m)
+    SELECT doc_id,
+           CAST(16 + (n % 64) AS INT)          AS width,
+           CAST(16 + ((n // 64) % 64) AS INT)  AS height,
+           3                                    AS n_channels,
+           8                                    AS feat_dim,
+           CAST(list_sum([(checksum + i * 31) % 256
+                          for i in range(0, 8)]) AS BIGINT) AS feat_bytes
+    FROM c
+    """,
+)
 def multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Arrow-batched mapInPandas decode stage (deterministic fake codec;
     real Spark plumbing — schema, batching, per-partition execution).
 
-    Scalar projection of the decoded output: the feature vector itself
-    (array<float>) is exercised in tests — the driver's rows-only
-    canonicalizer sorts a pandas frame and cannot hash list cells
-    (CORRECTNESS_r01 multimodal_decode err), so the registered query
-    exposes the vector through scalar reductions instead.
+    The decoded dims and the feature vector are pure functions of the
+    payload BYTES (operators/multimodal._fake_decode): width/height from
+    the byte length, features from a checksum of the first 64 bytes. The
+    oracle replays that byte arithmetic in DuckDB (hex(encode(text)) →
+    per-byte values via hex-digit lookup), so the whole Python decode
+    path is hash-checked. The feature floats are projected back to their
+    exact integer byte values (round(f*255)) — float32 quantization is
+    reversible here, keeping the comparison integer-exact; the raw
+    vector itself stays covered by tests.
     """
     media = mm.attach_binary(_docs(spark, sf_dir), "doc_id", "text")
     decoded = mm.decode_image_batch(media)
@@ -693,10 +781,11 @@ def multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
         "height",
         "n_channels",
         F.size("feature").alias("feat_dim"),
-        F.round(
-            F.aggregate("feature", F.lit(0.0), lambda a, x: a + x.cast("double")),
-            6,
-        ).alias("feat_sum"),
+        F.aggregate(
+            "feature",
+            F.lit(0).cast("long"),
+            lambda a, x: a + F.round(x.cast("double") * 255, 0).cast("long"),
+        ).alias("feat_bytes"),
     )
 
 

@@ -30,6 +30,57 @@ def test_brute_force_topk_shape(spark, sf_dir):
         assert 1 <= r.rank <= 10 and -1.0 <= r.sim <= 1.0
 
 
+def test_brute_force_prereduce_in_plan_and_exact(spark, sf_dir):
+    """The local top-k pre-reduce must (a) appear in the physical plan
+    BEFORE the rank window's exchange — it is what caps the window input
+    at O(partitions × |Q| × k) instead of |Q| × |corpus| — and (b) not
+    change results vs the reduction-free form."""
+    em = load_table(spark, sf_dir, "embeddings")
+    corpus, queries = em.filter("vec_id >= 5"), em.filter("vec_id < 5")
+    reduced = sim.brute_force_topk(corpus, queries, k=10)
+    plan = reduced._jdf.queryExecution().executedPlan().toString()
+    # Tree prints parents (later stages) first: the window's hash
+    # exchange must appear ABOVE MapInPandas, i.e. consume its output.
+    # (The BroadcastExchange of the query side sits below — expected.)
+    ipd = plan.index("MapInPandas")
+    assert "Exchange hashpartitioning" in plan[:ipd], (
+        "rank-window exchange does not consume the pre-reduce output"
+    )
+    assert "Exchange hashpartitioning" not in plan[ipd:], (
+        "a hash exchange runs before the pre-reduce"
+    )
+    plain = sim.brute_force_topk(corpus, queries, k=10, prereduce=False)
+    assert sorted(map(tuple, reduced.collect())) == sorted(
+        map(tuple, plain.collect())
+    )
+
+
+def test_brute_force_sim_floor_filters(spark, sf_dir):
+    em = load_table(spark, sf_dir, "embeddings")
+    corpus, queries = em.filter("vec_id >= 5"), em.filter("vec_id < 5")
+    out = sim.brute_force_topk(corpus, queries, k=10, sim_floor=0.99).collect()
+    assert all(r.sim >= 0.99 for r in out)
+
+
+def test_ivf_fit_sample_deterministic(spark, sf_dir):
+    """The hash-sampled fit set is partitioning-independent: fitting on
+    a repartitioned corpus selects the same rows and yields the same
+    codebook (centroid means compared at 1e-6 — double aggregation
+    order may differ at ULP level across partitionings)."""
+    em = load_table(spark, sf_dir, "embeddings").filter("vec_id >= 5")
+    a = sim.fit_ivf_centroids(em, n_centroids=5, min_fit_rows=10).collect()
+    b = sim.fit_ivf_centroids(
+        em.repartition(7), n_centroids=5, min_fit_rows=10
+    ).collect()
+    ka = {r.centroid_id: r.centroid for r in a}
+    kb = {r.centroid_id: r.centroid for r in b}
+    assert set(ka) == set(kb)
+    for cid in ka:
+        assert all(
+            abs(x - y) < 1e-6 for x, y in zip(ka[cid], kb[cid])
+        ), f"centroid {cid} differs"
+
+
 def test_ivf_recall_vs_brute_force(spark, sf_dir):
     em = load_table(spark, sf_dir, "embeddings")
     corpus, queries = em.filter("vec_id >= 5"), em.filter("vec_id < 5")
