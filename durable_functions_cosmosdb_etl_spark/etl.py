@@ -29,6 +29,50 @@ from .sinks.writers import audit_run, upsert_batch
 from .sources.generator import generate_sample_items
 
 
+def scheduled_batch_run(
+    spark: SparkSession,
+    work_dir: str,
+    worker: str,
+    now: datetime | None = None,
+    timeout_min: int = 5,
+    **kwargs,
+) -> bool:
+    """One cron firing of the orchestration, lease-guarded (operator O1
+    + O3/O4: TimerTrigger ``0 */2 * * * *`` with the 5-minute lease SLA,
+    /root/reference/EtlProcess.cs:23-24,32-46).
+
+    Semantics mirror the reference's Run handler: acquire the lease or
+    skip (an overlapping previous firing still holds it, :98-102); a
+    holder older than ``timeout_min`` is presumed dead and the lease is
+    forcibly taken (:286-292), with the audit row carrying
+    ``forced_lease`` like OrchestrationRun.ForcedLease (:128). Returns
+    True iff this firing actually ran.
+    """
+    import os
+
+    from .operators.lease import acquire_lease, release_lease
+
+    # Container-on-first-use analog (CreateContainerIfNotExistsAsync,
+    # EtlProcess.cs:90,111): the lease home must exist before O_EXCL.
+    os.makedirs(work_dir, exist_ok=True)
+    lease_path = f"{work_dir}/orchestration_lease"
+    now = now or datetime.now()
+    if not acquire_lease(lease_path, worker, now=now, timeout_min=timeout_min):
+        return False
+    forced = bool((_lease_state(lease_path) or {}).get("forced"))
+    try:
+        run_batch_etl(spark, work_dir, clock=now, forced_lease=forced, **kwargs)
+    finally:
+        release_lease(lease_path, worker, now=now)
+    return True
+
+
+def _lease_state(path: str) -> dict | None:
+    from .operators.lease import _read
+
+    return _read(path)
+
+
 def run_batch_etl(
     spark: SparkSession,
     work_dir: str,
@@ -37,6 +81,7 @@ def run_batch_etl(
     clock: datetime | None = None,
     batch_id: str | None = None,
     deterministic: bool = False,
+    forced_lease: bool = False,
 ) -> DataFrame:
     """One orchestration run. Returns the transformed DataFrame.
 
@@ -61,6 +106,7 @@ def run_batch_etl(
             audit_run(
                 spark, audit, start, clock or datetime.now(), True,
                 "No documents extracted.",  # message analog, EtlProcess.cs:67
+                forced_lease=forced_lease,
             )
             return spark.createDataFrame([], "id string")
 
@@ -90,11 +136,13 @@ def run_batch_etl(
             spark, audit, start, clock or datetime.now(), True,
             # message analog of EtlProcess.cs:71 + the :177 count log
             f"{n_loaded} documents extracted and saved for processing.",
+            forced_lease=forced_lease,
         )
         return out
     except Exception as exc:  # compensation path, EtlProcess.cs:79-85
         audit_run(
             spark, audit, start, clock or datetime.now(), False,
             f"Error: {exc}",
+            forced_lease=forced_lease,
         )
         raise

@@ -106,29 +106,64 @@ def acquire_lease(
     if now <= held_at + timedelta(minutes=timeout_min):
         return False  # live lease — skip (EtlProcess.cs:98-102)
     # Timed out: steal atomically. Renaming the stale lock aside
-    # succeeds for exactly ONE stealer (the source disappears for the
-    # rest), and the winner re-runs the exclusive create.
+    # succeeds for exactly ONE stealer of THAT file — but a faster
+    # stealer may have already completed the full steal and re-created a
+    # FRESH lock at the same path, which this rename would then grab. So
+    # after renaming, verify the renamed file is still the stale holder
+    # we observed (worker + start_time); if it is fresh, restore it
+    # without clobbering (os.link fails if a newer lock appeared) and
+    # lose the race.
     stale = f"{lock}.stale-{uuid.uuid4()}"
     try:
         os.rename(lock, stale)
     except OSError:
         return False  # another contender stole it first
+    moved = _read(stale)
+    if (
+        moved is None
+        or moved.get("worker") != holder.get("worker")
+        or moved.get("start_time") != holder.get("start_time")
+    ):
+        try:
+            os.link(stale, lock)  # no-overwrite restore
+        except OSError:
+            pass  # an even newer lock exists — nothing to restore
+        os.unlink(stale)
+        return False
     os.unlink(stale)
     return _try_exclusive_create(lock, path, worker, now, forced=True)
 
 
 def release_lease(path: str, worker: str, now: datetime | None = None) -> None:
     """Unlock if still held by ``worker`` (ReleaseLeaseAsync,
-    EtlProcess.cs:319-344). A stolen lease is left to its new owner."""
+    EtlProcess.cs:319-344). A stolen lease is left to its new owner.
+
+    Ownership is re-verified AFTER atomically renaming the lock aside
+    (read-check-unlink would race a stealer: our lease times out, a
+    stealer re-creates a fresh lock between our read and unlink, and we
+    would delete the stealer's live lock). Once renamed, the file is
+    exclusively ours to inspect: ours → complete the release; someone
+    else's → restore it without clobbering and walk away.
+    """
     now = now or datetime.now()
     lock = _lock_path(path)
     holder = _read(lock)
     if not holder or holder.get("worker") != worker:
         return
-    state = _read(path) or {}
-    state.update(locked=False, end_time=now.isoformat())
-    _write(path, state)
+    aside = f"{lock}.release-{uuid.uuid4()}"
     try:
-        os.unlink(lock)
+        os.rename(lock, aside)
     except OSError:
-        pass
+        return  # already released or stolen
+    moved = _read(aside)
+    if moved and moved.get("worker") == worker:
+        state = _read(path) or {}
+        state.update(locked=False, end_time=now.isoformat())
+        _write(path, state)
+        os.unlink(aside)
+    else:
+        try:
+            os.link(aside, lock)  # no-overwrite restore
+        except OSError:
+            pass
+        os.unlink(aside)

@@ -281,33 +281,74 @@ def _sign_bands_udf(n_bands: int, band_bits: int):
     return sign_bands
 
 
+def pick_sign_bands(
+    threshold: float, total_bits: int = 512, target_miss: float = 1e-8
+) -> tuple[int, int]:
+    """Choose (n_bands, band_bits) for sign-LSH from a cosine threshold.
+
+    p = 1 − acos(τ)/π is the per-hyperplane agreement probability for a
+    pair AT the threshold; a banding (b bands × k bits) misses such a
+    pair with (1 − p^k)^b. Returns the banding with the WIDEST bands
+    (strongest pruning of sub-threshold pairs) whose miss probability
+    still clears ``target_miss`` within the ``total_bits`` budget.
+    Examples (512 bits, 1e-8): τ=0.35 → (128, 4) (miss ≈ 3e-9),
+    τ=0.9 → (64, 8).
+
+    Honest-scaling note: at LOW thresholds (τ≲0.5) even the best
+    completeness-preserving banding barely prunes — random pairs still
+    collide in several bands, and the band join approaches a pair
+    generator whose ``distinct`` sees most of N². That is inherent to
+    sign-LSH (agreement p stays high for mildly-positive pairs), not a
+    parameter bug: below ~τ=0.5, prefer the exact join at small N or
+    raise the threshold; pruning becomes real from τ≈0.7 up.
+    """
+    import math
+
+    p = 1.0 - math.acos(max(-1.0, min(1.0, threshold))) / math.pi
+    best = (total_bits, 1)
+    k = 1
+    while k <= total_bits:
+        if total_bits % k == 0:
+            b = total_bits // k
+            if (1.0 - p**k) ** b <= target_miss:
+                best = (b, k)
+        k *= 2
+    return best
+
+
 def cosine_pairs_lsh(
     vectors: DataFrame,
     threshold: float,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
-    n_bands: int = 128,
-    band_bits: int = 4,
+    n_bands: int | None = None,
+    band_bits: int | None = None,
 ) -> DataFrame:
     """Embedding near-dup pairs via random-hyperplane sign-LSH banding.
 
     Candidate generation is an EQUI-join on (band_idx, band_code) — the
     same hash-partitionable shape as dedup.simhash_pairs — followed by
     exact-cosine verification, so precision is 1.0 and recall is the
-    banding capture rate. With p = 1 − acos(τ)/π the per-pair miss
-    probability is (1 − p^band_bits)^n_bands: at the defaults
-    (128 bands × 4 bits) a τ=0.35 pair is missed with p ≈ 3·10⁻⁹ —
+    banding capture rate. Bands default to ``pick_sign_bands`` on the
+    caller's threshold (512-bit budget, miss ≤ 1e-8 at the threshold):
+    at τ=0.35 that is 128 bands × 4 bits, per-pair miss ≈ 3·10⁻⁹ —
     statistically certain recall, verified against the exact-join oracle
     at sf0.01. No BroadcastNestedLoopJoin/Cartesian appears anywhere in
     the plan (asserted in tests/test_similarity.py).
 
     Scale note: pruning power rises steeply with the threshold — at
-    τ≥0.8 (real near-dup territory) 16 bands × 8 bits discards ≥99.9% of
-    random pairs; at τ≈0.35 sign bits barely separate signal from noise,
-    so the default goes wide on bands to buy recall. The knobs are the
-    caller's cost/recall dial; candidates never exceed the band-join
-    output and the driver holds no state either way.
+    τ≥0.8 (real near-dup territory) wide bands discard ≥99.9% of random
+    pairs, while at τ≈0.35 sign bits barely separate signal from noise
+    and the band join emits most co-occurring pairs several times before
+    ``distinct`` (the "no cartesian" property is then plan-shape only —
+    see ``pick_sign_bands`` for when to prefer the exact join). The
+    knobs remain the caller's cost/recall dial; the driver holds no
+    state either way.
     """
+    if n_bands is None or band_bits is None:
+        auto_b, auto_k = pick_sign_bands(threshold)
+        n_bands = n_bands if n_bands is not None else auto_b
+        band_bits = band_bits if band_bits is not None else auto_k
     v = vectors.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"))
     banded = v.withColumn(
         "bands", _sign_bands_udf(n_bands, band_bits)(F.col("v"))

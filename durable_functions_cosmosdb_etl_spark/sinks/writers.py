@@ -71,6 +71,7 @@ def compact_upsert(
     updates: DataFrame,
     key: str = "id",
     n_buckets: int = 64,
+    order_col: str | None = None,
 ) -> None:
     """MERGE-semantics upsert without a transaction log: key-hash-
     bucketed rewrite (the reference's true upsert-on-id sink,
@@ -92,14 +93,35 @@ def compact_upsert(
     bucket atomicity is the transaction log's job (Delta/Iceberg MERGE
     INTO is the drop-in production seam); parquet-level the unit of
     atomicity is one partition directory.
+
+    Duplicate keys WITHIN one updates batch are resolved before the
+    merge — ``order_col`` keeps the row with the highest value (version
+    semantics); without it an arbitrary row per key survives — so the
+    stored invariant of exactly one row per key holds regardless of
+    input. The merged result is materialized (``localCheckpoint``)
+    BEFORE the overwrite: the merge plan reads the same partitions the
+    write replaces, and without severing that lineage the overwrite
+    would either fail ("cannot overwrite a path that is also being read
+    from") or, worse, recompute from half-rewritten buckets mid-write.
     """
     from pyspark.errors import AnalysisException
 
+    if order_col is not None:
+        w = Window.partitionBy(key).orderBy(F.col(order_col).desc())
+        updates = (
+            updates.withColumn("__rn", F.row_number().over(w))
+            .filter(F.col("__rn") == 1)
+            .drop("__rn")
+        )
+    else:
+        updates = updates.dropDuplicates([key])
     bucket = F.pmod(F.xxhash64(F.col(key)), F.lit(n_buckets)).alias("__bucket")
     up = updates.select("*", bucket)
     # Affected-bucket list is driver-side but bounded by n_buckets —
     # the one acceptable collect (same class as a lease/audit row).
-    affected = [r.__bucket for r in up.select("__bucket").distinct().collect()]
+    affected = [
+        r["__bucket"] for r in up.select("__bucket").distinct().collect()
+    ]
     merged = up
     try:
         current = (
@@ -113,6 +135,11 @@ def compact_upsert(
         # First write: table doesn't exist yet. Anything else propagates.
         if "PATH_NOT_FOUND" not in str(e) and "Path does not exist" not in str(e):
             raise
+    # Sever lineage from the files about to be overwritten. Local
+    # checkpoint is bounded by the affected buckets' size (the rewrite
+    # unit); with a transaction-log format the reader/writer isolation
+    # makes this unnecessary.
+    merged = merged.localCheckpoint(eager=True)
     merged.write.mode("overwrite").option(
         "partitionOverwriteMode", "dynamic"
     ).partitionBy("__bucket").parquet(table_dir)

@@ -173,6 +173,19 @@ def dedup_batch_against_index(
     idx_bands = _read_index_part(spark, bands_dir, batch_tag)
     if idx_bands is not None:
         idx_shingles = _read_index_part(spark, shingles_dir, batch_tag)
+        if idx_shingles is None:
+            # bands/ exists but shingles/ is missing: a crash landed
+            # between the two index writes, or the index predates the
+            # bands+shingles split layout. Probing bands without shingle
+            # verification would silently drop non-duplicates, and the
+            # pre-split layout also lacks the ingest_batch partition
+            # column — fail loudly rather than corrupt the stream.
+            raise ValueError(
+                f"dedup index at {shingles_dir} is missing while "
+                f"{bands_dir} exists — incomplete or pre-split index "
+                "layout; rebuild the index (rerun past batches) or "
+                "remove the bands table to start fresh"
+            )
         cand_idx = (
             survivor_bands.alias("s")
             .join(

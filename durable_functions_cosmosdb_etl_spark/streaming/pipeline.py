@@ -38,12 +38,24 @@ def run_incremental_transform(
     max_files_per_trigger: int = 1,
     clock: datetime | None = None,
     available_now: bool = True,
+    processing_time: str | None = None,
 ):
     """Consume staged SampleItem files incrementally; transform; upsert.
 
-    ``available_now=True`` drains the backlog in capped micro-batches
-    then stops (the scheduled-batch analog of the reference's 2-minute
-    cron, operator O1); False runs continuously.
+    Trigger modes (operator O1, the reference's scheduled trigger,
+    /root/reference/EtlProcess.cs:23 TimerTrigger ``0 */2 * * * *``):
+
+    - ``available_now=True``: drain the backlog in capped micro-batches,
+      then stop — the scheduled-batch analog (each cron firing is one
+      drain).
+    - ``processing_time="2 minutes"`` (with ``available_now=False``):
+      a resident query that fires a micro-batch on the reference's exact
+      cadence — ``Trigger.ProcessingTime`` IS the in-engine cron: the
+      interval clock replaces the external scheduler, and the streaming
+      checkpoint replaces the lease (a single resident query cannot
+      overlap itself, which is all the reference's lease exists to
+      prevent; see operators/lease.py for the multi-submitter case).
+    - neither: run continuously as fast as batches complete.
     """
     stream = read_staging_stream(
         spark, staging_dir, SAMPLE_ITEM_SCHEMA, max_files_per_trigger
@@ -58,6 +70,8 @@ def run_incremental_transform(
     )
     if available_now:
         writer = writer.trigger(availableNow=True)
+    elif processing_time is not None:
+        writer = writer.trigger(processingTime=processing_time)
     q = writer.start()
     if available_now:
         q.awaitTermination()

@@ -7,7 +7,7 @@ blank-coalesce paths (:251-252), audit append (:120-130).
 
 from __future__ import annotations
 
-from datetime import datetime
+from datetime import datetime, timedelta
 
 import pytest
 from pyspark.sql import functions as F
@@ -257,3 +257,119 @@ def test_binary_file_source(spark, tmp_path):
     assert set(rows) == {"a.bin", "b.bin"}
     assert bytes(rows["a.bin"].content) == b"\x00\x01payload-a"
     assert rows["b.bin"].length == 90
+
+
+def test_cron_parity_lease_sla(spark, tmp_path):
+    """Cron-parity for operator O1+O3/O4: firings on the reference's
+    2-minute cadence under the 5-minute lease SLA
+    (/root/reference/EtlProcess.cs:23-24). A firing that overlaps a live
+    lease skips; once the holder exceeds the SLA the next firing steals
+    (forced) and its audit row records forced_lease — the reference's
+    OrchestrationRun.ForcedLease (:128)."""
+    from durable_functions_cosmosdb_etl_spark.etl import scheduled_batch_run
+    from durable_functions_cosmosdb_etl_spark.operators.lease import (
+        acquire_lease,
+    )
+
+    wd = str(tmp_path / "sched")
+    lease = f"{wd}/orchestration_lease"
+    t0 = datetime(2026, 1, 15, 12, 0, 0)
+
+    # 12:00 firing: lease free -> runs and releases
+    assert scheduled_batch_run(
+        spark, wd, "w1", now=t0, count=5, deterministic=True
+    )
+    # a worker takes the lease at 12:01 and never releases (crashed run)
+    assert acquire_lease(lease, "crashed", now=t0 + timedelta(minutes=1))
+    # 12:02 firing (next cron tick): live lease -> skipped
+    assert not scheduled_batch_run(
+        spark, wd, "w2", now=t0 + timedelta(minutes=2), count=5,
+        deterministic=True,
+    )
+    # 12:04 firing: still inside the 5-min SLA -> skipped
+    assert not scheduled_batch_run(
+        spark, wd, "w3", now=t0 + timedelta(minutes=4), count=5,
+        deterministic=True,
+    )
+    # 12:08 firing: holder exceeded the SLA -> forced steal, runs
+    assert scheduled_batch_run(
+        spark, wd, "w4", now=t0 + timedelta(minutes=8), count=5,
+        deterministic=True,
+    )
+    audit = spark.read.parquet(f"{wd}/orchestration_runs")
+    rows = audit.orderBy("start_time").collect()
+    assert len(rows) == 2  # skipped firings audit nothing, like :98-102
+    assert [r.forced_lease for r in rows] == [False, True]
+    assert all(r.succeeded for r in rows)
+    # released cleanly: the next tick acquires without force
+    assert acquire_lease(lease, "w5", now=t0 + timedelta(minutes=10))
+
+
+def test_lease_steal_verifies_holder(tmp_path):
+    """The steal path must not destroy a FRESH lock that a faster
+    stealer re-created between our staleness read and our rename: the
+    post-rename verify restores it and loses the race."""
+    import json
+
+    from durable_functions_cosmosdb_etl_spark.operators.lease import (
+        _lock_path,
+        acquire_lease,
+        release_lease,
+    )
+
+    path = str(tmp_path / "lease.json")
+    lock = _lock_path(path)
+    t0 = datetime(2026, 1, 15, 12, 0, 0)
+    # stale holder from 12:00
+    assert acquire_lease(path, "old", now=t0)
+    # simulate: a faster stealer completed a full steal at 12:07 —
+    # the lock file now carries a FRESH holder
+    with open(lock, "w") as f:
+        json.dump({"worker": "fast", "start_time": (t0 + timedelta(minutes=7)).isoformat()}, f)
+    # our contender read "old" as stale and tries to steal at 12:07:
+    # the verify sees the holder changed and must back off
+    assert not acquire_lease(path, "slow", now=t0 + timedelta(minutes=7))
+    with open(lock) as f:
+        assert json.load(f)["worker"] == "fast"  # fresh lock intact
+    # release by a non-holder is a no-op; by the holder it unlocks
+    release_lease(path, "slow", now=t0 + timedelta(minutes=8))
+    with open(lock) as f:
+        assert json.load(f)["worker"] == "fast"
+    release_lease(path, "fast", now=t0 + timedelta(minutes=8))
+    assert not __import__("os").path.exists(lock)
+
+
+def test_compact_upsert_replay_and_dup_keys(spark, tmp_path):
+    """create -> upsert -> re-upsert (replay) keeps exactly one row per
+    key; duplicate keys inside one batch resolve by order_col; the
+    merge's self-read of the table it overwrites is severed (no
+    cannot-overwrite error, no data loss in rewritten buckets)."""
+    from durable_functions_cosmosdb_etl_spark.sinks.writers import (
+        compact_upsert,
+        read_compacted,
+    )
+
+    table = str(tmp_path / "compacted")
+    base = spark.createDataFrame(
+        [(i, f"v0-{i}", 0) for i in range(50)], "id long, val string, ver int"
+    )
+    compact_upsert(spark, table, base, key="id")
+    assert read_compacted(spark, table).count() == 50
+
+    # update 10 keys + insert 5 new, with an in-batch duplicate for key 3
+    upd = spark.createDataFrame(
+        [(i, f"v1-{i}", 1) for i in range(10)]
+        + [(3, "v2-3", 2)]
+        + [(i, f"v1-{i}", 1) for i in range(50, 55)],
+        "id long, val string, ver int",
+    )
+    compact_upsert(spark, table, upd, key="id", order_col="ver")
+    got = {r.id: r.val for r in read_compacted(spark, table).collect()}
+    assert len(got) == 55
+    assert got[3] == "v2-3"  # highest ver wins inside the batch
+    assert got[5] == "v1-5" and got[20] == "v0-20" and got[52] == "v1-52"
+
+    # replay the same batch: identical end state (idempotent)
+    compact_upsert(spark, table, upd, key="id", order_col="ver")
+    again = {r.id: r.val for r in read_compacted(spark, table).collect()}
+    assert again == got

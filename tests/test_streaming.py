@@ -485,3 +485,35 @@ def test_stream_stream_left_outer_emits_unmatched(spark, tmp_path):
     }
     assert (100, 1) in got
     assert (103, None) in got  # unmatched emitted with null after watermark
+
+
+def test_processing_time_trigger_cadence(spark, tmp_path):
+    """Operator O1's resident-cron path: Trigger.ProcessingTime fires
+    micro-batches on a wall-clock cadence (the reference's 2-minute
+    TimerTrigger, EtlProcess.cs:23, compressed to 1s for the test).
+    New files staged while the query is live are picked up by a later
+    tick without restarting anything — the property availableNow lacks."""
+    staging = str(tmp_path / "staging")
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+    _stage_files(spark, staging, n_files=1, rows_per=6)
+    q = run_incremental_transform(
+        spark,
+        staging,
+        out,
+        ckpt,
+        max_files_per_trigger=10,
+        clock=CLOCK,
+        available_now=False,
+        processing_time="1 seconds",
+    )
+    try:
+        q.processAllAvailable()
+        assert latest_view(spark, out).count() == 6
+        # second cadence tick sees a file staged AFTER the query started
+        _stage_files(spark, staging, n_files=1, rows_per=4, prefix="late")
+        q.processAllAvailable()
+        assert latest_view(spark, out).count() == 10
+        assert q.isActive
+    finally:
+        q.stop()
