@@ -22,6 +22,8 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 import __spark_entry__ as entrymod  # noqa: E402
 from durable_functions_cosmosdb_etl_spark.session import get_spark  # noqa: E402
 
+# Original round-1/2 headline set — kept verbatim for round-over-round
+# comparability (BENCH_r03 ⊇ BENCH_r02 set).
 HEADLINE = [
     "pricing_summary",
     "join_inner_revenue",
@@ -38,6 +40,18 @@ HEADLINE = [
     "join_sixway_revenue",
 ]
 
+# Round-3 additions: the heavier queries that previously had no trend
+# line (VERDICT r02 task #8).
+HEADLINE_EXT = [
+    "text_tfidf",
+    "dedup_components",
+    "dedup_embedding",
+    "pipeline_pack",
+    "join_outer_cross",
+]
+
+N_RUNS = 3  # median-of-3 so noise blips are distinguishable from regressions
+
 
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -45,23 +59,26 @@ def main() -> None:
     spark = get_spark("bench")
     spark.sparkContext.setLogLevel("ERROR")
     qs = entrymod.queries()
+    names = HEADLINE + HEADLINE_EXT
 
-    # Warmup pass (JVM JIT, codegen caches, Python-worker spin-up) then a
-    # timed pass — standard steady-state measurement: a long-lived
+    # Warmup pass (JVM JIT, codegen caches, Python-worker spin-up), then
+    # N_RUNS timed passes — steady-state measurement: a long-lived
     # application is the deployment shape (the reference runs resident in
     # a Functions host too); cold-process artifacts at sf0.1 would
-    # otherwise dominate the sub-second queries.
-    timings: dict[str, float] = {}
-    for measured in (False, True):
-        for name in HEADLINE:
+    # otherwise dominate the sub-second queries. Per query we report the
+    # MEDIAN of the timed runs ("queries"), with min/max in "spread".
+    runs: dict[str, list[float]] = {n: [] for n in names}
+    for measured in [False] + [True] * N_RUNS:
+        for name in names:
             t0 = time.perf_counter()
             qs[name](spark, sf_dir).write.mode("overwrite").format(
                 "noop"
             ).save()
             if measured:
-                timings[name] = round(time.perf_counter() - t0, 3)
+                runs[name].append(round(time.perf_counter() - t0, 3))
 
-    total = round(sum(timings.values()), 3)
+    timings = {n: sorted(ts)[len(ts) // 2] for n, ts in runs.items()}
+    total = round(sum(timings[n] for n in HEADLINE), 3)
     print(
         json.dumps(
             {
@@ -70,6 +87,13 @@ def main() -> None:
                 "unit": "sec",
                 "queries": timings,
                 "sf": sf,
+                "n_runs": N_RUNS,
+                "spread": {
+                    n: [min(ts), max(ts)] for n, ts in runs.items()
+                },
+                "headline_set": HEADLINE,
+                "extended_set": HEADLINE_EXT,
+                "total_extended_sec": round(sum(timings.values()), 3),
             }
         )
     )

@@ -413,7 +413,7 @@ def dedup_jaccard_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
              AS jaccard
     FROM s a JOIN s b ON a.doc_id < b.doc_id
     WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
-            / (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))) >= 0.5
+            / (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))) >= 0.7
     """,
 )
 def dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -423,13 +423,21 @@ def dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     Candidates come from the band equi-join; every candidate is verified
     with exact shingle Jaccard, so precision is 1.0. ``target_miss=1e-9``
     makes ``pick_bands`` choose a banding whose per-pair capture failure
-    at τ=0.5 is <= 1e-9 (actual: 64 single-row bands, miss 5e-20), so
-    the output is statistically identical to the exact inverted-index
-    join — which is exactly what the DuckDB all-pairs oracle computes.
-    The 16×4 production default remains the `target_miss=None` path.
+    AT the threshold is <= 1e-9, so the output is statistically
+    identical to the exact inverted-index join — which is exactly what
+    the DuckDB all-pairs oracle computes.
+
+    Operating point τ=0.7 (production near-dup territory): pick_bands
+    gives 32 bands × 2 rows — miss 4.5e-10 with ~13× fewer random-pair
+    collisions than single-row bands. At τ=0.5 completeness would force
+    64×1 banding, where sign collisions stop pruning anything (measured
+    ~9× slower at sf0.1) — that regime belongs to the exact
+    inverted-index join (`dedup_jaccard`/`dedup_jaccard_capped`, both
+    registered at τ=0.5). The 16×4 production default remains the
+    `target_miss=None` path.
     """
     return dd.minhash_lsh_pairs(
-        _docs(spark, sf_dir), threshold=0.5, target_miss=1e-9
+        _docs(spark, sf_dir), threshold=0.7, target_miss=1e-9
     )
 
 
