@@ -672,17 +672,126 @@ def similarity_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("similarity_ivf")  # approximate by construction → rows-only check
+@query(
+    "similarity_ivf",
+    oracle="""
+    WITH c AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id >= 5),
+    q AS (SELECT vec_id AS query_id, embedding AS qe
+          FROM embeddings WHERE vec_id < 5),
+    seeds AS (
+        SELECT row_number() OVER (ORDER BY vec_id) AS centroid_id,
+               embedding AS se
+        FROM (SELECT vec_id, embedding FROM c ORDER BY vec_id LIMIT 10)),
+    fit_sc AS (
+        SELECT c.vec_id, s.centroid_id,
+               list_sum([CAST(c.embedding[i] AS DOUBLE) * CAST(s.se[i] AS DOUBLE)
+                         for i in range(1, len(c.embedding) + 1)])
+               / (sqrt(list_sum([CAST(c.embedding[i] AS DOUBLE)
+                                 * CAST(c.embedding[i] AS DOUBLE)
+                                 for i in range(1, len(c.embedding) + 1)]))
+                  * sqrt(list_sum([CAST(s.se[i] AS DOUBLE) * CAST(s.se[i] AS DOUBLE)
+                                   for i in range(1, len(s.se) + 1)]))) AS sim
+        FROM c, seeds s),
+    fit_assign AS (
+        SELECT vec_id, centroid_id FROM (
+            SELECT vec_id, centroid_id,
+                   row_number() OVER (PARTITION BY vec_id
+                                      ORDER BY sim DESC, centroid_id) AS rn
+            FROM fit_sc) WHERE rn = 1),
+    vals AS (
+        SELECT fa.centroid_id,
+               unnest(range(1, len(c.embedding) + 1)) AS pos,
+               unnest([CAST(x AS DOUBLE) for x in c.embedding]) AS val
+        FROM fit_assign fa JOIN c USING (vec_id)),
+    cent AS (
+        SELECT centroid_id, list(mf ORDER BY pos) AS ce
+        FROM (SELECT centroid_id, pos, CAST(avg(val) AS FLOAT) AS mf
+              FROM vals GROUP BY centroid_id, pos)
+        GROUP BY centroid_id),
+    cell_sc AS (
+        SELECT c.vec_id, ct.centroid_id,
+               list_sum([CAST(c.embedding[i] AS DOUBLE) * CAST(ct.ce[i] AS DOUBLE)
+                         for i in range(1, len(c.embedding) + 1)])
+               / (sqrt(list_sum([CAST(c.embedding[i] AS DOUBLE)
+                                 * CAST(c.embedding[i] AS DOUBLE)
+                                 for i in range(1, len(c.embedding) + 1)]))
+                  * sqrt(list_sum([CAST(ct.ce[i] AS DOUBLE) * CAST(ct.ce[i] AS DOUBLE)
+                                   for i in range(1, len(ct.ce) + 1)]))) AS sim
+        FROM c, cent ct),
+    cells AS (
+        SELECT vec_id, centroid_id FROM (
+            SELECT vec_id, centroid_id,
+                   row_number() OVER (PARTITION BY vec_id
+                                      ORDER BY sim DESC, centroid_id) AS rn
+            FROM cell_sc) WHERE rn = 1),
+    probe_sc AS (
+        SELECT q.query_id, ct.centroid_id,
+               list_sum([CAST(q.qe[i] AS DOUBLE) * CAST(ct.ce[i] AS DOUBLE)
+                         for i in range(1, len(q.qe) + 1)])
+               / (sqrt(list_sum([CAST(q.qe[i] AS DOUBLE) * CAST(q.qe[i] AS DOUBLE)
+                                 for i in range(1, len(q.qe) + 1)]))
+                  * sqrt(list_sum([CAST(ct.ce[i] AS DOUBLE) * CAST(ct.ce[i] AS DOUBLE)
+                                   for i in range(1, len(ct.ce) + 1)]))) AS csim
+        FROM q, cent ct),
+    probes AS (
+        SELECT query_id, centroid_id FROM (
+            SELECT query_id, centroid_id,
+                   row_number() OVER (PARTITION BY query_id
+                                      ORDER BY csim DESC, centroid_id) AS rn
+            FROM probe_sc) WHERE rn <= 3),
+    scored AS (
+        SELECT p.query_id, c.vec_id AS neighbor_id,
+               list_sum([CAST(q.qe[i] AS DOUBLE) * CAST(c.embedding[i] AS DOUBLE)
+                         for i in range(1, len(q.qe) + 1)])
+               / (sqrt(list_sum([CAST(q.qe[i] AS DOUBLE) * CAST(q.qe[i] AS DOUBLE)
+                                 for i in range(1, len(q.qe) + 1)]))
+                  * sqrt(list_sum([CAST(c.embedding[i] AS DOUBLE)
+                                   * CAST(c.embedding[i] AS DOUBLE)
+                                   for i in range(1, len(c.embedding) + 1)]))) AS sim
+        FROM probes p
+        JOIN cells cl USING (centroid_id)
+        JOIN c ON cl.vec_id = c.vec_id
+        JOIN q ON p.query_id = q.query_id)
+    SELECT query_id, neighbor_id,
+           CAST(round(sim * 1000000) AS BIGINT) / 1000000.0 AS sim, rank
+    FROM (SELECT query_id, neighbor_id, sim,
+                 row_number() OVER (PARTITION BY query_id
+                                    ORDER BY sim DESC, neighbor_id) AS rank
+          FROM scored)
+    WHERE rank <= 10
+    """,
+)
 def similarity_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF approximate top-k (nprobe=3 of 10 cells) — the scale path.
-    Tests assert recall@10 vs brute force."""
+
+    Now hash-checked against a full DuckDB replica of the pipeline
+    (seed → one Lloyd step → assign → probe → rescore): every stage is
+    deterministic — seeds are the 10 lowest-id corpus vectors, argmin /
+    top-k ties break on centroid_id / neighbor_id, per-dimension
+    centroid means are quantized to float32 (which absorbs sum-order
+    noise in the double accumulation, ~1e-16 relative, far below the
+    2^-24 float32 quantum), and all cosines are sequential left-to-right
+    double folds in both engines. The oracle replicates the small-corpus
+    guard path of ``fit_ivf_centroids`` (at sf0.01 the 495-row corpus is
+    below the ``min_fit_rows×n_centroids`` floor, so fitting uses the
+    full corpus, not the xxhash64 sample — which SQL could not express).
+    Tests additionally assert recall@10 vs brute force.
+    """
     em = _emb(spark, sf_dir)
-    return sim.ivf_topk(
+    out = sim.ivf_topk(
         em.filter(F.col("vec_id") >= 5),
         em.filter(F.col("vec_id") < 5),
         k=10,
         n_centroids=10,
         nprobe=3,
+    )
+    return out.select(
+        "query_id",
+        "neighbor_id",
+        (F.round(F.col("sim") * 1000000, 0).cast("long") / F.lit(1000000.0)).alias(
+            "sim"
+        ),
+        "rank",
     )
 
 
