@@ -190,3 +190,28 @@ def test_incremental_dedup_partition_pruning_and_replay(spark, tmp_path):
     # shingles stored once per doc, not once per band row
     shingles = spark.read.parquet(f"{idx}/shingles")
     assert shingles.count() == 2
+
+
+def test_vectorized_shingler_matches_jvm_expression(spark, sf_dir):
+    """The Arrow shingler must be byte-exact vs the HOF expression path,
+    including whitespace edge cases Java's \\s+ split produces."""
+    docs = load_table(spark, sf_dir, "documents").limit(200)
+    edge = spark.createDataFrame(
+        [
+            (9001, "a b c d"),
+            (9002, "  leading and trailing  "),
+            (9003, "tab\tseparated words here"),
+            (9004, "line\nbreak words here"),
+            (9005, "two  spaces between words"),
+            (9006, "only two"),
+            (9007, ""),
+            (9008, "a a a a a"),
+        ],
+        "doc_id long, text string",
+    )
+    for df in (docs.select("doc_id", "text"), edge):
+        fast = dd._shingled(df, "doc_id", "text", 3, vectorized=True)
+        slow = dd._shingled(df, "doc_id", "text", 3, vectorized=False)
+        got = {r.doc: r.sh for r in fast.collect()}
+        want = {r.doc: r.sh for r in slow.collect()}
+        assert got == want

@@ -133,3 +133,36 @@ def test_ml_brp_lsh_recall_vs_brute_force(spark, sf_dir):
         for q in exact_sets
     ]
     assert sum(recalls) / len(recalls) >= 0.8
+
+
+def test_blocked_exact_pairs_match_fold_join(spark, sf_dir):
+    """Block-GEMM all-pairs must equal the fold-expression exact join,
+    across multiple blocks (forces cross-block pair handling)."""
+    em = load_table(spark, sf_dir, "embeddings")
+    got = {
+        (r.vec_id_a, r.vec_id_b)
+        for r in sim.cosine_pairs_exact_blocked(
+            em, threshold=0.35, block_size=64
+        ).collect()
+    }
+    want = {
+        (r.vec_id_a, r.vec_id_b)
+        for r in sim.cosine_pairs(em, threshold=0.35).collect()
+    }
+    assert got == want and len(want) > 0
+
+
+def test_lsh_auto_mode_falls_back_below_pruning_cutoff(spark, sf_dir):
+    """τ=0.35 banding cannot prune (128 bands × 4 bits collide a random
+    pair ~8× in expectation) — auto mode must choose the blocked-exact
+    plan: no band-join exchange, and results equal the exact join."""
+    em = load_table(spark, sf_dir, "embeddings").limit(150)
+    auto = sim.cosine_pairs_lsh(em, threshold=0.35)
+    plan = auto._jdf.queryExecution().executedPlan().toString()
+    assert "posexplode" not in plan.lower()
+    got = {(r.vec_id_a, r.vec_id_b) for r in auto.collect()}
+    want = {
+        (r.vec_id_a, r.vec_id_b)
+        for r in sim.cosine_pairs(em, threshold=0.35).collect()
+    }
+    assert got == want
