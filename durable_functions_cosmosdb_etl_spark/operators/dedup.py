@@ -602,3 +602,86 @@ def simhash_pairs(
         .filter(F.col("hamming") <= max_hamming)
         .select("doc_a", "doc_b", "hamming")
     )
+
+
+# Substring-level dedup: portable polynomial hash for char k-grams.
+# Base/modulus chosen so the identical fold is cheap in DuckDB HUGEINT
+# arithmetic (intermediates < 2^70) and exact in Python ints.
+SUBSTR_K = 32  # char k-gram width = minimum detectable verbatim span
+SUBSTR_P = 8  # keep grams with hash % P == 0 → 1/P fingerprint density
+_SUBSTR_BASE = 257
+_SUBSTR_MOD = (1 << 61) - 1
+
+
+def _substr_fp_udf(k: int, p: int):
+    """Arrow-batched char-k-gram fingerprint sampler.
+
+    Rolling polynomial hash (base 257 mod 2^61−1) over code points;
+    emits the DISTINCT k-char grams whose hash ≡ 0 (mod p). Sampling by
+    content hash — not by position — makes the fingerprint set a pure
+    function of the text, so a span shared verbatim between two docs
+    yields the SAME sampled grams in both regardless of where it sits
+    (the property stride sampling lacks; cf. Manber's sif / MOSS
+    winnowing — this is the simpler mod-p variant with a probabilistic
+    rather than worst-case guarantee).
+    """
+
+    @F.pandas_udf(T.ArrayType(T.StringType()))
+    def fp(texts: pd.Series) -> pd.Series:
+        base, mod = _SUBSTR_BASE, _SUBSTR_MOD
+        top = pow(base, k - 1, mod)
+        out: list[list[str]] = []
+        for t in texts:
+            if t is None or len(t) < k:
+                out.append([])
+                continue
+            sel: dict[str, None] = {}
+            h = 0
+            for ch in t[:k]:
+                h = (h * base + ord(ch)) % mod
+            if h % p == 0:
+                sel[t[:k]] = None
+            for i in range(1, len(t) - k + 1):
+                h = ((h - ord(t[i - 1]) * top) * base + ord(t[i + k - 1])) % mod
+                if h % p == 0:
+                    sel[t[i : i + k]] = None
+            out.append(list(sel))
+        return pd.Series(out)
+
+    return fp
+
+
+def substring_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = SUBSTR_K,
+    p: int = SUBSTR_P,
+) -> DataFrame:
+    """Doc pairs sharing ≥1 sampled verbatim k-char gram (the
+    exact-substring-dedup primitive of Lee et al.'s "Deduplicating
+    Training Data", re-expressed as fingerprint sampling + equi-join
+    instead of a monolithic suffix array).
+
+    Join is on the gram STRING, so every reported pair truly shares a
+    verbatim k-char span (precision 1.0); the hash only decides which
+    grams are sampled. Detection probability for a shared span of S
+    chars is 1−(1−1/p)^(S−k+1): ~1e-4 at S=100, ~1.3e-7 at S=150 with
+    defaults. 100 TB shape: fingerprints are O(chars/p) rows, the join
+    is a hash equi-join on the gram — linear shuffle, no pairwise scan;
+    grams hash-distribute uniformly so no skew salting is needed.
+    Output: (doc_a, doc_b, n_shared) with doc_a < doc_b.
+    """
+    fps = df.select(
+        F.col(id_col).alias("doc"),
+        F.explode(_substr_fp_udf(k, p)(F.col(text_col))).alias("g"),
+    ).cache()
+    a, b = fps.alias("a"), fps.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.g") == F.col("b.g")) & (F.col("a.doc") < F.col("b.doc")),
+        )
+        .groupBy(F.col("a.doc").alias("doc_a"), F.col("b.doc").alias("doc_b"))
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+    )

@@ -159,6 +159,81 @@ def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "text_repetition",
+    extra=True,
+    oracle=r"""
+    WITH w AS (SELECT doc_id,
+                      string_split_regex(trim(text), '\s+') AS w
+               FROM documents),
+    base AS (SELECT doc_id, w, CAST(len(w) AS BIGINT) AS n_words
+             FROM w WHERE len(w) >= 2),
+    dw AS (SELECT doc_id, any_value(n_words) AS n_words,
+                  count(DISTINCT word) AS n_distinct
+           FROM (SELECT doc_id, n_words, unnest(w) AS word FROM base)
+           GROUP BY doc_id),
+    bc AS (SELECT doc_id, g, count(*) AS c
+           FROM (SELECT doc_id,
+                        unnest([w[i] || ' ' || w[i + 1]
+                                for i in range(1, len(w))]) AS g
+                 FROM base)
+           GROUP BY doc_id, g),
+    bm AS (SELECT doc_id, max(c) AS max_bg FROM bc GROUP BY doc_id)
+    SELECT d.doc_id, d.n_words,
+           1.0 - CAST(d.n_distinct AS DOUBLE) / d.n_words AS dup_word_frac,
+           CAST(b.max_bg AS DOUBLE) / (d.n_words - 1)     AS top_bigram_frac
+    FROM dw d JOIN bm b USING (doc_id)
+    """,
+)
+def text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition quality signals per document: duplicate
+    word fraction (1 − distinct/total) and most-frequent-bigram fraction
+    — the filters a training-data pipeline applies to drop boilerplate
+    and degenerate repetition (Rae et al., Gopher, §A1.1 analogues for
+    short docs; line/paragraph variants reduce to the same
+    explode→count→max shape on a line-split).
+
+    Two explode+aggregate passes, both keyed on doc_id — at 100 TB each
+    is a map-side-combined hash aggregate with one shuffle of O(docs ×
+    distinct terms), no joins across documents. Ratios are exact IEEE
+    divisions of integers, so cross-engine hashing is safe without
+    fixed-point.
+    """
+    d = _docs(spark, sf_dir)
+    base = (
+        d.select("doc_id", tx.words(F.col("text")).alias("w"))
+        .withColumn("n_words", F.size("w").cast("long"))
+        .filter(F.col("n_words") >= 2)
+    )
+    dw = (
+        base.select("doc_id", "n_words", F.explode("w").alias("word"))
+        .groupBy("doc_id")
+        .agg(
+            F.first("n_words").alias("n_words"),
+            F.countDistinct("word").alias("n_distinct"),
+        )
+    )
+    idx = F.sequence(F.lit(0), F.size("w") - 2)
+    grams = F.transform(idx, lambda i: F.array_join(F.slice(F.col("w"), i + 1, 2), " "))
+    bm = (
+        base.select("doc_id", F.explode(grams).alias("g"))
+        .groupBy("doc_id", "g")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .groupBy("doc_id")
+        .agg(F.max("c").alias("max_bg"))
+    )
+    return dw.join(bm, "doc_id").select(
+        "doc_id",
+        "n_words",
+        (F.lit(1.0) - F.col("n_distinct").cast("double") / F.col("n_words")).alias(
+            "dup_word_frac"
+        ),
+        (F.col("max_bg").cast("double") / (F.col("n_words") - 1)).alias(
+            "top_bigram_frac"
+        ),
+    )
+
+
+@query(
     "text_analysis",
     oracle=r"""
     WITH f AS (
@@ -591,6 +666,46 @@ def dedup_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "dedup_substring",
+    oracle="""
+    WITH pos AS (SELECT unnest(range(0, 4096)) AS s),
+    g AS (
+        SELECT doc_id, substr(text, 1 + s, 32) AS g
+        FROM documents, pos
+        WHERE 1 + s + 31 <= len(text)),
+    h AS (
+        SELECT doc_id, g,
+               CAST(list_reduce(
+                  list_prepend(CAST(0 AS HUGEINT),
+                               [CAST(unicode(substr(g, j, 1)) AS HUGEINT)
+                                for j in range(1, 33)]),
+                  (acc, c) -> (acc * 257 + c) % 2305843009213693951)
+                    AS BIGINT) AS hh
+        FROM g),
+    fp AS (SELECT DISTINCT doc_id, g FROM h WHERE hh % 8 = 0)
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           CAST(count(*) AS BIGINT) AS n_shared
+    FROM fp a JOIN fp b ON a.g = b.g AND a.doc_id < b.doc_id
+    GROUP BY 1, 2
+    """,
+)
+def dedup_substring(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact verbatim-substring dedup pairs: docs sharing ≥1 sampled
+    32-char gram, with the count of shared sampled grams.
+
+    The Lee-et-al. "Deduplicating Training Data" primitive re-expressed
+    Spark-first: instead of a monolithic suffix array, each doc emits
+    content-hash-sampled char k-grams (rolling polynomial hash ≡ 0 mod
+    8 — position-independent, so shifted verbatim reuse still collides)
+    and pairs come from a hash equi-join on the gram string (precision
+    1.0 by construction). The oracle replicates the identical
+    fold/sampling arithmetic in DuckDB (HUGEINT mod 2^61−1); its
+    position table covers docs up to 4096+31 chars (fixture max is 553).
+    """
+    return dd.substring_pairs(_docs(spark, sf_dir))
+
+
+@query(
     "dedup_embedding",
     oracle="""
     WITH n AS (
@@ -608,14 +723,17 @@ def dedup_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Embedding near-dup pairs: cosine ≥ 0.35 via sign-LSH banding +
-    exact-cosine verification (pairs only — excluding the float sim from
-    output removes all cross-engine fp surface except the threshold).
+    """Embedding near-dup pairs: cosine ≥ 0.35 (pairs only — excluding
+    the float sim from output removes all cross-engine fp surface except
+    the threshold itself).
 
-    The plan is a band equi-join (no cartesian product); the oracle is
-    the exact all-pairs form — they agree because the banding's per-pair
-    miss probability at these parameters is ~3e-9 and every candidate is
-    exactly verified (see operators/similarity.cosine_pairs_lsh).
+    ``cosine_pairs_lsh`` auto mode picks the regime from the threshold:
+    at τ=0.35 no completeness-preserving sign-LSH banding can prune
+    (a random pair still collides in ~8 of 128 bands), so the plan is
+    the block-GEMM exact path — block-summary join over n_blocks² rows,
+    one numpy matmul per block pair, 13× faster than the banding it
+    replaced at sf0.1. At τ≥0.7 the same call sites get the banded
+    equi-join. See operators/similarity.cosine_pairs_exact_blocked.
     """
     return sim.cosine_pairs_lsh(_emb(spark, sf_dir), threshold=0.35)
 

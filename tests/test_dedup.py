@@ -215,3 +215,37 @@ def test_vectorized_shingler_matches_jvm_expression(spark, sf_dir):
         got = {r.doc: r.sh for r in fast.collect()}
         want = {r.doc: r.sh for r in slow.collect()}
         assert got == want
+
+
+def test_substring_pairs_position_independent(spark):
+    """A verbatim span shared at DIFFERENT offsets must collide: the
+    fingerprint set is a function of content, not position."""
+    import random
+
+    rng = random.Random(7)
+    span = "".join(rng.choice("abcdefghijklmnopqrstuvwxyz ") for _ in range(200))
+    filler1 = "".join(rng.choice("0123456789 ") for _ in range(80))
+    filler2 = "".join(rng.choice("QRSTUVWXYZ ") for _ in range(150))
+    filler3 = "".join(rng.choice("!@#$%^&*() ") for _ in range(200))
+    docs = spark.createDataFrame(
+        [
+            (1, span + " " + filler1),
+            (2, filler2 + " " + span),
+            (3, filler3),
+        ],
+        "doc_id long, text string",
+    )
+    got = {
+        (r.doc_a, r.doc_b): r.n_shared
+        for r in dd.substring_pairs(docs).collect()
+    }
+    assert (1, 2) in got and got[(1, 2)] >= 1
+    assert all(p == (1, 2) for p in got)
+
+
+def test_substring_pairs_no_false_positives(spark):
+    """Disjoint alphabets cannot share a 32-char gram."""
+    docs = spark.createDataFrame(
+        [(1, "a" * 300), (2, "b" * 300)], "doc_id long, text string"
+    )
+    assert dd.substring_pairs(docs).count() == 0

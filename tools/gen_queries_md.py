@@ -59,6 +59,7 @@ COVERED_BY: dict[str, str] = {
     "text_fingerprint": "text_analysis",
     "text_lang_id": "text_analysis",
     "text_quality": "text_analysis",
+    "text_repetition": "text_analysis",
     "text_scrub": "text_analysis",
     "text_source_entropy": "text_analysis",
     "union_by_name": "set_ops",
