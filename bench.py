@@ -48,6 +48,8 @@ HEADLINE_EXT = [
     "dedup_embedding",
     "pipeline_pack",
     "join_outer_cross",
+    "dedup_substring",
+    "similarity_ivf",
 ]
 
 N_RUNS = 3  # median-of-3 so noise blips are distinguishable from regressions
