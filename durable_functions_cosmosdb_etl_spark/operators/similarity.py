@@ -481,6 +481,77 @@ def cosine_pairs_lsh(
     )
 
 
+def semantic_dedup(
+    corpus: DataFrame,
+    threshold: float = 0.35,
+    n_clusters: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """SemDeDup-style semantic dedup: cluster, then dedup WITHIN clusters.
+
+    The public SemDeDup recipe (Abbas et al. 2023, arXiv:2303.09540):
+    k-means the embedding space, then search for near-duplicate pairs
+    only inside each cluster — the cross-cluster quadratic term vanishes
+    by construction, so total pair work drops from O(N²) to
+    O(Σ |cluster|²) ≈ O(N²/k) with balanced cells. Reuses the
+    deterministic IVF codebook (``fit_ivf_centroids``: lowest-id seeds +
+    one Lloyd step, sample-fit above the size floor) and the broadcast
+    assign join; within-cluster scoring is ONE numpy GEMM per cluster
+    inside ``applyInPandas`` — the same block-matmul discipline as
+    ``cosine_pairs_exact_blocked``, with clusters as the blocks. Keeps
+    the lowest-id member of every near-dup relation: a row is dropped
+    iff some lower-id vector in the same cluster has cosine ≥ threshold.
+
+    At 100 TB: the cluster assign is a broadcast join (codebook is tiny),
+    the groupBy shuffles each vector exactly once keyed on centroid_id,
+    and per-task memory is bounded by the largest cluster (sub-block a
+    skewed cluster with ``cosine_pairs_exact_blocked`` if one cell
+    outgrows a task). Output: (vec_id, centroid_id, kept) — one row per
+    input vector.
+    """
+    centroids = fit_ivf_centroids(corpus, n_clusters, id_col, vec_col)
+    assigned = assign_to_centroids(corpus, centroids, id_col, vec_col)
+    cells = corpus.select(
+        F.col(id_col).alias("id"), F.col(vec_col).alias("v")
+    ).join(assigned.withColumnRenamed(id_col, "id"), "id")
+
+    out_schema = T.StructType(
+        [
+            T.StructField("centroid_id", T.IntegerType()),
+            T.StructField("id", T.LongType()),
+            T.StructField("kept", T.BooleanType()),
+        ]
+    )
+
+    def dedup_cell(pdf: pd.DataFrame) -> pd.DataFrame:
+        import numpy as np
+
+        pdf = pdf.sort_values("id")
+        ids = pdf["id"].to_numpy(dtype=np.int64)
+        mat = np.stack([np.asarray(v, dtype=np.float64) for v in pdf["v"]])
+        norms = np.linalg.norm(mat, axis=1)
+        with np.errstate(divide="ignore", invalid="ignore"):
+            sims = (mat @ mat.T) / np.outer(norms, norms)
+        # strict upper triangle: sims[i, j] with id_i < id_j ⇒ j dropped
+        over = sims >= threshold
+        over &= ids[:, None] < ids[None, :]
+        dropped = over.any(axis=0)
+        return pd.DataFrame(
+            {
+                "centroid_id": pdf["centroid_id"].to_numpy(),
+                "id": ids,
+                "kept": ~dropped,
+            }
+        )
+
+    return (
+        cells.groupBy("centroid_id")
+        .applyInPandas(dedup_cell, schema=out_schema)
+        .select(F.col("id").alias(id_col), "centroid_id", "kept")
+    )
+
+
 def cosine_pairs(
     vectors: DataFrame,
     threshold: float,

@@ -738,6 +738,98 @@ def dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sim.cosine_pairs_lsh(_emb(spark, sf_dir), threshold=0.35)
 
 
+@query(
+    "dedup_semantic",
+    extra=True,
+    oracle="""
+    WITH c AS (SELECT vec_id, embedding FROM embeddings),
+    seeds AS (
+        SELECT row_number() OVER (ORDER BY vec_id) AS centroid_id,
+               embedding AS se
+        FROM (SELECT vec_id, embedding FROM c ORDER BY vec_id LIMIT 10)),
+    fit_sc AS (
+        SELECT c.vec_id, s.centroid_id,
+               list_sum([CAST(c.embedding[i] AS DOUBLE) * CAST(s.se[i] AS DOUBLE)
+                         for i in range(1, len(c.embedding) + 1)])
+               / (sqrt(list_sum([CAST(c.embedding[i] AS DOUBLE)
+                                 * CAST(c.embedding[i] AS DOUBLE)
+                                 for i in range(1, len(c.embedding) + 1)]))
+                  * sqrt(list_sum([CAST(s.se[i] AS DOUBLE) * CAST(s.se[i] AS DOUBLE)
+                                   for i in range(1, len(s.se) + 1)]))) AS sim
+        FROM c, seeds s),
+    fit_assign AS (
+        SELECT vec_id, centroid_id FROM (
+            SELECT vec_id, centroid_id,
+                   row_number() OVER (PARTITION BY vec_id
+                                      ORDER BY sim DESC, centroid_id) AS rn
+            FROM fit_sc) WHERE rn = 1),
+    vals AS (
+        SELECT fa.centroid_id,
+               unnest(range(1, len(c.embedding) + 1)) AS pos,
+               unnest([CAST(x AS DOUBLE) for x in c.embedding]) AS val
+        FROM fit_assign fa JOIN c USING (vec_id)),
+    cent AS (
+        SELECT centroid_id, list(mf ORDER BY pos) AS ce
+        FROM (SELECT centroid_id, pos, CAST(avg(val) AS FLOAT) AS mf
+              FROM vals GROUP BY centroid_id, pos)
+        GROUP BY centroid_id),
+    cell_sc AS (
+        SELECT c.vec_id, ct.centroid_id,
+               list_sum([CAST(c.embedding[i] AS DOUBLE) * CAST(ct.ce[i] AS DOUBLE)
+                         for i in range(1, len(c.embedding) + 1)])
+               / (sqrt(list_sum([CAST(c.embedding[i] AS DOUBLE)
+                                 * CAST(c.embedding[i] AS DOUBLE)
+                                 for i in range(1, len(c.embedding) + 1)]))
+                  * sqrt(list_sum([CAST(ct.ce[i] AS DOUBLE) * CAST(ct.ce[i] AS DOUBLE)
+                                   for i in range(1, len(ct.ce) + 1)]))) AS sim
+        FROM c, cent ct),
+    cells AS (
+        SELECT vec_id, centroid_id FROM (
+            SELECT vec_id, centroid_id,
+                   row_number() OVER (PARTITION BY vec_id
+                                      ORDER BY sim DESC, centroid_id) AS rn
+            FROM cell_sc) WHERE rn = 1),
+    dropped AS (
+        SELECT DISTINCT cb.vec_id
+        FROM cells ca
+        JOIN cells cb
+          ON ca.centroid_id = cb.centroid_id AND ca.vec_id < cb.vec_id
+        JOIN c a ON ca.vec_id = a.vec_id
+        JOIN c b ON cb.vec_id = b.vec_id
+        WHERE list_sum([CAST(a.embedding[i] AS DOUBLE)
+                        * CAST(b.embedding[i] AS DOUBLE)
+                        for i in range(1, len(a.embedding) + 1)])
+              / (sqrt(list_sum([CAST(a.embedding[i] AS DOUBLE)
+                                * CAST(a.embedding[i] AS DOUBLE)
+                                for i in range(1, len(a.embedding) + 1)]))
+                 * sqrt(list_sum([CAST(b.embedding[i] AS DOUBLE)
+                                  * CAST(b.embedding[i] AS DOUBLE)
+                                  for i in range(1, len(b.embedding) + 1)])))
+              >= 0.35)
+    SELECT cl.vec_id, cl.centroid_id, (d.vec_id IS NULL) AS kept
+    FROM cells cl LEFT JOIN dropped d ON cl.vec_id = d.vec_id
+    """,
+)
+def dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup (cluster-then-dedup, arXiv:2303.09540): k-means cells
+    via the deterministic IVF codebook, near-dup search ONLY within each
+    cell — O(N²) pair work becomes O(N²/k) by construction, and the
+    within-cell scoring is one numpy GEMM per cell. Keeps the lowest-id
+    member of every near-dup relation; output is one (vec_id,
+    centroid_id, kept) row per input vector.
+
+    Oracle: full DuckDB replica of the pipeline (same CTE chain as
+    ``similarity_ivf``'s oracle — seeds → one Lloyd step → assign —
+    then the within-cell pair join). Every stage is deterministic; the
+    float32 centroid cast absorbs double sum-order noise, and cosines
+    near the 0.35 threshold are far from the ~1e-16 GEMM-vs-fold
+    disagreement band at this SF.
+    """
+    return sim.semantic_dedup(
+        _emb(spark, sf_dir), threshold=0.35, n_clusters=10
+    )
+
+
 # --------------------------------------------------------------------------
 # Similarity search
 # --------------------------------------------------------------------------

@@ -219,6 +219,47 @@ def text_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "sample_quota",
+    extra=True,
+    oracle="""
+    WITH h AS (
+        SELECT doc_id, lang,
+               row_number() OVER (
+                   PARTITION BY lang
+                   ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rn,
+               count(*) OVER (PARTITION BY lang) AS n_s
+        FROM documents)
+    SELECT doc_id, lang FROM h
+    WHERE rn <= CAST(ceil(0.2 * n_s) AS BIGINT)
+    """,
+)
+def sample_quota(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-quota stratified sampling: exactly ⌈20%⌉ of every lang
+    stratum, chosen by ranking on a content-independent cross-engine
+    hash (md5 of the id) — a deterministic, auditable mixture draw,
+    unlike Bernoulli sampling which only hits the quota in expectation
+    (and depends on partition layout — see sample_stratified). One
+    window per stratum; the hash order is uniform, so the quota cut is
+    an unbiased sample. At 100 TB the per-stratum count comes from the
+    same window pass — no extra scan.
+    """
+    from pyspark.sql import Window
+
+    d = load_table(spark, sf_dir, "documents")
+    hid = F.md5(F.col("doc_id").cast("string").cast("binary"))
+    w = Window.partitionBy("lang").orderBy(hid, "doc_id")
+    cw = Window.partitionBy("lang")
+    return (
+        d.withColumn("rn", F.row_number().over(w))
+        .withColumn("n_s", F.count(F.lit(1)).over(cw))
+        .filter(
+            F.col("rn") <= F.ceil(F.lit(0.2) * F.col("n_s")).cast("long")
+        )
+        .select("doc_id", "lang")
+    )
+
+
 @query("sample_stratified", extra=True)  # seeded RNG → rows-only
 def sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Stratified Bernoulli sampling with per-language fractions

@@ -42,6 +42,8 @@ def test_every_primary_query_has_an_oracle():
 
 
 def test_extras_all_mapped_to_primary_coverage():
+    import __spark_entry__  # noqa: F401 — populate the registries
+
     from durable_functions_cosmosdb_etl_spark.plans import registry as R
     from tools.gen_queries_md import COVERED_BY
 

@@ -35,6 +35,7 @@ COVERED_BY: dict[str, str] = {
     "array_fns": "array_agg_fns",
     "case_when": "etl_transform",
     "dedup_minhash_ml": "dedup_minhash",
+    "dedup_semantic": "dedup_embedding",
     "dedup_simhash_fast": "dedup_simhash",
     "funnel_conversion": "window_fns",
     "join_anti": "join_semi_anti",
@@ -44,6 +45,7 @@ COVERED_BY: dict[str, str] = {
     "join_semi": "join_semi_anti",
     "multimodal_resize": "multimodal_decode",
     "retention_cohorts": "window_fns",
+    "sample_quota": "sample_systematic",
     "sample_stratified": "sample_systematic",
     "scalar_regex": "scalar_string",
     "scalar_try": "scalar_math",
