@@ -27,12 +27,13 @@ from pyspark.sql import SparkSession
 from ..operators.transform import transform_items
 from ..schemas import SAMPLE_ITEM_SCHEMA
 from ..sinks.writers import upsert_batch
+from ..sources.containers import Container
 from ..sources.stream import read_staging_stream
 
 
 def run_incremental_transform(
     spark: SparkSession,
-    staging_dir: str,
+    staging_dir: "str | Container",
     out_dir: str,
     checkpoint_dir: str,
     max_files_per_trigger: int = 1,
@@ -57,9 +58,14 @@ def run_incremental_transform(
       prevent; see operators/lease.py for the multi-submitter case).
     - neither: run continuously as fast as batches complete.
     """
-    stream = read_staging_stream(
-        spark, staging_dir, SAMPLE_ITEM_SCHEMA, max_files_per_trigger
-    )
+    if isinstance(staging_dir, Container):
+        # Connector path: cosmos.oltp.changeFeed (EtlProcess.cs:183-189)
+        # — or any Container backend — through the seam's read_stream.
+        stream = staging_dir.read_stream(spark, max_files_per_trigger)
+    else:
+        stream = read_staging_stream(
+            spark, staging_dir, SAMPLE_ITEM_SCHEMA, max_files_per_trigger
+        )
 
     def process(batch_df, batch_id: int) -> None:
         out = transform_items(batch_df, batch_id=str(batch_id), clock=clock)

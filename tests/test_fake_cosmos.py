@@ -113,3 +113,47 @@ def test_cosmos_change_feed_incremental(fakes, tmp_path):
     q2.awaitTermination(60)
     total = spark.sql("SELECT count(*) c FROM feed_sink2").collect()[0]["c"]
     assert total == 30
+
+
+def test_etl_pipeline_over_cosmos_change_feed(fakes, tmp_path):
+    """The reference's core loop (EtlProcess.cs:183-209) end to end over
+    the connector seam: documents land in a cosmos container, the
+    change-feed stream drives transform → upsert, and the checkpoint
+    makes re-runs process only the delta — with the UNMODIFIED pipeline
+    code path selecting the connector purely via the Container value."""
+    from datetime import datetime
+
+    from durable_functions_cosmosdb_etl_spark.sinks.writers import latest_view
+    from durable_functions_cosmosdb_etl_spark.sources.generator import (
+        generate_sample_items,
+    )
+    from durable_functions_cosmosdb_etl_spark.streaming.pipeline import (
+        run_incremental_transform,
+    )
+
+    spark = fakes
+    clock = datetime(2026, 1, 15, 10, 30, 0)
+    staging = _container(tmp_path, "staging")
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+
+    staging.write(
+        generate_sample_items(
+            spark, count=12, clock=clock, deterministic_ids=True
+        )
+    )
+    run_incremental_transform(spark, staging, out, ckpt, clock=clock)
+    assert latest_view(spark, out).count() == 12
+
+    # no new documents → checkpoint prevents reprocessing
+    run_incremental_transform(spark, staging, out, ckpt, clock=clock)
+    assert latest_view(spark, out).count() == 12
+
+    # delta arrives in the container → only it flows through
+    staging.write(
+        generate_sample_items(
+            spark, count=5, clock=clock, deterministic_ids=True
+        ).withColumn("id", F.concat(F.lit("new-"), F.col("id")))
+    )
+    run_incremental_transform(spark, staging, out, ckpt, clock=clock)
+    assert latest_view(spark, out).count() == 17
