@@ -381,31 +381,34 @@ def connected_components(
     labels = nodes.select(
         F.col(node_col).alias("node"), F.col(node_col).alias("component")
     ).cache()
+    prev_cached = labels
     for _ in range(max_iters):
         neighbor_min = (
             e.join(labels, e.src == labels.node)
             .groupBy(F.col("dst").alias("node"))
             .agg(F.min("component").alias("nbr_min"))
         )
-        new_labels = (
+        # The convergence flag rides along in the SAME pass as the label
+        # update (``moved`` ⇔ a strictly smaller neighbor label exists),
+        # so each round is exactly ONE action over one join: the
+        # separate old-vs-new label comparison join it replaces doubled
+        # the per-round job count for no information gain.
+        upd = (
             labels.join(neighbor_min, "node", "left")
             .select(
                 "node",
                 F.least(
                     F.col("component"), F.coalesce("nbr_min", F.col("component"))
                 ).alias("component"),
+                (F.col("nbr_min") < F.col("component")).alias("moved"),
             )
             .cache()
         )
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "node")
-            .filter(F.col("n.component") != F.col("o.component"))
-            .limit(1)
-            .count()
-        )
-        labels.unpersist()
-        labels = new_labels
+        changed = upd.filter("moved").limit(1).count()
+        if prev_cached is not None:
+            prev_cached.unpersist()
+        prev_cached = upd
+        labels = upd.drop("moved")
         if changed == 0:
             break
     return labels.select(F.col("node").alias(node_col), "component")

@@ -602,7 +602,10 @@ def dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     min reachable id. Restricted to nodes appearing in ≥1 pair (isolated
     docs are trivially their own component).
     """
-    pairs = dd.jaccard_pairs(_docs(spark, sf_dir), threshold=0.5)
+    # One materialization of the (expensive) pair generator: edge list,
+    # node list, and every propagation round all read this cache instead
+    # of re-running shingle+join lineage through their own plans.
+    pairs = dd.jaccard_pairs(_docs(spark, sf_dir), threshold=0.5).cache()
     nodes = (
         pairs.select(F.col("doc_a").alias("doc"))
         .union(pairs.select("doc_b"))
