@@ -50,6 +50,7 @@ HEADLINE_EXT = [
     "join_outer_cross",
     "dedup_substring",
     "similarity_ivf",
+    "dedup_semantic",  # extras tier — benched for a scale trend line
 ]
 
 N_RUNS = 3  # median-of-3 so noise blips are distinguishable from regressions
@@ -60,7 +61,9 @@ def main() -> None:
     sf = float(os.path.basename(sf_dir.rstrip("/")).replace("sf", "") or "0.1")
     spark = get_spark("bench")
     spark.sparkContext.setLogLevel("ERROR")
-    qs = entrymod.queries()
+    from durable_functions_cosmosdb_etl_spark.plans import registry
+
+    qs = {**registry.EXTRA_QUERIES, **entrymod.queries()}
     names = HEADLINE + HEADLINE_EXT
 
     # Warmup pass (JVM JIT, codegen caches, Python-worker spin-up), then

@@ -79,7 +79,9 @@ def main() -> None:
     mults = [int(a) for a in sys.argv[1:]] or [1, 4, 16]
     spark = get_spark("scale-probe")
     spark.sparkContext.setLogLevel("ERROR")
-    qs = entrymod.queries()
+    from durable_functions_cosmosdb_etl_spark.plans import registry
+
+    qs = {**registry.EXTRA_QUERIES, **entrymod.queries()}
     base_rows = load_table(spark, BASE, "lineitem").count()
     for mult in mults:
         sf_dir = build_scaled(spark, mult)
