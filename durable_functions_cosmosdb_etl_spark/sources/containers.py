@@ -86,18 +86,32 @@ class Container:
 
     # -- incremental (change-feed analog) ------------------------------
     def read_stream(
-        self, spark: SparkSession, max_files_per_trigger: int = 1
+        self, spark: SparkSession, max_files_per_trigger: int | None = 1
     ) -> DataFrame:
+        """``max_files_per_trigger`` caps each micro-batch (None =
+        uncapped). On the cosmos backend it maps to the connector's
+        ``itemCountPerTriggerHint`` — the reference's
+        MaxItemsPerInvocation=10 (EtlProcess.cs:186). Note the cadence
+        difference: the parquet file source drains a backlog as several
+        capped batches within one availableNow run, while a capped
+        change feed processes ONE batch per run — each run is one
+        "invocation" in the reference's cron model; drain by re-running
+        on the same checkpoint (tests/test_fake_cosmos.py)."""
         if self.fmt == "parquet":
             if self.schema is None:
                 raise ValueError("streaming a parquet container needs a schema")
-            return (
-                spark.readStream.schema(self.schema)
-                .option("maxFilesPerTrigger", max_files_per_trigger)
-                .parquet(self.path)
-            )
-        return (
-            spark.readStream.format("cosmos.oltp.changeFeed")
-            .options(**self.options)
-            .load()
+            reader = spark.readStream.schema(self.schema)
+            if max_files_per_trigger is not None:
+                reader = reader.option(
+                    "maxFilesPerTrigger", max_files_per_trigger
+                )
+            return reader.parquet(self.path)
+        reader = spark.readStream.format("cosmos.oltp.changeFeed").options(
+            **self.options
         )
+        if max_files_per_trigger is not None:
+            reader = reader.option(
+                "spark.cosmos.changeFeed.itemCountPerTriggerHint",
+                str(max_files_per_trigger),
+            )
+        return reader.load()

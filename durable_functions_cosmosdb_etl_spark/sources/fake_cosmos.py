@@ -191,6 +191,14 @@ class _FakeChangeFeedReader(SimpleDataSourceStreamReader):
     def __init__(self, schema: T.StructType, options):
         self.schema = schema
         self.path = container_dir(options)
+        # Real connector option: soft cap on items per micro-batch.
+        # Offset granularity here is a file, so the cap is honored at
+        # file boundaries: serve whole files until the hint is reached
+        # (≥1 file per batch so progress is always made).
+        self.hint = int(
+            options.get("spark.cosmos.changefeed.itemcountpertriggerhint", 0)
+            or 0
+        )
 
     def initialOffset(self):
         return {"seen": []}
@@ -200,9 +208,13 @@ class _FakeChangeFeedReader(SimpleDataSourceStreamReader):
         files = _doc_files(self.path)
         new = [f for f in files if f not in seen]
         rows = []
+        served = []
         for f in new:
             rows.extend(_read_rows(self.path, f, self.schema))
-        return iter(rows), {"seen": sorted(seen | set(new))}
+            served.append(f)
+            if self.hint and len(rows) >= self.hint:
+                break
+        return iter(rows), {"seen": sorted(seen | set(served))}
 
     def readBetweenOffsets(self, start: dict, end: dict):
         seen = set(start.get("seen", []))

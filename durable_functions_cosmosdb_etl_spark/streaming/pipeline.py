@@ -36,7 +36,7 @@ def run_incremental_transform(
     staging_dir: "str | Container",
     out_dir: str,
     checkpoint_dir: str,
-    max_files_per_trigger: int = 1,
+    max_files_per_trigger: int | None = 1,
     clock: datetime | None = None,
     available_now: bool = True,
     processing_time: str | None = None,

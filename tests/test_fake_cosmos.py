@@ -84,7 +84,8 @@ def test_cosmos_change_feed_incremental(fakes, tmp_path):
         )
     )
 
-    stream = c.read_stream(spark)  # format("cosmos.oltp.changeFeed")
+    # uncapped: one availableNow batch carries the whole backlog
+    stream = c.read_stream(spark, max_files_per_trigger=None)
     assert stream.isStreaming
     q = (
         stream.writeStream.format("memory")
@@ -104,7 +105,7 @@ def test_cosmos_change_feed_incremental(fakes, tmp_path):
         )
     )
     q2 = (
-        c.read_stream(spark)
+        c.read_stream(spark, max_files_per_trigger=None)
         .writeStream.format("memory")
         .queryName("feed_sink2")
         .trigger(availableNow=True)
@@ -113,6 +114,44 @@ def test_cosmos_change_feed_incremental(fakes, tmp_path):
     q2.awaitTermination(60)
     total = spark.sql("SELECT count(*) c FROM feed_sink2").collect()[0]["c"]
     assert total == 30
+
+
+def test_change_feed_item_count_hint_throttles_batches(fakes, tmp_path):
+    """itemCountPerTriggerHint (the reference's MaxItemsPerInvocation,
+    EtlProcess.cs:186) caps each micro-batch; a capped change feed
+    processes one batch per availableNow run — the reference's
+    per-cron-invocation shape — so three runs on the same checkpoint
+    drain three single-file writes one at a time."""
+    from datetime import datetime
+
+    from durable_functions_cosmosdb_etl_spark.sinks.writers import latest_view
+    from durable_functions_cosmosdb_etl_spark.sources.generator import (
+        generate_sample_items,
+    )
+    from durable_functions_cosmosdb_etl_spark.streaming.pipeline import (
+        run_incremental_transform,
+    )
+
+    spark = fakes
+    clock = datetime(2026, 1, 15, 10, 30, 0)
+    staging = _container(tmp_path, "throttled")
+    for i in range(3):
+        staging.write(
+            generate_sample_items(
+                spark, count=4, clock=clock, deterministic_ids=True
+            )
+            .withColumn("id", F.concat(F.lit(f"w{i}-"), F.col("id")))
+            .coalesce(1)
+        )
+    out = str(tmp_path / "out")
+    for expected in (4, 8, 12):
+        run_incremental_transform(
+            spark, staging, out, str(tmp_path / "ckpt"),
+            max_files_per_trigger=1, clock=clock,
+        )
+        assert latest_view(spark, out).count() == expected
+    result = latest_view(spark, out)
+    assert result.select("transform_batch").distinct().count() == 3
 
 
 def test_etl_pipeline_over_cosmos_change_feed(fakes, tmp_path):
@@ -142,11 +181,15 @@ def test_etl_pipeline_over_cosmos_change_feed(fakes, tmp_path):
             spark, count=12, clock=clock, deterministic_ids=True
         )
     )
-    run_incremental_transform(spark, staging, out, ckpt, clock=clock)
+    run_incremental_transform(
+        spark, staging, out, ckpt, max_files_per_trigger=None, clock=clock
+    )
     assert latest_view(spark, out).count() == 12
 
     # no new documents → checkpoint prevents reprocessing
-    run_incremental_transform(spark, staging, out, ckpt, clock=clock)
+    run_incremental_transform(
+        spark, staging, out, ckpt, max_files_per_trigger=None, clock=clock
+    )
     assert latest_view(spark, out).count() == 12
 
     # delta arrives in the container → only it flows through
@@ -155,5 +198,7 @@ def test_etl_pipeline_over_cosmos_change_feed(fakes, tmp_path):
             spark, count=5, clock=clock, deterministic_ids=True
         ).withColumn("id", F.concat(F.lit("new-"), F.col("id")))
     )
-    run_incremental_transform(spark, staging, out, ckpt, clock=clock)
+    run_incremental_transform(
+        spark, staging, out, ckpt, max_files_per_trigger=None, clock=clock
+    )
     assert latest_view(spark, out).count() == 17
