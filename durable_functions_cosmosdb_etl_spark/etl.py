@@ -57,20 +57,18 @@ def scheduled_batch_run(
     os.makedirs(work_dir, exist_ok=True)
     lease_path = f"{work_dir}/orchestration_lease"
     now = now or datetime.now()
-    if not acquire_lease(lease_path, worker, now=now, timeout_min=timeout_min):
+    handle = acquire_lease(lease_path, worker, now=now, timeout_min=timeout_min)
+    if not handle:
         return False
-    forced = bool((_lease_state(lease_path) or {}).get("forced"))
     try:
-        run_batch_etl(spark, work_dir, clock=now, forced_lease=forced, **kwargs)
+        run_batch_etl(
+            spark, work_dir, clock=now, forced_lease=handle.forced, **kwargs
+        )
     finally:
-        release_lease(lease_path, worker, now=now)
+        release_lease(
+            lease_path, worker, now=now, start_time=handle.start_time
+        )
     return True
-
-
-def _lease_state(path: str) -> dict | None:
-    from .operators.lease import _read
-
-    return _read(path)
 
 
 def run_batch_etl(

@@ -53,14 +53,32 @@ def pick_bands(
     single-row bands — pruning power necessarily collapses as t drops,
     which is inherent to LSH, not to this implementation; production
     near-dup thresholds (>=0.7) keep multi-row bands and real pruning.
+
+    If even the widest-capture banding (r=1) cannot meet ``target_miss``
+    (very low thresholds / small k), callers relying on the miss bound
+    for oracle equivalence would silently drop pairs — so that case
+    warns instead of silently returning: raise k or the threshold, or
+    accept the printed actual miss probability.
     """
-    best = (k, 1)
+    best = None
     for r in range(1, k + 1):
         if k % r:
             continue
         b = k // r
         if (1.0 - threshold**r) ** b <= target_miss:
             best = (b, r)
+    if best is None:
+        import warnings
+
+        actual = (1.0 - threshold) ** k
+        warnings.warn(
+            f"no (bands, rows) banding of k={k} MinHashes meets "
+            f"target_miss={target_miss:g} at threshold={threshold}; "
+            f"falling back to ({k}, 1) with per-pair miss {actual:.3g} — "
+            "statistical equivalence to the exact join is NOT guaranteed",
+            stacklevel=2,
+        )
+        best = (k, 1)
     return best
 
 

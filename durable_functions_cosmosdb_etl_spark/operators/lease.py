@@ -28,9 +28,26 @@ import json
 import os
 import tempfile
 import uuid
+from dataclasses import dataclass
 from datetime import datetime, timedelta
 
 DEFAULT_TIMEOUT_MIN = 5  # OrchestrationLeaseTimeOut, EtlProcess.cs:24
+
+
+@dataclass(frozen=True)
+class LeaseHandle:
+    """Result of an acquire attempt. Truthy iff acquired; carries the
+    (worker, start_time) identity that ``release_lease`` verifies, and
+    the forced flag for the audit row (OrchestrationRun.ForcedLease,
+    EtlProcess.cs:128) — callers no longer re-read lease internals."""
+
+    acquired: bool
+    worker: str
+    start_time: str | None = None
+    forced: bool = False
+
+    def __bool__(self) -> bool:
+        return self.acquired
 
 
 def _read(path: str) -> dict | None:
@@ -81,8 +98,8 @@ def acquire_lease(
     worker: str,
     now: datetime | None = None,
     timeout_min: int = DEFAULT_TIMEOUT_MIN,
-) -> bool:
-    """Try to take the run lease; True iff this worker may run.
+) -> LeaseHandle:
+    """Try to take the run lease; truthy result iff this worker may run.
 
     Mirrors GetOrchestrationLeaseAsync: free or timed-out leases are
     (re)acquired — a lease older than ``timeout_min`` is presumed dead
@@ -94,17 +111,24 @@ def acquire_lease(
     """
     now = now or datetime.now()
     lock = _lock_path(path)
+    miss = LeaseHandle(False, worker)
+
+    def won(forced: bool) -> LeaseHandle:
+        return LeaseHandle(True, worker, now.isoformat(), forced)
+
     if _try_exclusive_create(lock, path, worker, now, forced=False):
-        return True
+        return won(False)
     holder = _read(lock)
     if holder is None:
         # Lock vanished (holder released between our attempts) or is
         # unreadable mid-write: retry the exclusive create once; if the
         # lock re-exists, treat as held.
-        return _try_exclusive_create(lock, path, worker, now, forced=False)
+        if _try_exclusive_create(lock, path, worker, now, forced=False):
+            return won(False)
+        return miss
     held_at = datetime.fromisoformat(holder["start_time"])
     if now <= held_at + timedelta(minutes=timeout_min):
-        return False  # live lease — skip (EtlProcess.cs:98-102)
+        return miss  # live lease — skip (EtlProcess.cs:98-102)
     # Timed out: steal atomically. Renaming the stale lock aside
     # succeeds for exactly ONE stealer of THAT file — but a faster
     # stealer may have already completed the full steal and re-created a
@@ -117,7 +141,7 @@ def acquire_lease(
     try:
         os.rename(lock, stale)
     except OSError:
-        return False  # another contender stole it first
+        return miss  # another contender stole it first
     moved = _read(stale)
     if (
         moved is None
@@ -129,37 +153,70 @@ def acquire_lease(
         except OSError:
             pass  # an even newer lock exists — nothing to restore
         os.unlink(stale)
-        return False
+        return miss
     os.unlink(stale)
-    return _try_exclusive_create(lock, path, worker, now, forced=True)
+    if _try_exclusive_create(lock, path, worker, now, forced=True):
+        return won(True)
+    return miss
 
 
-def release_lease(path: str, worker: str, now: datetime | None = None) -> None:
+def release_lease(
+    path: str,
+    worker: str,
+    now: datetime | None = None,
+    start_time: str | None = None,
+) -> None:
     """Unlock if still held by ``worker`` (ReleaseLeaseAsync,
     EtlProcess.cs:319-344). A stolen lease is left to its new owner.
+
+    Pass ``start_time`` from the :class:`LeaseHandle` that acquired:
+    ownership is then verified on (worker, start_time), not worker name
+    alone — distinct firings routinely share a worker id (a cron
+    schedule), and a name-only check would let a slow firing release the
+    lease a later same-named firing stole and still holds.
 
     Ownership is re-verified AFTER atomically renaming the lock aside
     (read-check-unlink would race a stealer: our lease times out, a
     stealer re-creates a fresh lock between our read and unlink, and we
     would delete the stealer's live lock). Once renamed, the file is
     exclusively ours to inspect: ours → complete the release; someone
-    else's → restore it without clobbering and walk away.
+    else's → restore it without clobbering and walk away. Residual
+    window (accepted): if the fresh owner releases while its lock is
+    renamed aside here, the no-clobber restore resurrects an already-
+    released lock; it blocks nothing permanently — the next firing
+    steals it after ``timeout_min`` (liveness degraded one SLA period,
+    mutual exclusion never violated; the conservative side of the
+    trade).
     """
     now = now or datetime.now()
     lock = _lock_path(path)
+
+    def owns(rec: dict | None) -> bool:
+        if not rec or rec.get("worker") != worker:
+            return False
+        return start_time is None or rec.get("start_time") == start_time
+
+    def mark_released() -> None:
+        state = _read(path) or {}
+        state.update(locked=False, end_time=now.isoformat())
+        _write(path, state)
+
     holder = _read(lock)
-    if not holder or holder.get("worker") != worker:
+    if not owns(holder):
         return
     aside = f"{lock}.release-{uuid.uuid4()}"
     try:
         os.rename(lock, aside)
     except OSError:
-        return  # already released or stolen
+        # Lock vanished between read and rename: either we already
+        # released, or a stealer took over. Close out the metadata only
+        # if the state file still records OUR tenancy.
+        if owns(_read(path)):
+            mark_released()
+        return
     moved = _read(aside)
-    if moved and moved.get("worker") == worker:
-        state = _read(path) or {}
-        state.update(locked=False, end_time=now.isoformat())
-        _write(path, state)
+    if owns(moved):
+        mark_released()
         os.unlink(aside)
     else:
         try:

@@ -62,9 +62,16 @@ def _topk_prereduce(k: int, schema):
         for pdf in batches:
             if len(pdf) == 0:
                 continue
+            # na_position="first" + stable sort replicate the downstream
+            # Spark window's ordering exactly: under ORDER BY sim DESC
+            # Spark treats NaN as the LARGEST double (rank 1), while
+            # pandas' default puts NaN last — which would silently drop
+            # NaN-sim rows the window would keep.
             pdf = pdf.sort_values(
                 ["query_id", "sim", "neighbor_id"],
                 ascending=[True, False, True],
+                na_position="first",
+                kind="stable",
             )
             yield pdf.groupby("query_id", sort=False).head(k)
 
@@ -147,13 +154,16 @@ def fit_ivf_centroids(
         (F.abs(F.xxhash64(F.col(id_col))) % 100 < pct)
         | F.lit(pct >= 100)
     )
-    # Small-corpus guard: sampling 500 rows to fit 10 cells saves
-    # nothing and costs recall — use the full input below the floor.
-    # count() on the raw corpus is a metadata-cheap scan compared to the
-    # posexplode it gates.
-    if pct < 100 and corpus.limit(min_fit_rows * n_centroids).count() < (
-        min_fit_rows * n_centroids
-    ):
+    # Small-corpus guard, enforced on the SAMPLE size: the sample must
+    # itself retain ≥ min_fit_rows × n_centroids rows, i.e. the corpus
+    # must reach floor/fit_fraction before sampling kicks in. Gating on
+    # the raw corpus size instead would make the fit set NON-MONOTONIC:
+    # one row past the floor would shrink the fit set ~1/fit_fraction×
+    # below the promised per-centroid minimum. count() via limit() is a
+    # metadata-cheap scan compared to the posexplode it gates.
+    floor = min_fit_rows * n_centroids
+    need = -(-floor * 100 // pct)  # ceil: corpus size at which pct% ≥ floor
+    if pct < 100 and corpus.limit(need).count() < need:
         fit_set = corpus
     seeds = (
         fit_set.orderBy(id_col)
@@ -346,6 +356,10 @@ def cosine_pairs_exact_blocked(
 
     n = vectors.count()
     n_blocks = max(1, -(-n // block_size))
+    id_type = vectors.schema[id_col].dataType
+    id_is_int = isinstance(
+        id_type, (T.ByteType, T.ShortType, T.IntegerType, T.LongType)
+    )
     v = vectors.select(
         F.col(id_col).alias("id"),
         F.col(vec_col).alias("v"),
@@ -364,24 +378,29 @@ def cosine_pairs_exact_blocked(
             F.col("b.rows").alias("rows_b"),
         )
     )
+    # Pair columns keep the CALLER's id type (string/uuid ids are as
+    # legal here as longs — this path must accept whatever the banded
+    # LSH path accepted, since auto mode swaps between them).
     out_schema = T.StructType(
         [
-            T.StructField("vec_id_a", T.LongType()),
-            T.StructField("vec_id_b", T.LongType()),
+            T.StructField("vec_id_a", id_type),
+            T.StructField("vec_id_b", id_type),
         ]
     )
 
     def score(batches):
         import numpy as np
 
+        id_dtype = np.int64 if id_is_int else object
+
         for pdf in batches:
-            ia_all: list[int] = []
-            ib_all: list[int] = []
+            ia_all: list = []
+            ib_all: list = []
             for i in range(len(pdf)):
                 ra, rb = pdf["rows_a"].iloc[i], pdf["rows_b"].iloc[i]
                 same = pdf["blk_a"].iloc[i] == pdf["blk_b"].iloc[i]
-                ids_a = np.fromiter((r["id"] for r in ra), dtype=np.int64)
-                ids_b = np.fromiter((r["id"] for r in rb), dtype=np.int64)
+                ids_a = np.array([r["id"] for r in ra], dtype=id_dtype)
+                ids_b = np.array([r["id"] for r in rb], dtype=id_dtype)
                 ma = np.stack([np.asarray(r["v"], dtype=np.float64) for r in ra])
                 mb = np.stack([np.asarray(r["v"], dtype=np.float64) for r in rb])
                 na = np.linalg.norm(ma, axis=1)

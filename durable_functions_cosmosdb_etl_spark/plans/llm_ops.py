@@ -826,7 +826,9 @@ def dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
     then the within-cell pair join). Every stage is deterministic; the
     float32 centroid cast absorbs double sum-order noise, and cosines
     near the 0.35 threshold are far from the ~1e-16 GEMM-vs-fold
-    disagreement band at this SF.
+    disagreement band at this SF. Replica validity bound: same as
+    ``similarity_ivf`` (full-corpus fit while corpus < 8000 rows at
+    defaults).
     """
     return sim.semantic_dedup(
         _emb(spark, sf_dir), threshold=0.35, n_clusters=10
@@ -985,10 +987,13 @@ def similarity_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     noise in the double accumulation, ~1e-16 relative, far below the
     2^-24 float32 quantum), and all cosines are sequential left-to-right
     double folds in both engines. The oracle replicates the small-corpus
-    guard path of ``fit_ivf_centroids`` (at sf0.01 the 495-row corpus is
-    below the ``min_fit_rows×n_centroids`` floor, so fitting uses the
-    full corpus, not the xxhash64 sample — which SQL could not express).
-    Tests additionally assert recall@10 vs brute force.
+    guard path of ``fit_ivf_centroids`` — full-corpus fitting, which
+    holds while the corpus is under ``min_fit_rows × n_centroids /
+    fit_fraction`` rows (8000 at defaults; sf0.01's 495 and sf0.1's
+    4950 both qualify). Beyond that the engine fits on the xxhash64
+    sample, which SQL cannot express — re-derive the oracle bound before
+    gating at larger SFs. Tests additionally assert recall@10 vs brute
+    force.
     """
     em = _emb(spark, sf_dir)
     out = sim.ivf_topk(

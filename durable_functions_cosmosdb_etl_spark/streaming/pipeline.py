@@ -38,7 +38,7 @@ def run_incremental_transform(
     checkpoint_dir: str,
     max_files_per_trigger: int | None = 1,
     clock: datetime | None = None,
-    available_now: bool = True,
+    available_now: bool | None = None,
     processing_time: str | None = None,
 ):
     """Consume staged SampleItem files incrementally; transform; upsert.
@@ -46,10 +46,11 @@ def run_incremental_transform(
     Trigger modes (operator O1, the reference's scheduled trigger,
     /root/reference/EtlProcess.cs:23 TimerTrigger ``0 */2 * * * *``):
 
-    - ``available_now=True``: drain the backlog in capped micro-batches,
-      then stop — the scheduled-batch analog (each cron firing is one
-      drain).
-    - ``processing_time="2 minutes"`` (with ``available_now=False``):
+    - ``available_now=True`` (the default when no ``processing_time`` is
+      given): drain the backlog in capped micro-batches, then stop — the
+      scheduled-batch analog (each cron firing is one drain).
+    - ``processing_time="2 minutes"`` (implies ``available_now=False``;
+      passing both explicitly is a contradiction and raises):
       a resident query that fires a micro-batch on the reference's exact
       cadence — ``Trigger.ProcessingTime`` IS the in-engine cron: the
       interval clock replaces the external scheduler, and the streaming
@@ -58,6 +59,13 @@ def run_incremental_transform(
       prevent; see operators/lease.py for the multi-submitter case).
     - neither: run continuously as fast as batches complete.
     """
+    if available_now is None:
+        available_now = processing_time is None
+    elif available_now and processing_time is not None:
+        raise ValueError(
+            "available_now=True and processing_time are mutually "
+            "exclusive trigger modes"
+        )
     if isinstance(staging_dir, Container):
         # Connector path: cosmos.oltp.changeFeed (EtlProcess.cs:183-189)
         # — or any Container backend — through the seam's read_stream.

@@ -339,6 +339,35 @@ def test_lease_steal_verifies_holder(tmp_path):
     assert not __import__("os").path.exists(lock)
 
 
+def test_lease_release_verifies_start_time(tmp_path):
+    """Cron firings share a worker id: a slow firing releasing with its
+    OWN handle must not release the lease a later same-named firing
+    stole and still holds."""
+    import os
+
+    from durable_functions_cosmosdb_etl_spark.operators.lease import (
+        _lock_path,
+        acquire_lease,
+        release_lease,
+    )
+
+    path = str(tmp_path / "lease.json")
+    lock = _lock_path(path)
+    t0 = datetime(2026, 1, 15, 12, 0, 0)
+    h1 = acquire_lease(path, "etl", now=t0)
+    assert h1 and not h1.forced
+    # firing 1 overruns the SLA; firing 2 (same worker name) steals
+    h2 = acquire_lease(path, "etl", now=t0 + timedelta(minutes=6))
+    assert h2 and h2.forced
+    # firing 1 finally finishes and releases with ITS start_time:
+    # must be a no-op — firing 2's lock survives
+    release_lease(path, "etl", now=t0 + timedelta(minutes=7), start_time=h1.start_time)
+    assert os.path.exists(lock)
+    # firing 2's own release clears it
+    release_lease(path, "etl", now=t0 + timedelta(minutes=8), start_time=h2.start_time)
+    assert not os.path.exists(lock)
+
+
 def test_compact_upsert_replay_and_dup_keys(spark, tmp_path):
     """create -> upsert -> re-upsert (replay) keeps exactly one row per
     key; duplicate keys inside one batch resolve by order_col; the

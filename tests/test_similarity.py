@@ -166,3 +166,27 @@ def test_lsh_auto_mode_falls_back_below_pruning_cutoff(spark, sf_dir):
         for r in sim.cosine_pairs(em, threshold=0.35).collect()
     }
     assert got == want
+
+
+def test_blocked_exact_pairs_preserve_string_ids(spark, sf_dir):
+    """auto mode swaps the LSH band join for the blocked-exact path, so
+    the exact path must accept every id type the band join accepted —
+    string ids round-trip with their type preserved."""
+    from pyspark.sql import functions as F
+
+    em = (
+        load_table(spark, sf_dir, "embeddings")
+        .limit(80)
+        .select(
+            F.concat(F.lit("doc-"), F.col("vec_id")).alias("vec_id"),
+            "embedding",
+        )
+    )
+    out = sim.cosine_pairs_lsh(em, threshold=0.35, id_col="vec_id")
+    assert dict(out.dtypes)["vec_id_a"] == "string"
+    rows = out.collect()
+    assert len(rows) > 0
+    assert all(
+        r.vec_id_a.startswith("doc-") and r.vec_id_a < r.vec_id_b
+        for r in rows
+    )
