@@ -220,6 +220,90 @@ def text_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "pipeline_shard",
+    extra=True,
+    oracle="""
+    WITH s AS (
+        SELECT doc_id, lang, n_chars,
+               CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))
+                    AS BIGINT) % 16 AS shard_id
+        FROM documents)
+    SELECT shard_id,
+           count(*) AS n_docs,
+           CAST(sum(n_chars) AS BIGINT) AS shard_chars,
+           min(doc_id) AS min_doc,
+           max(doc_id) AS max_doc
+    FROM s GROUP BY shard_id
+    """,
+)
+def pipeline_shard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-shard assignment: deterministic, engine-independent
+    16-way sharding by a content-independent hash (first 8 hex chars of
+    md5 of the id), with per-shard size accounting — the output side of
+    a data pipeline, where the final corpus is written as N balanced
+    shards and the assignment must be reproducible across engines and
+    reruns (unlike ``hash()``/``xxhash64`` whose values are
+    engine-specific, or round-robin which depends on partition layout).
+    One narrow projection + one aggregate; the production writer is
+    ``df.withColumn("shard_id", ...).write.partitionBy("shard_id")`` —
+    same expression, file layout instead of counts.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    shard = (
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string").cast("binary")), 1, 8), 16, 10)
+        .cast("long")
+        % 16
+    ).alias("shard_id")
+    return (
+        d.select(shard, "doc_id", "n_chars")
+        .groupBy("shard_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_chars").alias("shard_chars"),
+            F.min("doc_id").alias("min_doc"),
+            F.max("doc_id").alias("max_doc"),
+        )
+    )
+
+
+@query(
+    "profile_table",
+    extra=True,
+    oracle="""
+    SELECT count(*) AS n_rows,
+           count(DISTINCT lang) AS ndv_lang,
+           count(DISTINCT source) AS ndv_source,
+           CAST(sum(CASE WHEN text IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+               AS null_text,
+           min(n_chars) AS min_chars,
+           max(n_chars) AS max_chars,
+           CAST(sum(n_chars) AS BIGINT) AS total_chars
+    FROM documents
+    """,
+)
+def profile_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Table profiling (the ANALYZE/stats-collection analog): row count,
+    per-column distinct counts, null counts, numeric min/max/sum in ONE
+    aggregate pass. At 100 TB the exact ``count(DISTINCT ...)`` columns
+    become ``approx_count_distinct`` (HLL, mergeable, map-side partial)
+    with the same plan shape — exact here so the DuckDB oracle can
+    hash-match.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    return d.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.countDistinct("lang").alias("ndv_lang"),
+        F.countDistinct("source").alias("ndv_source"),
+        F.sum(F.when(F.col("text").isNull(), 1).otherwise(0)).alias(
+            "null_text"
+        ),
+        F.min("n_chars").alias("min_chars"),
+        F.max("n_chars").alias("max_chars"),
+        F.sum("n_chars").alias("total_chars"),
+    )
+
+
+@query(
     "sample_quota",
     extra=True,
     oracle="""

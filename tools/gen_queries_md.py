@@ -44,6 +44,8 @@ COVERED_BY: dict[str, str] = {
     "join_full": "join_outer_cross",
     "join_semi": "join_semi_anti",
     "multimodal_resize": "multimodal_decode",
+    "pipeline_shard": "pipeline_pack",
+    "profile_table": "agg_stats",
     "retention_cohorts": "window_fns",
     "sample_quota": "sample_systematic",
     "sample_stratified": "sample_systematic",
