@@ -248,16 +248,21 @@ def dedup_batch_against_index(
 
 def streaming_dedup_ingest(
     spark: SparkSession,
-    incoming_dir: str,
+    incoming_dir,
     index_dir: str,
     checkpoint_dir: str,
-    schema,
+    schema=None,
     threshold: float = 0.5,
 ):
     """Continuous form: each file micro-batch is deduped against the
     accumulated index inside foreachBatch. The streaming ``batch_id`` is
     the partition tag, so a batch replayed after a crash overwrites its
     own partitions — exactly-once output from an at-least-once source.
+
+    ``incoming_dir`` is a parquet directory (requires ``schema``) or a
+    :class:`~..sources.containers.Container` — e.g. a cosmos change-feed
+    container, giving continuous near-dup dedup of a document feed
+    through the connector seam unchanged.
     """
 
     def process(batch_df, batch_id: int) -> None:
@@ -269,11 +274,18 @@ def streaming_dedup_ingest(
             batch_tag=f"b{batch_id}",
         )
 
-    src = (
-        spark.readStream.schema(schema)
-        .option("maxFilesPerTrigger", 1)
-        .parquet(incoming_dir)
-    )
+    from ..sources.containers import Container
+
+    if isinstance(incoming_dir, Container):
+        src = incoming_dir.read_stream(spark, max_files_per_trigger=None)
+    else:
+        if schema is None:
+            raise ValueError("parquet ingest requires a schema")
+        src = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(incoming_dir)
+        )
     q = (
         src.writeStream.foreachBatch(process)
         .option("checkpointLocation", checkpoint_dir)

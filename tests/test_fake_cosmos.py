@@ -154,6 +154,46 @@ def test_change_feed_item_count_hint_throttles_batches(fakes, tmp_path):
     assert result.select("transform_batch").distinct().count() == 3
 
 
+def test_incremental_dedup_over_cosmos_change_feed(fakes, tmp_path):
+    """Continuous near-dup dedup of a document feed through the
+    connector seam: documents land in a cosmos container, each
+    change-feed invocation dedups against the persistent band index —
+    near-dups of previously accepted docs are rejected."""
+    from durable_functions_cosmosdb_etl_spark.streaming.dedup_incremental import (
+        streaming_dedup_ingest,
+    )
+
+    spark = fakes
+    feed = _container(tmp_path, "docs")
+    idx = str(tmp_path / "index")
+    ckpt = str(tmp_path / "ckpt")
+
+    feed.write(
+        spark.createDataFrame(
+            [
+                (0, "alpha beta gamma delta epsilon zeta eta theta iota kappa"),
+                (1, "totally different words about catalyst and tungsten"),
+            ],
+            "doc_id long, text string",
+        )
+    )
+    streaming_dedup_ingest(spark, feed, idx, ckpt)
+    # delta: one near-dup of doc 0, one fresh doc; each availableNow run
+    # is one feed invocation (same checkpoint)
+    feed.write(
+        spark.createDataFrame(
+            [
+                (10, "alpha beta gamma delta epsilon zeta eta theta iota"),
+                (11, "fresh material on state stores and watermarks entirely"),
+            ],
+            "doc_id long, text string",
+        )
+    )
+    streaming_dedup_ingest(spark, feed, idx, ckpt)
+    accepted = spark.read.parquet(f"{idx}/accepted")
+    assert {r.doc_id for r in accepted.collect()} == {0, 1, 11}
+
+
 def test_etl_pipeline_over_cosmos_change_feed(fakes, tmp_path):
     """The reference's core loop (EtlProcess.cs:183-209) end to end over
     the connector seam: documents land in a cosmos container, the
