@@ -53,3 +53,44 @@ def get_spark(
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)
     return builder.getOrCreate()
+
+
+def cluster_conf(
+    total_cores: int = 32_000,
+    target_partition_mb: int = 128,
+) -> dict[str, str]:
+    """Recommended spark-submit conf for the 100 TB / ~1000-executor
+    deployment shape, as data (pass to ``extra_conf`` or a submit
+    wrapper). Every operator in this package is conf-agnostic — these
+    settings change WHERE work lands, never what is computed.
+
+    Rationale per key:
+    - shuffle.partitions at 3× total cores: oversized on purpose; AQE
+      coalescing shrinks small stages, while the big fact shuffles
+      (~100 TB / 128 MB ≈ 800k map outputs) need the headroom.
+    - maxPartitionBytes = the same 128 MB: one scan task per parquet
+      row-group-ish chunk keeps task runtime in the sweet spot
+      (~seconds) and bounds executor memory per task.
+    - Kryo + speculative execution: serialization overhead and
+      straggler amplification both grow with cluster size; speculation
+      is safe because every sink in this package is idempotent
+      (batch-keyed overwrite / two-phase commit).
+    - shuffle.service + dynamicAllocation: executors come and go on a
+      shared cluster; shuffle files must outlive them.
+    """
+    return {
+        "spark.sql.shuffle.partitions": str(3 * total_cores),
+        "spark.sql.files.maxPartitionBytes": str(
+            target_partition_mb * 1024 * 1024
+        ),
+        "spark.sql.adaptive.enabled": "true",
+        "spark.sql.adaptive.coalescePartitions.enabled": "true",
+        "spark.sql.adaptive.skewJoin.enabled": "true",
+        "spark.sql.autoBroadcastJoinThreshold": str(64 * 1024 * 1024),
+        "spark.serializer": "org.apache.spark.serializer.KryoSerializer",
+        "spark.speculation": "true",
+        "spark.shuffle.service.enabled": "true",
+        "spark.dynamicAllocation.enabled": "true",
+        "spark.sql.execution.arrow.pyspark.enabled": "true",
+        "spark.sql.session.timeZone": "UTC",
+    }

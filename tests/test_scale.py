@@ -177,3 +177,15 @@ def test_approx_aggregates_within_error_bounds(spark, sf_dir):
     ).first()[0]
     # rank error ≤ n/accuracy ⇒ value within a few percent on this data
     assert abs(approx_p50 - exact_p50) <= 0.05 * exact_p50
+
+
+def test_cluster_conf_shape():
+    """cluster_conf is pure data a submit wrapper applies: every value a
+    string (spark-submit form), partition math tracks its inputs."""
+    from durable_functions_cosmosdb_etl_spark.session import cluster_conf
+
+    c = cluster_conf(total_cores=1000, target_partition_mb=256)
+    assert all(isinstance(v, str) for v in c.values())
+    assert c["spark.sql.shuffle.partitions"] == "3000"
+    assert c["spark.sql.files.maxPartitionBytes"] == str(256 * 1024 * 1024)
+    assert c["spark.sql.adaptive.enabled"] == "true"
