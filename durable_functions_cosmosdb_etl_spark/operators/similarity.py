@@ -103,11 +103,13 @@ def brute_force_topk(
     opt-in.
     """
     q = F.broadcast(
-        queries.select(
+        queries.filter(F.col(vec_col).isNotNull()).select(
             F.col(id_col).alias("query_id"), F.col(vec_col).alias("q_vec")
         )
     )
-    c = corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("c_vec"))
+    c = corpus.filter(F.col(vec_col).isNotNull()).select(
+        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("c_vec")
+    )
     scored = q.crossJoin(c).select(
         "query_id",
         "neighbor_id",
@@ -156,6 +158,7 @@ def fit_ivf_centroids(
     physical partitioning.
     """
     pct = max(1, min(100, int(round(fit_fraction * 100))))
+    corpus = corpus.filter(F.col(vec_col).isNotNull())
     fit_set = corpus.filter(
         (F.abs(F.xxhash64(F.col(id_col))) % 100 < pct)
         | F.lit(pct >= 100)
@@ -208,8 +211,10 @@ def assign_to_centroids(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
 ) -> DataFrame:
-    """vector → nearest centroid id (broadcast join + argmax cosine)."""
+    """vector → nearest centroid id (broadcast join + argmax cosine).
+    Null vectors have no nearest centroid and are dropped."""
     cen = F.broadcast(centroids)
+    corpus = corpus.filter(F.col(vec_col).isNotNull())
     scored = corpus.crossJoin(cen).select(
         F.col(id_col),
         "centroid_id",
@@ -363,6 +368,9 @@ def cosine_pairs_exact_blocked(
     """
     import pandas as pd  # noqa: F811 — keep module import surface local
 
+    # Null embeddings cannot participate in similarity — drop them
+    # before the numpy stages (np.stack of a None crashes the worker).
+    vectors = vectors.filter(F.col(vec_col).isNotNull())
     n = vectors.count()
     n_blocks = max(1, -(-n // block_size))
     id_type = vectors.schema[id_col].dataType
@@ -474,7 +482,9 @@ def cosine_pairs_lsh(
         mode == "auto" and n_bands / float(2**band_bits) >= 1.0
     ):
         return cosine_pairs_exact_blocked(vectors, threshold, id_col, vec_col)
-    v = vectors.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"))
+    v = vectors.filter(F.col(vec_col).isNotNull()).select(
+        F.col(id_col).alias("id"), F.col(vec_col).alias("v")
+    )
     banded = v.withColumn(
         "bands", _sign_bands_udf(n_bands, band_bits)(F.col("v"))
     )
@@ -538,6 +548,9 @@ def semantic_dedup(
     outgrows a task). Output: (vec_id, centroid_id, kept) — one row per
     input vector.
     """
+    # Null embeddings are dropped (no cluster membership is definable);
+    # output therefore has one row per non-null input vector.
+    corpus = corpus.filter(F.col(vec_col).isNotNull())
     centroids = fit_ivf_centroids(corpus, n_clusters, id_col, vec_col)
     assigned = assign_to_centroids(corpus, centroids, id_col, vec_col)
     cells = corpus.select(

@@ -209,3 +209,25 @@ def test_ivf_multi_step_fit_deterministic(spark, sf_dir):
     }
     # at least one centroid must actually move on the second step
     assert any(one[r.centroid_id] != r.centroid for r in two_a)
+
+
+def test_null_embeddings_dropped_not_crashed(spark):
+    """A null embedding (failed encoder row) must be dropped by every
+    vector operator, not crash the Python worker mid-stack."""
+    import pyspark.sql.types as T
+
+    vecs = spark.createDataFrame(
+        [(0, None), (1, [1.0, 0.0]), (2, [1.0, 0.01]), (3, [0.0, 1.0])],
+        T.StructType(
+            [
+                T.StructField("vec_id", T.LongType()),
+                T.StructField("embedding", T.ArrayType(T.FloatType())),
+            ]
+        ),
+    )
+    pairs = sim.cosine_pairs_lsh(vecs, threshold=0.9).collect()
+    assert {(r.vec_id_a, r.vec_id_b) for r in pairs} == {(1, 2)}
+    sd = sim.semantic_dedup(vecs, threshold=0.9, n_clusters=2)
+    assert {r.vec_id for r in sd.collect()} == {1, 2, 3}
+    tk = sim.brute_force_topk(vecs, vecs, k=2)
+    assert tk.filter("query_id = 0 OR neighbor_id = 0").count() == 0
