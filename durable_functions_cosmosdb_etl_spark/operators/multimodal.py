@@ -86,6 +86,11 @@ def decode_image_batch(df: DataFrame) -> DataFrame:
         for pdf in batches:
             rows = []
             for doc_id, content in zip(pdf["doc_id"], pdf["content"]):
+                if content is None:
+                    # Undecodable (missing payload): null dims/feature,
+                    # row kept so media audits see the gap.
+                    rows.append((doc_id, None, None, None, None))
+                    continue
                 w, h, c, feat = _fake_decode(bytes(content))
                 rows.append((doc_id, w, h, c, feat))
             yield pd.DataFrame(
