@@ -838,7 +838,11 @@ def window_running(spark: SparkSession, sf_dir: str) -> DataFrame:
     w3 = w.rowsBetween(-2, 0)
     w1h = (
         Window.partitionBy("user_id")
-        .orderBy(F.unix_micros("ts"))
+        # cast: parquet naive timestamps arrive as TIMESTAMP_NTZ, which
+        # unix_micros rejects; the cast is a no-op on tz-aware data and
+        # interprets NTZ in the session tz (UTC) — same integers DuckDB's
+        # epoch_us(ts) produces on the naive values.
+        .orderBy(F.unix_micros(F.col("ts").cast("timestamp")))
         .rangeBetween(-3_600_000_000, 0)
     )
     return e.select(
@@ -897,7 +901,8 @@ def window_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = _t(spark, sf_dir, "events")
     w = (
         Window.partitionBy("user_id")
-        .orderBy(F.unix_micros("ts"))
+        # cast for TIMESTAMP_NTZ parquet input — see window_running.
+        .orderBy(F.unix_micros(F.col("ts").cast("timestamp")))
         .rangeBetween(-3_600_000_000, 0)
     )
     return e.select(
