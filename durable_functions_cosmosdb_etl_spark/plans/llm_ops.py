@@ -396,6 +396,62 @@ def text_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "text_ngram_df",
+    extra=True,
+    oracle=rf"""
+    WITH d AS (SELECT doc_id, lang, {_WORDS} AS w FROM documents),
+    s AS (SELECT doc_id, lang, unnest({_SH3}) AS shingle
+          FROM d WHERE len(w) >= 3),
+    c AS (SELECT lang, shingle, count(*) AS df
+          FROM s GROUP BY lang, shingle)
+    SELECT lang, shingle, df, rnk FROM (
+        SELECT lang, shingle, df,
+               CAST(row_number() OVER (PARTITION BY lang
+                                       ORDER BY df DESC, shingle) AS BIGINT)
+                   AS rnk
+        FROM c) WHERE rnk <= 20
+    """,
+)
+def text_ngram_df(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus n-gram document-frequency table: top-20 3-gram shingles per
+    language by the number of documents containing them.
+
+    This is the diagnostic that justifies ``dedup_jaccard_capped``'s
+    ``max_shingle_df`` parameter: the head of this table IS the list of
+    stop-shingles whose inverted-index posting lists blow up the
+    candidate join quadratically. A training-data pipeline runs this
+    before picking the cap (and before LSH band sizing) — on a new
+    corpus you read the df distribution off this output.
+
+    Plan: word split once per doc → distinct shingles (array_distinct,
+    so df counts documents, not occurrences) → explode → (lang, shingle)
+    hash agg → per-lang top-k window. The only wide exchanges key on
+    (lang, shingle) and lang — both linear at 100 TB; the final window
+    runs on the already-aggregated df table (|vocab|, not |corpus|).
+    """
+    from pyspark.sql import Window
+
+    d = _docs(spark, sf_dir)
+    w = d.select("doc_id", "lang", tx.words(F.col("text")).alias("w"))
+    sh = (
+        w.filter(F.size("w") >= 3)
+        .select(
+            "lang",
+            F.explode(tx.shingles_from_words(F.col("w"))).alias("shingle"),
+        )
+    )
+    c = sh.groupBy("lang", "shingle").agg(F.count(F.lit(1)).alias("df"))
+    rnk = F.row_number().over(
+        Window.partitionBy("lang").orderBy(F.desc("df"), "shingle")
+    )
+    return (
+        c.withColumn("rnk", rnk.cast("long"))
+        .filter(F.col("rnk") <= 20)
+        .select("lang", "shingle", "df", "rnk")
+    )
+
+
 # --------------------------------------------------------------------------
 # Deduplication
 # --------------------------------------------------------------------------

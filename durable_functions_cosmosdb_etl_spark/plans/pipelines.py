@@ -358,6 +358,76 @@ def sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "mix_rebalance",
+    extra=True,
+    oracle="""
+    WITH c AS (SELECT source, lang, count(*) AS n
+               FROM documents GROUP BY source, lang),
+    w AS (SELECT source, lang, n,
+                 CAST(round(sqrt(n) * 1000000) AS BIGINT) AS w6
+          FROM c),
+    t AS (SELECT CAST(sum(w6) AS BIGINT) AS tot FROM w)
+    SELECT source, lang, n,
+           CAST(w6 AS DOUBLE) / 1000000.0 AS weight,
+           CAST(CAST((1000000 * w6) // tot AS BIGINT) AS DOUBLE)
+               / 1000000.0 AS share,
+           CAST((100000 * w6) // tot AS BIGINT) AS target_rows,
+           CAST(least(1000000,
+                      (1000000 * CAST((100000 * w6) // tot AS BIGINT)) // n)
+                AS DOUBLE) / 1000000.0 AS sample_rate
+    FROM w CROSS JOIN t
+    """,
+)
+def mix_rebalance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-weighted data-mixture plan: given per-(source, lang)
+    stratum counts, compute sampling weights ∝ n^τ with τ = 0.5, each
+    stratum's share of a 100k-row target mix, and the per-stratum
+    sampling rate that realizes it.
+
+    This is the standard multilingual rebalancing step (τ < 1 upweights
+    tail strata relative to their natural frequency); the output feeds
+    ``sample_quota``-style exact draws per stratum. τ = 0.5 is sqrt —
+    IEEE-correctly-rounded in every engine, so after ONE fixed-point
+    rounding of sqrt(n) all downstream arithmetic (sum, shares, targets,
+    rates) is pure BIGINT division: bit-identical cross-engine with no
+    float-summation order sensitivity. For other τ, pow(n, τ) differs by
+    ulps across libms — round it to 1e-6 first, as here.
+
+    Scale shape: one hash agg over the corpus (the only full-data pass),
+    then all planning math runs on the |strata| rows with the scalar
+    total broadcast in — no shuffle wider than the stratum count.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    c = d.groupBy("source", "lang").agg(F.count(F.lit(1)).alias("n"))
+    w = c.withColumn(
+        "w6", F.round(F.sqrt("n") * 1000000, 0).cast("long")
+    )
+    tot = w.agg(F.sum("w6").alias("tot"))
+    return (
+        w.crossJoin(F.broadcast(tot))
+        .withColumn("target_rows", F.expr("(100000 * w6) div tot"))
+        .select(
+            "source",
+            "lang",
+            "n",
+            (F.col("w6").cast("double") / F.lit(1000000.0)).alias("weight"),
+            (
+                F.expr("(1000000 * w6) div tot").cast("double")
+                / F.lit(1000000.0)
+            ).alias("share"),
+            "target_rows",
+            (
+                F.least(
+                    F.lit(1000000).cast("long"),
+                    F.expr("(1000000 * target_rows) div n"),
+                ).cast("double")
+                / F.lit(1000000.0)
+            ).alias("sample_rate"),
+        )
+    )
+
+
+@query(
     "scalar_regex",
     extra=True,
     oracle=r"""

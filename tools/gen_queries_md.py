@@ -43,6 +43,7 @@ COVERED_BY: dict[str, str] = {
     "join_cross": "join_outer_cross",
     "join_full": "join_outer_cross",
     "join_semi": "join_semi_anti",
+    "mix_rebalance": "sample_systematic",
     "multimodal_resize": "multimodal_decode",
     "pipeline_shard": "pipeline_pack",
     "profile_table": "agg_stats",
@@ -62,6 +63,7 @@ COVERED_BY: dict[str, str] = {
     "subquery_scalar": "sql_front_door",
     "text_fingerprint": "text_analysis",
     "text_lang_id": "text_analysis",
+    "text_ngram_df": "dedup_jaccard_capped",
     "text_quality": "text_analysis",
     "text_repetition": "text_analysis",
     "text_scrub": "text_analysis",
