@@ -211,20 +211,55 @@ def assign_to_centroids(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
 ) -> DataFrame:
-    """vector → nearest centroid id (broadcast join + argmax cosine).
-    Null vectors have no nearest centroid and are dropped."""
-    cen = F.broadcast(centroids)
-    corpus = corpus.filter(F.col(vec_col).isNotNull())
-    scored = corpus.crossJoin(cen).select(
-        F.col(id_col),
-        "centroid_id",
-        cosine(F.col(vec_col), F.col("centroid")).alias("sim"),
+    """vector → nearest centroid id, computed MAP-SIDE.
+
+    The centroid table (tiny by construction) collapses to a single
+    array-of-structs row, broadcast into the corpus scan; the argmax is
+    a per-row array reduction. The previous shape — crossJoin to
+    |corpus|×|centroids| rows + row_number window partitioned by id —
+    materialized and SHUFFLED N×k rows just to pick each row's max; at
+    100 TB that exchange dwarfs the scoring itself. This plan has no
+    exchange at all: assignment cost is embarrassingly parallel and the
+    output stays in the corpus's own partitioning (which downstream
+    joins on id_col immediately reuse).
+
+    Semantics are bit-identical to the window version, including edge
+    cases: ``array_max`` over ``struct(sim, -centroid_id)`` uses Spark's
+    total ordering, where NaN sorts above every double (matching the
+    window's NaN-first rank under ``sim DESC``) and exact sim ties fall
+    through to ``max(-centroid_id)`` = lowest centroid id (matching the
+    window's ``centroid_id ASC`` tie-break). Centroid norms are computed
+    once before the collect; the row's own norm once per row — HOF
+    lambdas get no CSE, so neither may be inlined into the per-centroid
+    lambda. Null vectors have no nearest centroid and are dropped.
+    """
+    cen_arr = F.broadcast(
+        centroids.select(
+            F.struct(
+                F.col("centroid_id"),
+                F.col("centroid"),
+                l2_norm(F.col("centroid")).alias("cnorm"),
+            ).alias("c")
+        ).agg(F.collect_list("c").alias("_cens"))
     )
-    w = Window.partitionBy(id_col).orderBy(F.col("sim").desc(), F.col("centroid_id"))
+    corpus = corpus.filter(F.col(vec_col).isNotNull())
+    vec = F.col(vec_col)
+    best = F.array_max(
+        F.transform(
+            F.col("_cens"),
+            lambda c: F.struct(
+                (
+                    dot(vec, c["centroid"])
+                    / (F.col("_vnorm") * c["cnorm"])
+                ).alias("sim"),
+                (-c["centroid_id"]).alias("ncid"),
+            ),
+        )
+    )
     return (
-        scored.withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") == 1)
-        .select(id_col, "centroid_id")
+        corpus.withColumn("_vnorm", l2_norm(vec))
+        .crossJoin(cen_arr)
+        .select(F.col(id_col), (-best["ncid"]).alias("centroid_id"))
     )
 
 
