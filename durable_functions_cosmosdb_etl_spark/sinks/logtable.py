@@ -1,0 +1,383 @@
+"""Log-structured MERGE table: parquet data files + a JSON commit log.
+
+The missing piece of the plain-parquet upsert sinks (see writers.py):
+``compact_upsert`` rewrites bucket partitions in place, so it must
+sever lineage with a localCheckpoint (it reads the very files it
+overwrites), offers no reader isolation during the rewrite, and keeps
+no history. This module is the transaction-log answer — the same idea
+as Delta/Iceberg, reduced to what a single-writer ETL pipeline needs
+(the reference's writer IS single: one orchestration at a time, guarded
+by the lease container, /root/reference/EtlProcess.cs:87-103 — here by
+operators/lease.py):
+
+- Data files are IMMUTABLE. Every commit writes fresh parquet under its
+  own ``data/c{version}/`` directory, hash-bucketed by key
+  (``__bucket=k`` subdirs); nothing is ever modified in place.
+- ``_log/{version:020d}.json`` records, per commit, the (dir, bucket)
+  units added and the units logically removed. The LIVE file set at
+  version V is replay(log ≤ V) — so a MERGE never reads what it is
+  writing, concurrent readers keep a consistent snapshot (their pinned
+  file set still exists), and ``snapshot(version=...)`` is time travel
+  for free.
+- Commit = atomic ``O_CREAT|O_EXCL`` create of the next version file
+  (the same primitive the lease uses, lease.py): if a racing writer
+  took the version, the loser's data directory is abandoned as an
+  orphan (readers never see it — it is not in the log) and
+  ``ConcurrentCommitError`` surfaces the conflict instead of silently
+  interleaving. Orphans are reclaimed by ``vacuum``.
+
+Upsert cost model is unchanged from compact_upsert: an upsert touches
+only the buckets its keys hash into — it reads those units from the
+live set, anti-joins stored rows against update keys, and writes
+replacement units — O(|affected buckets|) of the table per commit, not
+O(history) and not O(table). Reads pay zero merge cost (exactly one
+row per key is stored); history costs only disk until ``vacuum``.
+
+At 100 TB: n_buckets sized so one bucket is a comfortable rewrite unit
+(thousands of buckets); the log stays tiny (one small JSON per commit);
+``compact()`` bounds live-file fragmentation; checkpointed log replay
+(a Delta ``_last_checkpoint`` analog) is the next step if commit counts
+reach millions — out of scope here, noted for parity.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+from typing import Iterator
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+_LOG_DIR = "_log"
+_DATA_DIR = "data"
+
+
+class ConcurrentCommitError(RuntimeError):
+    """Another writer committed this version first (optimistic-concurrency
+    loser). The caller's data directory is an unreferenced orphan; the
+    table itself is untouched and consistent."""
+
+
+def _unit(commit_dir: str, bucket: int) -> str:
+    return f"{commit_dir}/__bucket={bucket}"
+
+
+class LogTable:
+    """Single-writer log-structured table keyed on ``key``.
+
+    All mutating ops (``create``/``append``/``upsert``/``delete_keys``/
+    ``compact``) append one commit to the log; ``snapshot`` reads any
+    committed version. The stored invariant after every upsert/delete
+    is exactly one row per key (given it held before — ``create`` and
+    ``upsert`` both enforce it on their own input; ``append`` is a raw
+    add that does NOT dedupe, mirroring the append sink in writers.py).
+    """
+
+    def __init__(
+        self,
+        spark: SparkSession,
+        path: str,
+        key: str = "id",
+        n_buckets: int = 64,
+    ) -> None:
+        self.spark = spark
+        self.path = path
+        self.key = key
+        self.n_buckets = n_buckets
+        os.makedirs(os.path.join(path, _LOG_DIR), exist_ok=True)
+        os.makedirs(os.path.join(path, _DATA_DIR), exist_ok=True)
+
+    # ---------------------------------------------------------------- log
+
+    def _log_entries(self) -> Iterator[dict]:
+        log_dir = os.path.join(self.path, _LOG_DIR)
+        for name in sorted(os.listdir(log_dir)):
+            if name.endswith(".json"):
+                with open(os.path.join(log_dir, name)) as f:
+                    yield json.load(f)
+
+    def version(self) -> int:
+        """Latest committed version, or -1 for an empty table."""
+        v = -1
+        for e in self._log_entries():
+            v = e["version"]
+        return v
+
+    def history(self) -> list[dict]:
+        """All commit records, oldest first (op, version, added/removed)."""
+        return list(self._log_entries())
+
+    def _live_units(self, as_of: int | None = None) -> dict[str, int]:
+        """Replay the log: unit path (relative) → bucket id, at a version."""
+        live: dict[str, int] = {}
+        v_max = -1
+        for e in self._log_entries():
+            v_max = e["version"]
+            if as_of is not None and e["version"] > as_of:
+                break
+            for u in e.get("removed", []):
+                live.pop(u["unit"], None)
+            for u in e.get("added", []):
+                live[u["unit"]] = u["bucket"]
+        if as_of is not None and (as_of < 0 or as_of > v_max):
+            raise ValueError(f"version {as_of} does not exist")
+        return live
+
+    def _commit(
+        self, op: str, added: list[dict], removed: list[dict], v: int
+    ) -> int:
+        """Claim EXACTLY version ``v`` (= base snapshot version + 1).
+
+        Recomputing version()+1 here instead would silently commit on
+        top of a racing writer's commit while carrying added/removed
+        lists computed against the stale base snapshot — the classic
+        lost-update. Optimistic concurrency means: validate that the
+        version we merged against is still the latest by claiming its
+        successor atomically, and surface a conflict otherwise.
+        """
+        entry = {"version": v, "op": op, "added": added, "removed": removed}
+        final = os.path.join(self.path, _LOG_DIR, f"{v:020d}.json")
+        tmp = final + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump(entry, f)
+        try:
+            # Atomic claim of the version number: O_CREAT|O_EXCL via
+            # link-style create. os.rename would CLOBBER an existing
+            # version on POSIX, so claim with 'x' first.
+            with open(final, "x") as f:
+                json.dump(entry, f)
+        except FileExistsError:
+            os.unlink(tmp)
+            raise ConcurrentCommitError(
+                f"version {v} already committed by another writer; "
+                "re-read the table and retry the operation"
+            ) from None
+        os.unlink(tmp)
+        return v
+
+    # --------------------------------------------------------------- data
+
+    def _bucketed(self, df: DataFrame, dedupe: bool, order_col: str | None):
+        if dedupe:
+            if order_col is not None:
+                w = Window.partitionBy(self.key).orderBy(
+                    F.col(order_col).desc()
+                )
+                df = (
+                    df.withColumn("__rn", F.row_number().over(w))
+                    .filter(F.col("__rn") == 1)
+                    .drop("__rn")
+                )
+            else:
+                df = df.dropDuplicates([self.key])
+        b = F.pmod(F.xxhash64(F.col(self.key)), F.lit(self.n_buckets))
+        # __b rides along as a DATA column (the directory partition
+        # column __bucket is consumed by partitionBy and lost when leaf
+        # dirs are read directly without a basePath).
+        return df.withColumn("__b", b.cast("long")).withColumn(
+            "__bucket", F.col("__b")
+        )
+
+    def _write_commit_dir(self, bucketed: DataFrame, v: int) -> tuple[str, list[int]]:
+        rel = f"{_DATA_DIR}/c{v}"
+        out = os.path.join(self.path, rel)
+        bucketed.write.mode("overwrite").partitionBy("__bucket").parquet(out)
+        written = [
+            int(d.split("=", 1)[1])
+            for d in os.listdir(out)
+            if d.startswith("__bucket=")
+        ]
+        return rel, sorted(written)
+
+    def _read_units(self, units: dict[str, int], buckets: set[int] | None):
+        paths = [
+            os.path.join(self.path, u)
+            for u, b in units.items()
+            if buckets is None or b in buckets
+        ]
+        if not paths:
+            return None
+        return self.spark.read.parquet(*paths)
+
+    # ---------------------------------------------------------------- ops
+
+    def create(self, df: DataFrame, order_col: str | None = None) -> int:
+        """Initial load (version 0). Dedupes on key like upsert."""
+        if self.version() >= 0:
+            raise ValueError(f"table at {self.path} already exists")
+        return self._upsert_into({}, df, "create", order_col, base=-1)
+
+    def append(self, df: DataFrame) -> int:
+        """Raw append commit — adds rows without touching stored ones.
+        Does NOT maintain the one-row-per-key invariant; pair with
+        upsert-only writes when that invariant matters."""
+        v = self.version() + 1
+        rel, written = self._write_commit_dir(
+            self._bucketed(df, dedupe=False, order_col=None), v
+        )
+        return self._commit(
+            "append",
+            [{"unit": _unit(rel, b), "bucket": b} for b in written],
+            [],
+            v,
+        )
+
+    def upsert(self, updates: DataFrame, order_col: str | None = None) -> int:
+        """MERGE: update-or-insert by key, touching only affected buckets.
+
+        Duplicate keys within one batch resolve BEFORE the merge
+        (highest ``order_col`` wins; without it, an arbitrary row), so
+        the one-row-per-key invariant holds regardless of input. The
+        merge reads the CURRENT live units and writes NEW files — the
+        read set and write set are disjoint by construction, so there is
+        no lineage to sever and concurrent readers are undisturbed.
+        Replaying the same updates is idempotent in table STATE (a new
+        version with identical content).
+        """
+        base = self.version()
+        return self._upsert_into(
+            self._live_units(as_of=base if base >= 0 else None),
+            updates,
+            "upsert",
+            order_col,
+            base=base,
+        )
+
+    def _upsert_into(
+        self,
+        live: dict[str, int],
+        updates: DataFrame,
+        op: str,
+        order_col: str | None,
+        base: int,
+    ) -> int:
+        up = self._bucketed(updates, dedupe=True, order_col=order_col)
+        v = base + 1
+        # Affected buckets: driver-side but bounded by n_buckets (same
+        # class of collect as compact_upsert's — a bucket list, not data).
+        affected = {
+            r["__b"] for r in up.select("__b").distinct().collect()
+        }
+        replaced = [
+            {"unit": u, "bucket": b} for u, b in live.items() if b in affected
+        ]
+        current = self._read_units(live, affected)
+        if current is not None:
+            keep = current.join(
+                up.select(F.col(self.key)), self.key, "left_anti"
+            )
+            merged = keep.unionByName(up.drop("__bucket")).withColumn(
+                "__bucket", F.col("__b")
+            )
+        else:
+            merged = up
+        rel, written = self._write_commit_dir(merged, v)
+        return self._commit(
+            op,
+            [{"unit": _unit(rel, b), "bucket": b} for b in written],
+            replaced,
+            v,
+        )
+
+    def delete_keys(self, keys: DataFrame) -> int:
+        """Delete by key: rewrites affected buckets without the keys.
+
+        A bucket whose rows are ALL deleted is logged as removed with no
+        replacement unit (parquet writes no empty partition dir).
+        """
+        base = self.version()
+        live = self._live_units(as_of=base if base >= 0 else None)
+        v = base + 1
+        k = self._bucketed(keys.select(self.key), dedupe=True, order_col=None)
+        affected = {r["__b"] for r in k.select("__b").distinct().collect()}
+        replaced = [
+            {"unit": u, "bucket": b} for u, b in live.items() if b in affected
+        ]
+        current = self._read_units(live, affected)
+        added: list[dict] = []
+        if current is not None:
+            remaining = current.join(
+                k.select(F.col(self.key)), self.key, "left_anti"
+            ).withColumn("__bucket", F.col("__b"))
+            rel, written = self._write_commit_dir(remaining, v)
+            added = [{"unit": _unit(rel, b), "bucket": b} for b in written]
+        return self._commit("delete", added, replaced, v)
+
+    def compact(self) -> int:
+        """Rewrite the whole live set into one commit dir (defragments
+        after many small upserts); content is unchanged."""
+        base = self.version()
+        live = self._live_units(as_of=base if base >= 0 else None)
+        v = base + 1
+        cur = self._read_units(live, None)
+        added: list[dict] = []
+        if cur is not None:
+            rel, written = self._write_commit_dir(
+                cur.withColumn("__bucket", F.col("__b")), v
+            )
+            added = [{"unit": _unit(rel, b), "bucket": b} for b in written]
+        return self._commit(
+            "compact",
+            added,
+            [{"unit": u, "bucket": b} for u, b in live.items()],
+            v,
+        )
+
+    # -------------------------------------------------------------- reads
+
+    def snapshot(self, version: int | None = None) -> DataFrame:
+        """The table at a committed version (default: latest). Raises on
+        an uncommitted version or when no data units are live (never
+        created, or everything deleted)."""
+        live = self._live_units(as_of=version)
+        df = self._read_units(live, None)
+        if df is None:
+            raise ValueError(
+                f"no data at version {self.version() if version is None else version}"
+            )
+        return df.drop("__b")
+
+    # ------------------------------------------------------------- vacuum
+
+    def vacuum(self, retain_versions: int = 0) -> list[str]:
+        """Physically delete data no snapshot within ``retain_versions``
+        of latest can reference: units removed at or before the horizon,
+        plus orphan commit dirs (losers of a commit race / crashes
+        between data write and log commit). Time travel to vacuumed
+        versions then fails, as it must. Must not run concurrently with
+        a writer (an in-flight commit's data dir looks like an orphan
+        until its log entry lands) — same single-writer discipline as
+        the mutating ops, enforced by the caller's lease.
+        """
+        latest = self.version()
+        horizon = latest - retain_versions
+        referenced: set[str] = set()
+        for v in range(max(0, horizon), latest + 1):
+            try:
+                referenced |= set(self._live_units(as_of=v))
+            except ValueError:
+                continue
+        logged_dirs = {
+            u["unit"].split("/__bucket=")[0]
+            for e in self._log_entries()
+            for u in e.get("added", [])
+        }
+        deleted: list[str] = []
+        # Unit-level deletes for logged-but-dead units.
+        for e in self._log_entries():
+            for u in e.get("added", []):
+                unit = u["unit"]
+                full = os.path.join(self.path, unit)
+                if unit not in referenced and os.path.exists(full):
+                    shutil.rmtree(full)
+                    deleted.append(unit)
+        # Orphan commit dirs: written but never logged.
+        data_dir = os.path.join(self.path, _DATA_DIR)
+        for d in sorted(os.listdir(data_dir)):
+            rel = f"{_DATA_DIR}/{d}"
+            if rel not in logged_dirs:
+                shutil.rmtree(os.path.join(data_dir, d))
+                deleted.append(rel)
+        return deleted

@@ -12,6 +12,12 @@ is the seam, mirroring how the reference gets idempotency from Cosmos
 upsert-on-partition-key. Re-delivered batches overwrite their own
 subdirectory (idempotent by construction), which is exactly the
 effectively-once contract the reference approximates (SURVEY.md §3 EP2).
+
+For real MERGE semantics with a transaction log — snapshot isolation,
+time travel, atomic versioned commits, vacuum — see
+``sinks/logtable.py`` (LogTable), which supersedes ``compact_upsert``
+whenever history or reader isolation matters; compact_upsert remains
+the log-free single-directory variant.
 """
 
 from __future__ import annotations

@@ -1,0 +1,244 @@
+"""LogTable: log-structured MERGE sink (sinks/logtable.py).
+
+Covers the transactional properties the plain-parquet sinks can't give:
+snapshot isolation (readers keep a consistent file set mid-upsert),
+time travel, atomic versioning (O_EXCL commit claim), replay
+idempotence in table state, delete, compaction, and vacuum.
+"""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from durable_functions_cosmosdb_etl_spark.sinks.logtable import (
+    ConcurrentCommitError,
+    LogTable,
+)
+
+
+def _rows(df):
+    return sorted((r["id"], r["val"]) for r in df.collect())
+
+
+def _mk(spark, rows):
+    return spark.createDataFrame(rows, "id long, val string")
+
+
+def test_create_and_snapshot_roundtrip(spark, tmp_path):
+    t = LogTable(spark, str(tmp_path / "t"), key="id", n_buckets=8)
+    t.create(_mk(spark, [(1, "a"), (2, "b"), (3, "c")]))
+    assert _rows(t.snapshot()) == [(1, "a"), (2, "b"), (3, "c")]
+    assert t.version() == 0
+    assert set(t.snapshot().columns) == {"id", "val"}  # __b hidden
+
+
+def test_create_twice_rejected(spark, tmp_path):
+    t = LogTable(spark, str(tmp_path / "t"), key="id")
+    t.create(_mk(spark, [(1, "a")]))
+    with pytest.raises(ValueError, match="already exists"):
+        t.create(_mk(spark, [(2, "b")]))
+
+
+def test_upsert_updates_and_inserts(spark, tmp_path):
+    t = LogTable(spark, str(tmp_path / "t"), key="id", n_buckets=8)
+    t.create(_mk(spark, [(1, "a"), (2, "b"), (3, "c")]))
+    t.upsert(_mk(spark, [(2, "B2"), (4, "d")]))
+    assert _rows(t.snapshot()) == [(1, "a"), (2, "B2"), (3, "c"), (4, "d")]
+    # invariant: exactly one row per key
+    n = t.snapshot().groupBy("id").count().filter("count > 1").count()
+    assert n == 0
+
+
+def test_time_travel(spark, tmp_path):
+    t = LogTable(spark, str(tmp_path / "t"), key="id", n_buckets=8)
+    t.create(_mk(spark, [(1, "a"), (2, "b")]))
+    t.upsert(_mk(spark, [(2, "B2")]))
+    t.upsert(_mk(spark, [(1, "A3"), (9, "i")]))
+    assert _rows(t.snapshot(0)) == [(1, "a"), (2, "b")]
+    assert _rows(t.snapshot(1)) == [(1, "a"), (2, "B2")]
+    assert _rows(t.snapshot(2)) == [(1, "A3"), (2, "B2"), (9, "i")]
+    with pytest.raises(ValueError, match="does not exist"):
+        t.snapshot(7)
+
+
+def test_snapshot_isolation_across_upsert(spark, tmp_path):
+    """A reader's DataFrame stays valid and consistent through a
+    subsequent upsert — the merge writes NEW files and only logically
+    removes old units, so the pinned file set still exists on disk."""
+    t = LogTable(spark, str(tmp_path / "t"), key="id", n_buckets=4)
+    t.create(_mk(spark, [(i, f"v{i}") for i in range(20)]))
+    pinned = t.snapshot()  # lazy plan over version-0 files
+    t.upsert(_mk(spark, [(i, "CHANGED") for i in range(20)]))
+    # old snapshot still reads the ORIGINAL content after the upsert
+    assert _rows(pinned) == [(i, f"v{i}") for i in range(20)]
+    assert _rows(t.snapshot()) == [(i, "CHANGED") for i in range(20)]
+
+
+def test_upsert_batch_dup_keys_order_col(spark, tmp_path):
+    t = LogTable(spark, str(tmp_path / "t"), key="id", n_buckets=8)
+    t.create(spark.createDataFrame([(1, "a", 0)], "id long, val string, ver long"))
+    up = spark.createDataFrame(
+        [(1, "low", 1), (1, "high", 9), (2, "x", 5)],
+        "id long, val string, ver long",
+    )
+    t.upsert(up, order_col="ver")
+    got = {r["id"]: r["val"] for r in t.snapshot().collect()}
+    assert got == {1: "high", 2: "x"}
+
+
+def test_upsert_replay_idempotent_state(spark, tmp_path):
+    t = LogTable(spark, str(tmp_path / "t"), key="id", n_buckets=8)
+    t.create(_mk(spark, [(1, "a"), (2, "b")]))
+    up = _mk(spark, [(2, "B"), (3, "c")])
+    t.upsert(up)
+    state1 = _rows(t.snapshot())
+    t.upsert(up)  # redelivery of the same batch
+    assert _rows(t.snapshot()) == state1
+    assert t.version() == 2
+
+
+def test_only_affected_buckets_rewritten(spark, tmp_path):
+    t = LogTable(spark, str(tmp_path / "t"), key="id", n_buckets=64)
+    t.create(_mk(spark, [(i, f"v{i}") for i in range(200)]))
+    v = t.upsert(_mk(spark, [(7, "CHANGED")]))
+    entry = t.history()[v]
+    # one key → exactly one bucket added and one replaced
+    assert len(entry["added"]) == 1
+    assert len(entry["removed"]) == 1
+    assert entry["added"][0]["bucket"] == entry["removed"][0]["bucket"]
+
+
+def test_delete_keys(spark, tmp_path):
+    t = LogTable(spark, str(tmp_path / "t"), key="id", n_buckets=4)
+    t.create(_mk(spark, [(1, "a"), (2, "b"), (3, "c")]))
+    t.delete_keys(spark.createDataFrame([(2,)], "id long"))
+    assert _rows(t.snapshot()) == [(1, "a"), (3, "c")]
+
+
+def test_delete_all_then_snapshot_raises(spark, tmp_path):
+    t = LogTable(spark, str(tmp_path / "t"), key="id", n_buckets=4)
+    t.create(_mk(spark, [(1, "a")]))
+    t.delete_keys(spark.createDataFrame([(1,)], "id long"))
+    with pytest.raises(ValueError, match="no data"):
+        t.snapshot()
+    # but time travel to before the delete still works
+    assert _rows(t.snapshot(0)) == [(1, "a")]
+
+
+def test_append_does_not_dedupe(spark, tmp_path):
+    t = LogTable(spark, str(tmp_path / "t"), key="id", n_buckets=4)
+    t.create(_mk(spark, [(1, "a")]))
+    t.append(_mk(spark, [(1, "dup"), (2, "b")]))
+    assert len(_rows(t.snapshot())) == 3
+
+
+def test_compact_preserves_content(spark, tmp_path):
+    t = LogTable(spark, str(tmp_path / "t"), key="id", n_buckets=4)
+    t.create(_mk(spark, [(i, f"v{i}") for i in range(10)]))
+    for i in range(5):
+        t.upsert(_mk(spark, [(i, f"up{i}")]))
+    before = _rows(t.snapshot())
+    v = t.compact()
+    assert _rows(t.snapshot()) == before
+    # live set now points only at the compaction commit's units
+    live_dirs = {
+        u.split("/__bucket=")[0] for u in t._live_units()
+    }
+    assert live_dirs == {f"data/c{v}"}
+
+
+def test_concurrent_commit_detected(spark, tmp_path):
+    """The commit claims EXACTLY base+1 with O_EXCL: a racing writer
+    landing that version between our base-read and our claim surfaces
+    as ConcurrentCommitError, never a silent lost-update on top of a
+    snapshot we did not merge against."""
+    t = LogTable(spark, str(tmp_path / "t"), key="id", n_buckets=4)
+    t.create(_mk(spark, [(1, "a")]))
+    # simulate the race: our writer computed base=0 (so claims v1), and
+    # a rival lands v1 first
+    rogue = os.path.join(str(tmp_path / "t"), "_log", f"{1:020d}.json")
+    with open(rogue, "w") as f:
+        f.write('{"version": 1, "op": "append", "added": [], "removed": []}')
+    with pytest.raises(ConcurrentCommitError):
+        t._commit("upsert", [], [], v=1)
+    # table state unaffected by the failed commit
+    assert _rows(t.snapshot(0)) == [(1, "a")]
+
+
+def test_commit_lands_on_current_base(spark, tmp_path):
+    """A commit by another writer BEFORE our base-read is not a
+    conflict: the next op simply merges on top of it."""
+    t = LogTable(spark, str(tmp_path / "t"), key="id", n_buckets=4)
+    t.create(_mk(spark, [(1, "a")]))
+    rogue = os.path.join(str(tmp_path / "t"), "_log", f"{1:020d}.json")
+    with open(rogue, "w") as f:
+        f.write('{"version": 1, "op": "append", "added": [], "removed": []}')
+    v = t.upsert(_mk(spark, [(2, "b")]))  # base=1 → claims v2
+    assert v == 2
+    assert _rows(t.snapshot()) == [(1, "a"), (2, "b")]
+
+
+def test_vacuum_reclaims_dead_units_and_orphans(spark, tmp_path):
+    t = LogTable(spark, str(tmp_path / "t"), key="id", n_buckets=4)
+    t.create(_mk(spark, [(i, f"v{i}") for i in range(10)]))
+    t.upsert(_mk(spark, [(i, "X") for i in range(10)]))  # replaces all buckets
+    # orphan: a data dir that never got a log entry (crashed writer)
+    orphan = tmp_path / "t" / "data" / "c99"
+    orphan.mkdir()
+    (orphan / "junk").write_text("x")
+    before = _rows(t.snapshot())
+    deleted = t.vacuum(retain_versions=0)
+    assert any(u.startswith("data/c0") for u in deleted)  # v0 units dead
+    assert "data/c99" in deleted
+    assert _rows(t.snapshot()) == before  # latest unaffected
+    with pytest.raises(Exception):
+        t.snapshot(0).collect()  # time travel to vacuumed version fails
+
+
+def test_history_ops(spark, tmp_path):
+    t = LogTable(spark, str(tmp_path / "t"), key="id", n_buckets=4)
+    t.create(_mk(spark, [(1, "a")]))
+    t.upsert(_mk(spark, [(2, "b")]))
+    t.delete_keys(spark.createDataFrame([(1,)], "id long"))
+    t.compact()
+    assert [e["op"] for e in t.history()] == [
+        "create",
+        "upsert",
+        "delete",
+        "compact",
+    ]
+    assert [e["version"] for e in t.history()] == [0, 1, 2, 3]
+
+
+def test_foreachbatch_streaming_upsert(spark, tmp_path):
+    """LogTable as the upsert sink of a micro-batch pipeline: the same
+    change-feed → transform → upsert loop the reference runs
+    (EtlProcess.cs:183-206), with redelivery converging to the same
+    state because upsert is idempotent in content."""
+    src = tmp_path / "src"
+    for i, batch in enumerate([[(1, "a"), (2, "b")], [(2, "B"), (3, "c")]]):
+        _mk(spark, batch).write.mode("overwrite").parquet(
+            str(src / f"b{i}")
+        )
+    t = LogTable(spark, str(tmp_path / "t"), key="id", n_buckets=8)
+    t.create(_mk(spark, [(1, "seed")]))
+
+    stream = (
+        spark.readStream.schema("id long, val string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src / "*"))
+    )
+    q = stream.writeStream.foreachBatch(
+        lambda df, _bid: t.upsert(df) and None
+    ).trigger(availableNow=True).option(
+        "checkpointLocation", str(tmp_path / "ckpt")
+    ).start()
+    q.awaitTermination(120)
+    assert {r["id"]: r["val"] for r in t.snapshot().collect()} == {
+        1: "a",
+        2: "B",
+        3: "c",
+    }
