@@ -40,6 +40,7 @@ def run_incremental_transform(
     clock: datetime | None = None,
     available_now: bool | None = None,
     processing_time: str | None = None,
+    sink: str = "batch_dirs",
 ):
     """Consume staged SampleItem files incrementally; transform; upsert.
 
@@ -58,6 +59,19 @@ def run_incremental_transform(
       overlap itself, which is all the reference's lease exists to
       prevent; see operators/lease.py for the multi-submitter case).
     - neither: run continuously as fast as batches complete.
+
+    Sink modes (operator O11, the upsert-on-/id sink,
+    /root/reference/EtlProcess.cs:188-206):
+
+    - ``sink="batch_dirs"`` (default): batch-keyed overwrite dirs +
+      ``latest_view`` read-time resolution — zero write amplification,
+      read pays the per-key window.
+    - ``sink="logtable"``: transactional MERGE into a
+      :class:`~..sinks.logtable.LogTable` keyed on ``id`` — the stored
+      table always holds one row per key, readers get snapshot
+      isolation and time travel across micro-batches. Batch redelivery
+      re-merges identical content: idempotent in state (a no-op
+      version), matching the batch_dirs contract.
     """
     if available_now is None:
         available_now = processing_time is None
@@ -66,6 +80,8 @@ def run_incremental_transform(
             "available_now=True and processing_time are mutually "
             "exclusive trigger modes"
         )
+    if sink not in ("batch_dirs", "logtable"):
+        raise ValueError(f"unknown sink mode: {sink!r}")
     if isinstance(staging_dir, Container):
         # Connector path: cosmos.oltp.changeFeed (EtlProcess.cs:183-189)
         # — or any Container backend — through the seam's read_stream.
@@ -75,9 +91,21 @@ def run_incremental_transform(
             spark, staging_dir, SAMPLE_ITEM_SCHEMA, max_files_per_trigger
         )
 
+    table = None
+    if sink == "logtable":
+        from ..sinks.logtable import LogTable
+
+        table = LogTable(spark, out_dir, key="id")
+
     def process(batch_df, batch_id: int) -> None:
         out = transform_items(batch_df, batch_id=str(batch_id), clock=clock)
-        upsert_batch(out, out_dir, batch_id)
+        if table is not None:
+            if table.version() < 0:
+                table.create(out)
+            else:
+                table.upsert(out)
+        else:
+            upsert_batch(out, out_dir, batch_id)
 
     writer = stream.writeStream.foreachBatch(process).option(
         "checkpointLocation", checkpoint_dir

@@ -62,6 +62,35 @@ def test_incremental_transform_micro_batches(spark, tmp_path):
     assert batches == 3
 
 
+def test_incremental_transform_logtable_sink(spark, tmp_path):
+    """sink="logtable": the change-feed loop MERGEs into a transactional
+    LogTable — stored table holds exactly one row per id, versions
+    advance per micro-batch, and redelivery (checkpoint loss) converges
+    to the same state."""
+    from durable_functions_cosmosdb_etl_spark.sinks.logtable import LogTable
+
+    staging = str(tmp_path / "staging")
+    out = str(tmp_path / "out")
+    _stage_files(spark, staging, n_files=2, rows_per=6)
+    run_incremental_transform(
+        spark, staging, out, str(tmp_path / "ck1"), clock=CLOCK,
+        sink="logtable",
+    )
+    t = LogTable(spark, out, key="id")
+    snap = t.snapshot()
+    assert snap.count() == 12
+    assert snap.groupBy("id").count().filter("count > 1").count() == 0
+    assert t.version() == 1  # create + one upsert (2 files, 1 per batch)
+    # redelivery: fresh checkpoint reprocesses everything; state converges
+    run_incremental_transform(
+        spark, staging, out, str(tmp_path / "ck2"), clock=CLOCK,
+        sink="logtable",
+    )
+    assert t.snapshot().count() == 12
+    # time travel: the pre-redelivery snapshot is still readable
+    assert t.snapshot(1).count() == 12
+
+
 def test_checkpoint_resume_no_reprocessing(spark, tmp_path):
     staging = str(tmp_path / "staging")
     out = str(tmp_path / "out")
