@@ -73,6 +73,38 @@ def test_bucketed_join_has_no_shuffle(spark, tmp_path):
     assert joined.count() == 1000
 
 
+def test_centroid_assignment_has_no_exchange(spark):
+    """assign_to_centroids is map-side: the codebook broadcasts as one
+    array row and the argmax is a per-row reduction — the corpus is
+    never shuffled (SCALE.md §2). Regression guard against reintroducing
+    the window-argmax, whose exchange carried corpus × centroids rows."""
+    from durable_functions_cosmosdb_etl_spark.operators.similarity import (
+        assign_to_centroids,
+    )
+
+    corpus = spark.range(0, 200).select(
+        F.col("id").alias("vec_id"),
+        F.array(
+            (F.col("id") % 7).cast("float"),
+            (F.col("id") % 11).cast("float"),
+            (F.col("id") % 13).cast("float"),
+        ).alias("embedding"),
+    )
+    # pre-built codebook isolates the ASSIGNMENT plan (fitting has its
+    # own — tiny, centroid-sized — aggregation exchanges)
+    cen = spark.createDataFrame(
+        [(i + 1, [float(i), 1.0, 2.0]) for i in range(4)],
+        "centroid_id int, centroid array<float>",
+    )
+    assigned = assign_to_centroids(corpus, cen)
+    plan = _plan(assigned)
+    assert "Exchange hashpartitioning" not in plan
+    assert "Window" not in plan
+    # every vector gets exactly one centroid
+    assert assigned.count() == 200
+    assert assigned.select("vec_id").distinct().count() == 200
+
+
 def test_partition_pruning_reaches_scan(spark, tmp_path):
     """write.partitionBy + filter on the partition column → the scan
     lists only matching directories (PartitionFilters, not a full scan)."""
