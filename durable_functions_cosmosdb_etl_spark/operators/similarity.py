@@ -130,6 +130,59 @@ def brute_force_topk(
     )
 
 
+def _kcenter_seeds(
+    fit_set: DataFrame, n_centroids: int, id_col: str, vec_col: str
+) -> list:
+    """Greedy farthest-point (k-center) seeds under cosine distance.
+
+    Start from the lowest id; each step picks the vector with the
+    SMALLEST max-cosine-similarity to the chosen seeds (ties → lowest
+    id). Deterministic — the quality half of k-means++ without its RNG,
+    so codebooks stay reproducible. Each step is one job over the fit
+    set with the current seeds broadcast as an array literal; the
+    driver holds only the ≤ n_centroids chosen vectors (same bounded-
+    collect class as the lease/bucket lists). O(k · |fit_set|) total.
+    """
+    first = (
+        fit_set.orderBy(id_col).limit(1).select(id_col, vec_col).collect()
+    )
+    if not first:
+        return []
+    seeds = [first[0]]
+    for _ in range(n_centroids - 1):
+        lits = F.array(
+            *[
+                F.struct(
+                    F.lit(list(r[vec_col]))
+                    .cast("array<float>")
+                    .alias("centroid")
+                )
+                for r in seeds
+            ]
+        )
+        vec = F.col(vec_col)
+        max_sim = F.array_max(
+            F.transform(
+                lits,
+                lambda c: dot(vec, c["centroid"])
+                / (F.col("_vnorm") * l2_norm(c["centroid"])),
+            )
+        )
+        chosen_ids = {r[id_col] for r in seeds}
+        nxt = (
+            fit_set.filter(~F.col(id_col).isin(chosen_ids))
+            .withColumn("_vnorm", l2_norm(vec))
+            .select(id_col, vec_col, max_sim.alias("_ms"))
+            .orderBy(F.col("_ms").asc_nulls_last(), F.col(id_col))
+            .limit(1)
+            .collect()
+        )
+        if not nxt:
+            break
+        seeds.append(nxt[0])
+    return seeds
+
+
 def fit_ivf_centroids(
     corpus: DataFrame,
     n_centroids: int = 10,
@@ -138,14 +191,20 @@ def fit_ivf_centroids(
     fit_fraction: float = 0.25,
     min_fit_rows: int = 200,
     n_iters: int = 1,
+    init: str = "lowest_id",
 ) -> DataFrame:
-    """Deterministic IVF codebook: seed with the n lowest-id vectors,
-    ``n_iters`` Lloyd refinement steps (assign → mean), all in
-    DataFrame ops. Each extra step is one broadcast-assign join plus one
-    posexplode aggregate over the fit set — linear in sample size, so
-    more steps cost proportionally; the registered queries keep
-    ``n_iters=1`` (the DuckDB replica oracles express exactly one
-    step), production codebooks typically want 3-10 on a sample.
+    """Deterministic IVF codebook: seed (``init="lowest_id"`` — the n
+    lowest-id vectors — or ``init="kcenter"`` — greedy farthest-point,
+    see :func:`_kcenter_seeds`), then ``n_iters`` Lloyd refinement steps
+    (assign → mean), all in DataFrame ops. Each extra step is one
+    broadcast-assign join plus one posexplode aggregate over the fit
+    set — linear in sample size, so more steps cost proportionally; the
+    registered queries keep ``n_iters=1`` and the default init (the
+    DuckDB replica oracles express exactly that pipeline), production
+    codebooks want ``init="kcenter"`` + 3-10 steps on a sample:
+    farthest-point seeds spread over the data's extent instead of
+    wherever the lowest ids happen to sit, so Lloyd starts near a good
+    partition instead of having to migrate centroids across the space.
 
     Fitting runs on a deterministic hash-sample of the corpus
     (``abs(xxhash64(id)) % 100 < fit_fraction*100``), never the full
@@ -174,14 +233,25 @@ def fit_ivf_centroids(
     need = -(-floor * 100 // pct)  # ceil: corpus size at which pct% ≥ floor
     if pct < 100 and corpus.limit(need).count() < need:
         fit_set = corpus
-    centroids = (
-        fit_set.orderBy(id_col)
-        .limit(n_centroids)
-        .select(
-            F.row_number().over(Window.orderBy(id_col)).alias("centroid_id"),
-            F.col(vec_col).alias("centroid"),
+    if init == "kcenter":
+        seeds = _kcenter_seeds(fit_set, n_centroids, id_col, vec_col)
+        centroids = fit_set.sparkSession.createDataFrame(
+            [(i + 1, list(r[vec_col])) for i, r in enumerate(seeds)],
+            "centroid_id int, centroid array<float>",
         )
-    )
+    elif init == "lowest_id":
+        centroids = (
+            fit_set.orderBy(id_col)
+            .limit(n_centroids)
+            .select(
+                F.row_number()
+                .over(Window.orderBy(id_col))
+                .alias("centroid_id"),
+                F.col(vec_col).alias("centroid"),
+            )
+        )
+    else:
+        raise ValueError(f"unknown init: {init!r}")
     for _ in range(max(1, n_iters)):
         assigned = assign_to_centroids(fit_set, centroids, id_col, vec_col)
         centroids = (
@@ -271,14 +341,21 @@ def ivf_topk(
     nprobe: int = 3,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    init: str = "lowest_id",
+    n_iters: int = 1,
 ) -> DataFrame:
     """Approximate top-k: probe only the nprobe nearest centroid cells.
 
     Serving plan: corpus pre-assigned (in production: written bucketed
     by centroid_id so the probe join prunes files), queries expand to
     nprobe cells, equi-join on centroid_id, exact rescoring within.
+    ``init``/``n_iters`` pass through to the codebook fit — the
+    registered oracle query keeps the defaults; production serving wants
+    ``init="kcenter"`` and more Lloyd steps.
     """
-    centroids = fit_ivf_centroids(corpus, n_centroids, id_col, vec_col).cache()
+    centroids = fit_ivf_centroids(
+        corpus, n_centroids, id_col, vec_col, init=init, n_iters=n_iters
+    ).cache()
     corpus_cells = corpus.join(
         assign_to_centroids(corpus, centroids, id_col, vec_col), id_col
     )

@@ -4,6 +4,7 @@ from __future__ import annotations
 
 import math
 
+import pytest
 from pyspark.sql import functions as F
 
 from durable_functions_cosmosdb_etl_spark.operators import similarity as sim
@@ -209,6 +210,50 @@ def test_ivf_multi_step_fit_deterministic(spark, sf_dir):
     }
     # at least one centroid must actually move on the second step
     assert any(one[r.centroid_id] != r.centroid for r in two_a)
+
+
+def test_ivf_kcenter_init_deterministic_and_spread(spark, sf_dir):
+    """init="kcenter": greedy farthest-point seeding is deterministic,
+    yields the full codebook, and its IVF recall is not worse than the
+    recall gate the default init carries."""
+    em = load_table(spark, sf_dir, "embeddings")
+    a = sim.fit_ivf_centroids(em, n_centroids=6, init="kcenter").collect()
+    b = sim.fit_ivf_centroids(em, n_centroids=6, init="kcenter").collect()
+    assert len(a) == 6
+    assert sorted((r.centroid_id, r.centroid) for r in a) == sorted(
+        (r.centroid_id, r.centroid) for r in b
+    )
+    # spread: farthest-point seeds must not collapse to one cell — every
+    # centroid ends up owning at least one fit vector
+    owners = (
+        sim.assign_to_centroids(
+            em, spark.createDataFrame(a), "vec_id", "embedding"
+        )
+        .select("centroid_id")
+        .distinct()
+        .count()
+    )
+    assert owners == 6
+
+    corpus, queries = em.filter("vec_id >= 5"), em.filter("vec_id < 5")
+    exact = {
+        (r.query_id, r.neighbor_id)
+        for r in sim.brute_force_topk(corpus, queries, k=10).collect()
+    }
+    approx = {
+        (r.query_id, r.neighbor_id)
+        for r in sim.ivf_topk(
+            corpus, queries, k=10, n_centroids=10, nprobe=3, init="kcenter"
+        ).collect()
+    }
+    recall = len(exact & approx) / len(exact)
+    assert recall >= 0.3, f"kcenter recall@10 = {recall}"
+
+
+def test_ivf_unknown_init_rejected(spark, sf_dir):
+    em = load_table(spark, sf_dir, "embeddings")
+    with pytest.raises(ValueError, match="unknown init"):
+        sim.fit_ivf_centroids(em, n_centroids=4, init="random").collect()
 
 
 def test_null_embeddings_dropped_not_crashed(spark):
