@@ -339,6 +339,65 @@ class LogTable:
             )
         return df.drop("__b")
 
+    def changes(self, from_version: int, to_version: int | None = None) -> DataFrame:
+        """Change feed between two committed versions: what happened to
+        each key, as ``(change, …row…)`` with change ∈ insert / update /
+        delete (update rows carry the NEW values).
+
+        This is the producer side of the change-feed contract the
+        reference CONSUMES from Cosmos (/root/reference/EtlProcess.cs:
+        183-187): a downstream incremental pipeline can read
+        ``changes(last_seen, latest)`` instead of rescanning the table —
+        the log makes the diff well-defined. Computed as a full outer
+        join of the two snapshots on the key (cost: the two snapshots'
+        live sets, not history); at 100 TB both sides are bucketed the
+        same way, so the join co-locates. A delta-file-based feed (read
+        only the commits' added units) would avoid the old-snapshot
+        read; that needs per-unit min/max key stats to classify
+        insert-vs-update — noted as the next step, same as Delta's CDF.
+        """
+        lo = self._live_units(as_of=from_version)
+        to_version = self.version() if to_version is None else to_version
+        hi = self._live_units(as_of=to_version)
+        old = self._read_units(lo, None)
+        new = self._read_units(hi, None)
+        key = self.key
+        if old is None and new is None:
+            raise ValueError("both versions are empty")
+        if old is None:
+            return new.drop("__b").withColumn("change", F.lit("insert"))
+        if new is None:
+            return old.drop("__b").withColumn("change", F.lit("delete"))
+        o = old.drop("__b").alias("o")
+        n = new.drop("__b").alias("n")
+        data_cols = [c for c in n.columns if c != key]
+        same = F.lit(True)
+        for c in data_cols:
+            same = same & F.col(f"o.{c}").eqNullSafe(F.col(f"n.{c}"))
+        joined = o.join(n, F.col(f"o.{key}") == F.col(f"n.{key}"), "full_outer")
+        change = (
+            F.when(F.col(f"o.{key}").isNull(), "insert")
+            .when(F.col(f"n.{key}").isNull(), "delete")
+            .when(~same, "update")
+        )
+        # delete rows carry the deleted (old) values; insert/update rows
+        # carry the new ones. NOT coalesce(new, old): an update that
+        # sets a column to NULL must surface the NULL, not the old value.
+        is_delete = F.col(f"n.{key}").isNull()
+        out_cols = [
+            F.coalesce(F.col(f"n.{key}"), F.col(f"o.{key}")).alias(key)
+        ] + [
+            F.when(is_delete, F.col(f"o.{c}"))
+            .otherwise(F.col(f"n.{c}"))
+            .alias(c)
+            for c in data_cols
+        ]
+        return (
+            joined.withColumn("change", change)
+            .filter(F.col("change").isNotNull())
+            .select("change", *out_cols)
+        )
+
     # ------------------------------------------------------------- vacuum
 
     def vacuum(self, retain_versions: int = 0) -> list[str]:

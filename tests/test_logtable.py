@@ -198,6 +198,38 @@ def test_vacuum_reclaims_dead_units_and_orphans(spark, tmp_path):
         t.snapshot(0).collect()  # time travel to vacuumed version fails
 
 
+def test_changes_classifies_insert_update_delete(spark, tmp_path):
+    """changes(v1, v2) is the produced change feed: the diff of two
+    snapshots classified per key, with update rows carrying NEW values
+    (including explicit NULLs — no coalesce resurrection of old data)."""
+    t = LogTable(spark, str(tmp_path / "t"), key="id", n_buckets=8)
+    t.create(_mk(spark, [(1, "a"), (2, "b"), (3, "c")]))          # v0
+    t.upsert(_mk(spark, [(2, "B2"), (4, "d")]))                   # v1
+    t.upsert(spark.createDataFrame([(3, None)], "id long, val string"))  # v2
+    t.delete_keys(spark.createDataFrame([(1,)], "id long"))       # v3
+    got = {
+        r["id"]: (r["change"], r["val"])
+        for r in t.changes(0, 3).collect()
+    }
+    assert got == {
+        1: ("delete", "a"),    # delete carries the deleted values
+        2: ("update", "B2"),
+        3: ("update", None),   # NULLed column surfaces as NULL
+        4: ("insert", "d"),
+    }
+    # unchanged keys are absent; adjacent-version feeds compose
+    assert {r["id"] for r in t.changes(0, 1).collect()} == {2, 4}
+    assert {r["id"] for r in t.changes(2, 3).collect()} == {1}
+
+
+def test_changes_default_to_latest(spark, tmp_path):
+    t = LogTable(spark, str(tmp_path / "t"), key="id", n_buckets=4)
+    t.create(_mk(spark, [(1, "a")]))
+    t.upsert(_mk(spark, [(2, "b")]))
+    rows = t.changes(0).collect()
+    assert [(r["change"], r["id"]) for r in rows] == [("insert", 2)]
+
+
 def test_history_ops(spark, tmp_path):
     t = LogTable(spark, str(tmp_path / "t"), key="id", n_buckets=4)
     t.create(_mk(spark, [(1, "a")]))
