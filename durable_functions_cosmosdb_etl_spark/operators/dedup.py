@@ -213,8 +213,29 @@ def jaccard_pairs(
         )
         ex = ex.join(F.broadcast(keep), "g")
     a, b = ex.alias("a"), ex.alias("b")
+    # Length-ratio prune, semantics-preserving: J(A,B) ≤ min/max of the
+    # shingle counts, so J ≥ t requires t·max ≤ min — pairs failing the
+    # ratio can never reach the threshold and are dropped INSIDE the
+    # join, before they ever reach the (doc_a, doc_b) count aggregate.
+    # The 1e-9 slack makes float rounding strictly under-prune (a
+    # boundary pair survives to the exact filter below, which remains
+    # authoritative); the candidate-count reduction is what matters at
+    # scale, where near-dup corpora mix wildly different doc lengths.
+    eps = 1e-9
+    ratio_ok = (
+        F.col("a.n_sh").cast("double")
+        >= F.lit(threshold) * F.col("b.n_sh") - eps
+    ) & (
+        F.col("b.n_sh").cast("double")
+        >= F.lit(threshold) * F.col("a.n_sh") - eps
+    )
     common = (
-        a.join(b, (F.col("a.g") == F.col("b.g")) & (F.col("a.doc") < F.col("b.doc")))
+        a.join(
+            b,
+            (F.col("a.g") == F.col("b.g"))
+            & (F.col("a.doc") < F.col("b.doc"))
+            & ratio_ok,
+        )
         .groupBy(
             F.col("a.doc").alias("doc_a"),
             F.col("b.doc").alias("doc_b"),
