@@ -705,9 +705,25 @@ def dedup_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     t_ex = train.select(
         F.col("doc").alias("t_doc"), "n_sh", F.explode("sh").alias("g")
     )
-    b_ex = bench.select(F.col("doc").alias("b_doc"), F.explode("sh").alias("g"))
+    b_ex = bench.select(
+        F.col("doc").alias("b_doc"),
+        F.col("n_sh").alias("b_n_sh"),
+        F.explode("sh").alias("g"),
+    )
+    # Size prune inside the join (semantics-preserving): containment
+    # |T∩B|/|T| ≥ c needs |B| ≥ c·|T| since the intersection can't
+    # exceed the benchmark doc's shingle count — undersized benchmark
+    # pairs drop before the per-pair count aggregate. Slack keeps float
+    # rounding strictly under-pruning; the exact filter below decides.
     common = (
-        t_ex.join(b_ex, "g")
+        t_ex.join(
+            b_ex,
+            (t_ex.g == b_ex.g)
+            & (
+                F.col("b_n_sh").cast("double")
+                >= 0.5 * F.col("n_sh") - 1e-9
+            ),
+        )
         .groupBy("t_doc", "b_doc", "n_sh")
         .agg(F.count(F.lit(1)).alias("common"))
         .filter(F.col("common") >= 0.5 * F.col("n_sh"))
