@@ -35,9 +35,10 @@ row per key is stored); history costs only disk until ``vacuum``.
 
 At 100 TB: n_buckets sized so one bucket is a comfortable rewrite unit
 (thousands of buckets); the log stays tiny (one small JSON per commit);
-``compact()`` bounds live-file fragmentation; checkpointed log replay
-(a Delta ``_last_checkpoint`` analog) is the next step if commit counts
-reach millions — out of scope here, noted for parity.
+``compact()`` bounds live-file fragmentation; ``checkpoint_log()``
+(a Delta ``_last_checkpoint`` analog) bounds replay to
+O(commits since checkpoint) — run it from the same maintenance cadence
+as compact/vacuum.
 """
 
 from __future__ import annotations
@@ -94,35 +95,87 @@ class LogTable:
     def _log_entries(self) -> Iterator[dict]:
         log_dir = os.path.join(self.path, _LOG_DIR)
         for name in sorted(os.listdir(log_dir)):
-            if name.endswith(".json"):
+            if name.endswith(".json") and not name.startswith("_checkpoint"):
                 with open(os.path.join(log_dir, name)) as f:
                     yield json.load(f)
 
-    def version(self) -> int:
-        """Latest committed version, or -1 for an empty table."""
-        v = -1
-        for e in self._log_entries():
-            v = e["version"]
+    def _latest_checkpoint(self) -> dict | None:
+        """Newest ``_checkpoint.{v}.json``, or None. The checkpoint holds
+        the full live-unit map at version v, so replay only walks
+        entries AFTER it — the Delta ``_last_checkpoint`` idea."""
+        log_dir = os.path.join(self.path, _LOG_DIR)
+        cps = sorted(
+            n
+            for n in os.listdir(log_dir)
+            if n.startswith("_checkpoint.") and n.endswith(".json")
+        )
+        if not cps:
+            return None
+        with open(os.path.join(log_dir, cps[-1])) as f:
+            return json.load(f)
+
+    def checkpoint_log(self) -> int:
+        """Materialize the current live-unit map as a log checkpoint.
+
+        Replay cost from then on is O(commits since checkpoint) instead
+        of O(all commits). Call periodically (every N commits) from the
+        maintenance path that also runs compact/vacuum. Old checkpoints
+        are superseded by filename ordering; they are tiny JSON and
+        vacuum-exempt (the log itself is never vacuumed).
+        """
+        v = self.version()
+        live = self._live_units(as_of=v if v >= 0 else None)
+        cp = {"version": v, "live": [{"unit": u, "bucket": b} for u, b in live.items()]}
+        final = os.path.join(
+            self.path, _LOG_DIR, f"_checkpoint.{v:020d}.json"
+        )
+        tmp = final + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump(cp, f)
+        os.replace(tmp, final)
         return v
+
+    def version(self) -> int:
+        """Latest committed version, or -1 for an empty table. Read off
+        the zero-padded filenames — no entry parsing."""
+        log_dir = os.path.join(self.path, _LOG_DIR)
+        names = [
+            n
+            for n in os.listdir(log_dir)
+            if n.endswith(".json") and not n.startswith("_checkpoint")
+        ]
+        return int(max(names)[:-5]) if names else -1
 
     def history(self) -> list[dict]:
         """All commit records, oldest first (op, version, added/removed)."""
         return list(self._log_entries())
 
     def _live_units(self, as_of: int | None = None) -> dict[str, int]:
-        """Replay the log: unit path (relative) → bucket id, at a version."""
+        """Replay the log: unit path (relative) → bucket id, at a version.
+
+        Starts from the newest log checkpoint at or before the target
+        version when one exists (O(commits since checkpoint)); time
+        travel to a pre-checkpoint version falls back to full replay —
+        the log itself is never deleted, so that is always possible.
+        """
+        latest = self.version()
+        if as_of is not None and (as_of < 0 or as_of > latest):
+            raise ValueError(f"version {as_of} does not exist")
         live: dict[str, int] = {}
-        v_max = -1
+        start_after = -1
+        cp = self._latest_checkpoint()
+        if cp is not None and (as_of is None or as_of >= cp["version"]):
+            live = {u["unit"]: u["bucket"] for u in cp["live"]}
+            start_after = cp["version"]
         for e in self._log_entries():
-            v_max = e["version"]
+            if e["version"] <= start_after:
+                continue
             if as_of is not None and e["version"] > as_of:
                 break
             for u in e.get("removed", []):
                 live.pop(u["unit"], None)
             for u in e.get("added", []):
                 live[u["unit"]] = u["bucket"]
-        if as_of is not None and (as_of < 0 or as_of > v_max):
-            raise ValueError(f"version {as_of} does not exist")
         return live
 
     def _commit(

@@ -230,6 +230,25 @@ def test_changes_default_to_latest(spark, tmp_path):
     assert [(r["change"], r["id"]) for r in rows] == [("insert", 2)]
 
 
+def test_log_checkpoint_equivalent_and_time_travel(spark, tmp_path):
+    """checkpoint_log() materializes the live-unit map: replay from the
+    checkpoint gives the same snapshots, commits after it apply on top,
+    and time travel BEFORE the checkpoint falls back to full replay."""
+    t = LogTable(spark, str(tmp_path / "t"), key="id", n_buckets=8)
+    t.create(_mk(spark, [(1, "a"), (2, "b")]))          # v0
+    t.upsert(_mk(spark, [(2, "B1")]))                   # v1
+    pre_cp = t._live_units()
+    assert t.checkpoint_log() == 1
+    assert t._live_units() == pre_cp                    # replay via cp identical
+    t.upsert(_mk(spark, [(3, "c")]))                    # v2 (after cp)
+    assert _rows(t.snapshot()) == [(1, "a"), (2, "B1"), (3, "c")]
+    assert _rows(t.snapshot(0)) == [(1, "a"), (2, "b")]  # pre-cp full replay
+    assert _rows(t.snapshot(1)) == [(1, "a"), (2, "B1")]
+    # checkpoints are invisible to history/version bookkeeping
+    assert [e["version"] for e in t.history()] == [0, 1, 2]
+    assert t.version() == 2
+
+
 def test_history_ops(spark, tmp_path):
     t = LogTable(spark, str(tmp_path / "t"), key="id", n_buckets=4)
     t.create(_mk(spark, [(1, "a")]))
