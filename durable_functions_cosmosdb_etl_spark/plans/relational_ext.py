@@ -134,6 +134,60 @@ def agg_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "agg_unpivot",
+    extra=True,
+    oracle="""
+    WITH long AS (
+        SELECT l_returnflag, 'l_quantity' AS metric, l_quantity AS val
+        FROM lineitem
+        UNION ALL
+        SELECT l_returnflag, 'l_extendedprice', l_extendedprice FROM lineitem
+        UNION ALL
+        SELECT l_returnflag, 'l_discount', l_discount FROM lineitem
+        UNION ALL
+        SELECT l_returnflag, 'l_tax', l_tax FROM lineitem)
+    SELECT l_returnflag, metric,
+           count(*) AS n,
+           CAST(sum(CAST(round(val * 100) AS BIGINT)) AS DOUBLE) / 100.0
+               AS total,
+           CAST(round(min(val) * 100) AS BIGINT) / 100.0 AS lo,
+           CAST(round(max(val) * 100) AS BIGINT) / 100.0 AS hi
+    FROM long GROUP BY l_returnflag, metric
+    """,
+)
+def agg_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UNPIVOT (melt): wide measure columns → long (metric, val) rows,
+    then a per-(flag, metric) profile — the inverse of ``agg_pivot`` and
+    the standard reshape before generic per-metric aggregation or
+    plotting pipelines.
+
+    ``DataFrame.unpivot`` compiles to an Expand node: each input row is
+    emitted once per measure column in the SAME task — no shuffle, no
+    join, and the downstream aggregate is an ordinary hash agg on
+    (flag, metric). The oracle spells it as UNION ALL of per-column
+    scans, which DuckDB folds over one scan; values are identical,
+    fixed-point-summed for cross-engine parity.
+    """
+    l = _t(spark, sf_dir, "lineitem")  # noqa: E741
+    long = l.unpivot(
+        ["l_returnflag"],
+        ["l_quantity", "l_extendedprice", "l_discount", "l_tax"],
+        "metric",
+        "val",
+    )
+    cents = lambda c: (F.round(c * 100, 0).cast("long") / F.lit(100.0))  # noqa: E731
+    return long.groupBy("l_returnflag", "metric").agg(
+        F.count(F.lit(1)).alias("n"),
+        (
+            F.sum(F.round(F.col("val") * 100, 0).cast("long")).cast("double")
+            / F.lit(100.0)
+        ).alias("total"),
+        cents(F.min("val")).alias("lo"),
+        cents(F.max("val")).alias("hi"),
+    )
+
+
+@query(
     "agg_percentile",
     extra=True,
     oracle="""

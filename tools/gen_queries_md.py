@@ -29,6 +29,7 @@ COVERED_BY: dict[str, str] = {
     "agg_grouping_sets": "agg_grouping",
     "agg_histogram": "agg_stats",
     "agg_percentile": "agg_stats",
+    "agg_unpivot": "agg_pivot",
     "agg_rollup": "agg_grouping",
     "approx_distinct": "agg_stats",
     "array_explode": "array_agg_fns",
