@@ -318,6 +318,54 @@ def subquery_scalar(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "sql_recursive",
+    extra=True,
+    oracle="""
+    WITH RECURSIVE walk AS (
+        SELECT s_suppkey AS node, s_suppkey AS cur,
+               CAST(0 AS BIGINT) AS depth
+        FROM supplier
+        UNION ALL
+        SELECT node, cur // 2, depth + 1
+        FROM walk WHERE cur > 1)
+    SELECT node, max(depth) AS depth_to_root,
+           CAST(sum(cur) AS BIGINT) AS path_key_sum
+    FROM walk GROUP BY node
+    """,
+)
+def sql_recursive(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recursive CTE (Spark 4's WITH RECURSIVE): walk each supplier up
+    the binary-halving key hierarchy to the root, reporting depth and
+    the path-key checksum. The iterate-until-empty pattern behind org
+    charts, BOM explosions, and graph reachability, expressed on the SQL
+    front door — each recursion step is one distributed join/projection
+    over the previous step's frontier, bounded here by log2(max key)
+    (~14 steps at sf0.1), with no driver-side looping.
+
+    (The engine's other fixed-point iteration, dedup's
+    connected-components, uses an explicit DataFrame loop because it
+    needs a per-round convergence check; this entry covers the
+    declarative recursion surface.)
+    """
+    register_views(spark, sf_dir, ("supplier",))
+    return spark.sql(
+        """
+        WITH RECURSIVE walk AS (
+            SELECT s_suppkey AS node, s_suppkey AS cur,
+                   CAST(0 AS BIGINT) AS depth
+            FROM supplier
+            UNION ALL
+            SELECT node, cur DIV 2 AS cur,
+                   depth + CAST(1 AS BIGINT) AS depth
+            FROM walk WHERE cur > 1)
+        SELECT node, max(depth) AS depth_to_root,
+               sum(cur) AS path_key_sum
+        FROM walk GROUP BY node
+        """
+    )
+
+
+@query(
     "window_ntile",
     extra=True,
     oracle="""

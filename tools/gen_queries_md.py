@@ -59,6 +59,7 @@ COVERED_BY: dict[str, str] = {
     "similarity_brp_lsh": "similarity_ivf",
     "sort_limit": "topk_per_group",
     "sql_cte_window": "sql_front_door",
+    "sql_recursive": "sql_front_door",
     "subquery_exists": "sql_front_door",
     "subquery_in": "sql_front_door",
     "subquery_scalar": "sql_front_door",
