@@ -51,6 +51,8 @@ HEADLINE_EXT = [
     "dedup_substring",
     "similarity_ivf",
     "dedup_semantic",  # extras tier — benched for a scale trend line
+    "text_ngram_df",  # extras tier (round 3): stop-shingle DF diagnostic
+    "mix_rebalance",  # extras tier (round 3): mixture planning agg
 ]
 
 N_RUNS = 3  # median-of-3 so noise blips are distinguishable from regressions
