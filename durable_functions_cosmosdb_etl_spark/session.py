@@ -45,6 +45,14 @@ def get_spark(
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        # Runtime bloom-filter join pruning: on a selective join, inject
+        # a bloom of the small side's keys into the big side's scan —
+        # semantics-preserving, and at 100 TB it is the difference
+        # between scanning a fact table and scanning the slice that can
+        # possibly join (e.g. the contamination check's benchmark side
+        # pruning the training corpus). Spark only fires it when stats
+        # say it pays; harmless at test scale.
+        .config("spark.sql.optimizer.runtime.bloomFilter.enabled", "true")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.autoBroadcastJoinThreshold", str(32 * 1024 * 1024))
         .config("spark.ui.enabled", "false")
@@ -86,6 +94,7 @@ def cluster_conf(
         "spark.sql.adaptive.enabled": "true",
         "spark.sql.adaptive.coalescePartitions.enabled": "true",
         "spark.sql.adaptive.skewJoin.enabled": "true",
+        "spark.sql.optimizer.runtime.bloomFilter.enabled": "true",
         "spark.sql.autoBroadcastJoinThreshold": str(64 * 1024 * 1024),
         "spark.serializer": "org.apache.spark.serializer.KryoSerializer",
         "spark.speculation": "true",
