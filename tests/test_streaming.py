@@ -62,6 +62,46 @@ def test_incremental_transform_micro_batches(spark, tmp_path):
     assert batches == 3
 
 
+def test_batch_metrics_listener_captures_progress(spark, tmp_path):
+    """Operator O4's streaming half: a StreamingQueryListener buffers one
+    metrics row per micro-batch (no Spark calls on the listener-bus
+    thread) and flush() lands them in an append-only parquet audit table
+    — the per-batch analog of the OrchestrationRun row
+    (EtlProcess.cs:120-130)."""
+    import time as _time
+
+    from durable_functions_cosmosdb_etl_spark.streaming.metrics import (
+        BatchMetricsListener,
+    )
+
+    staging = str(tmp_path / "staging")
+    _stage_files(spark, staging, n_files=2, rows_per=5)
+    listener = BatchMetricsListener()
+    spark.streams.addListener(listener)
+    try:
+        run_incremental_transform(
+            spark, staging, str(tmp_path / "out"), str(tmp_path / "ckpt"),
+            clock=CLOCK,
+        )
+        # listener-bus delivery is async; give it a moment to drain
+        deadline = _time.time() + 30
+        while _time.time() < deadline and len(listener.snapshot()) < 2:
+            _time.sleep(0.5)
+    finally:
+        spark.streams.removeListener(listener)
+    assert len(listener.snapshot()) >= 2  # one per micro-batch (2 files)
+    n = listener.flush(spark, str(tmp_path / "metrics"))
+    assert n >= 2
+    m = spark.read.parquet(str(tmp_path / "metrics"))
+    got = m.select("batch_id", "num_input_rows").collect()
+    assert sorted(r["batch_id"] for r in got) == list(
+        range(len(got))
+    )  # batch ids 0..n-1
+    assert sum(r["num_input_rows"] for r in got) == 10  # 2 files x 5 rows
+    # flush drained the buffer; a second flush writes nothing
+    assert listener.flush(spark, str(tmp_path / "metrics")) == 0
+
+
 def test_incremental_transform_logtable_sink(spark, tmp_path):
     """sink="logtable": the change-feed loop MERGEs into a transactional
     LogTable — stored table holds exactly one row per id, versions
