@@ -402,3 +402,85 @@ def test_compact_upsert_replay_and_dup_keys(spark, tmp_path):
     compact_upsert(spark, table, upd, key="id", order_col="ver")
     again = {r.id: r.val for r in read_compacted(spark, table).collect()}
     assert again == got
+
+
+def test_full_reference_story_e2e(spark, tmp_path):
+    """Capstone: the whole reference pipeline in one pass, with the
+    round-3 transactional pieces swapped in.
+
+    EP1 (scheduled batch): lease-guarded run — generator extract (O5/
+    O12), surrogate-key partitioned load (O6), audit (O4).
+    EP2 (incremental): change-feed-style stream over the staged files
+    (O7), per-batch transform (O8/O9), MERGE upsert into a LogTable
+    (O11, transactional variant), per-micro-batch metrics via the
+    StreamingQueryListener (O4's streaming half), and a produced change
+    feed between table versions — the full loop the reference runs
+    across Functions + Cosmos, here on one engine.
+    """
+    import time as _time
+
+    from durable_functions_cosmosdb_etl_spark.etl import scheduled_batch_run
+    from durable_functions_cosmosdb_etl_spark.sinks.logtable import LogTable
+    from durable_functions_cosmosdb_etl_spark.streaming.metrics import (
+        BatchMetricsListener,
+    )
+    from durable_functions_cosmosdb_etl_spark.streaming.pipeline import (
+        run_incremental_transform,
+    )
+
+    work = str(tmp_path / "work")
+    clock = datetime(2024, 6, 1, 12, 0, 0)
+
+    # --- EP1: lease-guarded scheduled batch (cron firing #1)
+    assert scheduled_batch_run(
+        spark, work, worker="w1", now=clock, count=20,
+        deterministic=True,
+    )
+    audit = spark.read.parquet(f"{work}/orchestration_runs")
+    assert audit.count() == 1
+    assert audit.first()["succeeded"] is True
+
+    # --- EP2: incremental transform of the staged docs -> LogTable MERGE
+    listener = BatchMetricsListener()
+    spark.streams.addListener(listener)
+    try:
+        run_incremental_transform(
+            spark,
+            f"{work}/extracted",
+            f"{work}/transformed_lt",
+            f"{work}/ckpt",
+            clock=clock,
+            sink="logtable",
+        )
+        deadline = _time.time() + 30
+        while _time.time() < deadline and not listener.snapshot():
+            _time.sleep(0.5)
+    finally:
+        spark.streams.removeListener(listener)
+
+    t = LogTable(spark, f"{work}/transformed_lt", key="id")
+    snap = t.snapshot()
+    assert snap.count() == 20
+    assert snap.groupBy("id").count().filter("count > 1").count() == 0
+    assert {r["transform_batch"] for r in snap.collect()}  # lineage ids set
+
+    # metrics landed for the micro-batches that ran
+    assert listener.flush(spark, f"{work}/stream_metrics") >= 1
+    assert spark.read.parquet(f"{work}/stream_metrics").count() >= 1
+
+    # --- cron firing #2: more documents arrive, stream catches up
+    clock2 = datetime(2024, 6, 1, 12, 2, 0)
+    assert scheduled_batch_run(
+        spark, work, worker="w1", now=clock2, count=5,
+        deterministic=True,
+    )
+    v_before = t.version()
+    run_incremental_transform(
+        spark, f"{work}/extracted", f"{work}/transformed_lt",
+        f"{work}/ckpt", clock=clock2, sink="logtable",
+    )
+    assert t.snapshot().count() == 25
+    # the produced change feed shows exactly the new docs as inserts
+    changed = t.changes(v_before).collect()
+    assert {r["change"] for r in changed} <= {"insert", "update"}
+    assert sum(1 for r in changed if r["change"] == "insert") == 5
