@@ -212,6 +212,15 @@ def jaccard_pairs(
             .select("g")
         )
         ex = ex.join(F.broadcast(keep), "g")
+    return _pairs_from_index(ex, threshold)
+
+
+def _pairs_from_index(ex: DataFrame, threshold: float) -> DataFrame:
+    """(doc, n_sh, g) inverted index → verified Jaccard pairs ≥ threshold.
+
+    Shared by the inline path (:func:`jaccard_pairs`) and the
+    bucketed-table path (:func:`jaccard_pairs_from_index`).
+    """
     a, b = ex.alias("a"), ex.alias("b")
     # Length-ratio prune, semantics-preserving: J(A,B) ≤ min/max of the
     # shingle counts, so J ≥ t requires t·max ≤ min — pairs failing the
@@ -252,6 +261,40 @@ def jaccard_pairs(
         .filter(F.col("jaccard") >= threshold)
         .select("doc_a", "doc_b", "jaccard")
     )
+
+
+def persist_inverted_index(
+    df: DataFrame,
+    table_name: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    n_buckets: int = 16,
+) -> None:
+    """Materialize the shingle inverted index as a table BUCKETED on the
+    shingle — the 100 TB form of the `.cache()` in :func:`jaccard_pairs`.
+
+    Bucketing both sides of the self-join on ``g`` means the join needs
+    NO exchange at all (bucket co-location; asserted by plan-shape
+    test): at scale the index is written once per corpus snapshot and
+    every dedup run against it skips both the shingling AND the
+    inverted-index shuffle. Sorted within buckets so the join is a
+    zip-merge per bucket file.
+    """
+    d = _shingled(df, id_col, text_col, n)
+    ex = d.select("doc", "n_sh", F.explode("sh").alias("g"))
+    ex.write.bucketBy(n_buckets, "g").sortBy("g").mode(
+        "overwrite"
+    ).saveAsTable(table_name)
+
+
+def jaccard_pairs_from_index(
+    spark, table_name: str, threshold: float = 0.5
+) -> DataFrame:
+    """Verified Jaccard pairs from a :func:`persist_inverted_index`
+    table. Identical output to :func:`jaccard_pairs` on the same corpus;
+    the candidate self-join runs exchange-free on the bucketing."""
+    return _pairs_from_index(spark.table(table_name), threshold)
 
 
 def _shingle_hashes(df: DataFrame, id_col: str, text_col: str, n: int) -> DataFrame:

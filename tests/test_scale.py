@@ -73,6 +73,49 @@ def test_bucketed_join_has_no_shuffle(spark, tmp_path):
     assert joined.count() == 1000
 
 
+def test_bucketed_inverted_index_join_exchange_free_and_equivalent(
+    spark, sf_dir
+):
+    """persist_inverted_index writes the shingle index bucketed on g;
+    jaccard_pairs_from_index's self-join then runs with NO exchange
+    (bucket co-location) and produces byte-identical pairs to the
+    inline path — the claim SCALE.md §2 makes for the 100 TB form."""
+    from durable_functions_cosmosdb_etl_spark.operators.dedup import (
+        jaccard_pairs,
+        jaccard_pairs_from_index,
+        persist_inverted_index,
+    )
+    from durable_functions_cosmosdb_etl_spark.sources.tables import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    persist_inverted_index(docs, "inv_idx_test", n_buckets=8)
+    from_idx = jaccard_pairs_from_index(spark, "inv_idx_test", threshold=0.5)
+
+    # force the join path (tiny test tables would broadcast otherwise);
+    # the property under test is bucket co-location removing the Exchange
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        plan = _plan(
+            jaccard_pairs_from_index(spark, "inv_idx_test", threshold=0.5)
+        )
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+    join_part = plan.split("HashAggregate")[-1]  # below the final aggs
+    assert "SortMergeJoin" in join_part
+    assert "Exchange hashpartitioning" not in join_part
+
+    inline = {
+        (r.doc_a, r.doc_b, round(r.jaccard, 9))
+        for r in jaccard_pairs(docs, threshold=0.5).collect()
+    }
+    bucketed = {
+        (r.doc_a, r.doc_b, round(r.jaccard, 9))
+        for r in from_idx.collect()
+    }
+    assert inline == bucketed and len(inline) > 0
+
+
 def test_centroid_assignment_has_no_exchange(spark):
     """assign_to_centroids is map-side: the codebook broadcasts as one
     array row and the argmax is a per-row reduction — the corpus is
