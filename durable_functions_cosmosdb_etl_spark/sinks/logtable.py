@@ -252,7 +252,10 @@ class LogTable:
         ]
         if not paths:
             return None
-        return self.spark.read.parquet(*paths)
+        # mergeSchema: units written before a schema evolution lack the
+        # newer columns; without the merge, whichever file Spark samples
+        # first would dictate (and silently truncate) the read schema.
+        return self.spark.read.option("mergeSchema", "true").parquet(*paths)
 
     # ---------------------------------------------------------------- ops
 
@@ -321,9 +324,14 @@ class LogTable:
             keep = current.join(
                 up.select(F.col(self.key)), self.key, "left_anti"
             )
-            merged = keep.unionByName(up.drop("__bucket")).withColumn(
-                "__bucket", F.col("__b")
-            )
+            # allowMissingColumns = schema evolution: updates may ADD
+            # columns (stored rows get NULL there) or OMIT columns
+            # (the replaced row version gets NULL — upsert is whole-row
+            # replacement by key, not a partial column patch; callers
+            # wanting patch semantics join old values in first).
+            merged = keep.unionByName(
+                up.drop("__bucket"), allowMissingColumns=True
+            ).withColumn("__bucket", F.col("__b"))
         else:
             merged = up
         rel, written = self._write_commit_dir(merged, v)
@@ -423,10 +431,24 @@ class LogTable:
             return old.drop("__b").withColumn("change", F.lit("delete"))
         o = old.drop("__b").alias("o")
         n = new.drop("__b").alias("n")
-        data_cols = [c for c in n.columns if c != key]
+        # Union of both schemas: a column may exist on only one side
+        # across a schema-evolution boundary — treat it as NULL on the
+        # side that lacks it.
+        o_cols, n_cols = set(o.columns), set(n.columns)
+        data_cols = [
+            c
+            for c in list(n.columns) + [c for c in o.columns if c not in n_cols]
+            if c != key
+        ]
+        ocol = lambda c: (  # noqa: E731
+            F.col(f"o.{c}") if c in o_cols else F.lit(None)
+        )
+        ncol = lambda c: (  # noqa: E731
+            F.col(f"n.{c}") if c in n_cols else F.lit(None)
+        )
         same = F.lit(True)
         for c in data_cols:
-            same = same & F.col(f"o.{c}").eqNullSafe(F.col(f"n.{c}"))
+            same = same & ocol(c).eqNullSafe(ncol(c))
         joined = o.join(n, F.col(f"o.{key}") == F.col(f"n.{key}"), "full_outer")
         change = (
             F.when(F.col(f"o.{key}").isNull(), "insert")
@@ -440,9 +462,7 @@ class LogTable:
         out_cols = [
             F.coalesce(F.col(f"n.{key}"), F.col(f"o.{key}")).alias(key)
         ] + [
-            F.when(is_delete, F.col(f"o.{c}"))
-            .otherwise(F.col(f"n.{c}"))
-            .alias(c)
+            F.when(is_delete, ocol(c)).otherwise(ncol(c)).alias(c)
             for c in data_cols
         ]
         return (

@@ -230,6 +230,34 @@ def test_changes_default_to_latest(spark, tmp_path):
     assert [(r["change"], r["id"]) for r in rows] == [("insert", 2)]
 
 
+def test_schema_evolution_on_upsert(spark, tmp_path):
+    """Upserts may add columns (stored rows read NULL there) or omit
+    columns (the replaced row version gets NULL — whole-row-replace
+    semantics); reads mergeSchema across pre/post-evolution units, and
+    the change feed spans the boundary."""
+    t = LogTable(spark, str(tmp_path / "t"), key="id", n_buckets=4)
+    t.create(_mk(spark, [(1, "a"), (2, "b")]))  # schema: id, val
+    t.upsert(
+        spark.createDataFrame(
+            [(2, "B2", "en"), (3, "c", "de")],
+            "id long, val string, lang string",
+        )
+    )  # adds `lang`
+    snap = {r["id"]: (r["val"], r["lang"]) for r in t.snapshot().collect()}
+    assert snap == {1: ("a", None), 2: ("B2", "en"), 3: ("c", "de")}
+    # the change feed crosses the schema boundary: old side lacks lang
+    got = {
+        r["id"]: (r["change"], r["lang"])
+        for r in t.changes(0).collect()
+    }
+    assert got == {2: ("update", "en"), 3: ("insert", "de")}
+    # an upsert OMITTING val NULLs it on the replaced row (documented
+    # whole-row-replace semantics)
+    t.upsert(spark.createDataFrame([(1, "fr")], "id long, lang string"))
+    row1 = t.snapshot().filter("id = 1").first()
+    assert row1["val"] is None and row1["lang"] == "fr"
+
+
 def test_log_checkpoint_equivalent_and_time_travel(spark, tmp_path):
     """checkpoint_log() materializes the live-unit map: replay from the
     checkpoint gives the same snapshots, commits after it apply on top,
