@@ -410,9 +410,20 @@ def minhash_lsh_pairs(
         .distinct()
     )
     sh = sigs.select("doc", "sh", "n_sh")
+    # Same length-ratio prune as _pairs_from_index: J ≥ t needs the
+    # shingle-count ratio ≥ t, so incompatible candidates drop BEFORE
+    # the per-pair array_intersect (the expensive half of verification).
+    ratio_ok = (
+        F.col("sa.n_sh").cast("double")
+        >= F.lit(threshold) * F.col("sb.n_sh") - 1e-9
+    ) & (
+        F.col("sb.n_sh").cast("double")
+        >= F.lit(threshold) * F.col("sa.n_sh") - 1e-9
+    )
     verified = (
         cand.join(sh.alias("sa"), cand.doc_a == F.col("sa.doc"))
         .join(sh.alias("sb"), cand.doc_b == F.col("sb.doc"))
+        .filter(ratio_ok)
         .select(
             "doc_a",
             "doc_b",
