@@ -11,7 +11,6 @@ from __future__ import annotations
 import os
 
 import pytest
-from pyspark.sql import functions as F
 
 from durable_functions_cosmosdb_etl_spark.sinks.logtable import (
     ConcurrentCommitError,
