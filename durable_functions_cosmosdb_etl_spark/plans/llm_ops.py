@@ -470,6 +470,53 @@ def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "dedup_normalized",
+    extra=True,
+    oracle=r"""
+    WITH n AS (
+        SELECT doc_id,
+               trim(regexp_replace(
+                   regexp_replace(lower(text), '[^a-z0-9\s]', ' ', 'g'),
+                   '\s+', ' ', 'g')) AS norm
+        FROM documents)
+    SELECT min(doc_id) AS keeper_id,
+           count(*)    AS n_copies,
+           md5(norm)   AS norm_key
+    FROM n GROUP BY norm
+    """,
+)
+def dedup_normalized(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Normalization-then-exact dedup: lowercase, strip punctuation,
+    collapse whitespace, then hash-groupBy — the "fuzzy-exact" first
+    pass every training pipeline runs BEFORE near-dup (it catches
+    case/punctuation/whitespace variants at exact-dedup cost, shrinking
+    the corpus the quadratic-ish near-dup stages see).
+
+    Plan identical to dedup_exact: one hash aggregate keyed on the
+    normalized text (at 100 TB, on md5 of it — the emitted norm_key IS
+    that production key, so grouping by it is byte-equivalent). All
+    JVM regex/string expressions, one shuffle of O(distinct norms).
+    """
+    d = _docs(spark, sf_dir)
+    norm = F.trim(
+        F.regexp_replace(
+            F.regexp_replace(F.lower(F.col("text")), r"[^a-z0-9\s]", " "),
+            r"\s+",
+            " ",
+        )
+    )
+    return (
+        d.select("doc_id", norm.alias("norm"))
+        .groupBy("norm")
+        .agg(
+            F.min("doc_id").alias("keeper_id"),
+            F.count(F.lit(1)).alias("n_copies"),
+        )
+        .select("keeper_id", "n_copies", F.md5(F.col("norm").cast("binary")).alias("norm_key"))
+    )
+
+
+@query(
     "dedup_jaccard",
     oracle=rf"""
     WITH d AS (SELECT doc_id, {_WORDS} AS w FROM documents),
