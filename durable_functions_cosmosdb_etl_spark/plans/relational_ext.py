@@ -318,6 +318,76 @@ def subquery_scalar(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "window_value_fns",
+    extra=True,
+    oracle="""
+    SELECT o_orderkey, o_custkey,
+           first_value(o_totalprice) OVER w AS cheapest,
+           last_value(o_totalprice)  OVER w AS priciest,
+           nth_value(o_totalprice, 2) OVER w AS second_cheapest
+    FROM orders
+    WINDOW w AS (PARTITION BY o_custkey
+                 ORDER BY o_totalprice, o_orderkey
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+    """,
+)
+def window_value_fns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Value window functions with an explicit full-partition ROWS frame:
+    first_value / last_value / nth_value per customer. The frame matters
+    — under the DEFAULT frame (range to current row), last_value is just
+    the current row and nth_value is NULL until row n; pinning
+    UNBOUNDED..UNBOUNDED on BOTH engines is what makes the semantics
+    (and the oracle) well-defined. Deterministic ordering via the
+    orderkey tiebreak.
+    """
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy("o_totalprice", "o_orderkey")
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    )
+    return _t(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        "o_custkey",
+        F.first("o_totalprice").over(w).alias("cheapest"),
+        F.last("o_totalprice").over(w).alias("priciest"),
+        F.nth_value("o_totalprice", 2).over(w).alias("second_cheapest"),
+    )
+
+
+@query(
+    "scalar_bitwise",
+    extra=True,
+    oracle="""
+    SELECT event_id,
+           event_id & 255                      AS low_byte,
+           event_id | 4096                     AS with_flag,
+           xor(event_id, 1431655765)           AS toggled,
+           event_id << 3                       AS shifted_up,
+           event_id >> 2                       AS shifted_down,
+           CAST(bit_count(event_id) AS BIGINT) AS popcount
+    FROM events
+    """,
+)
+def scalar_bitwise(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bitwise scalar surface: and/or/xor, shifts, popcount — the
+    primitives the engine's own SimHash banding builds on
+    (operators/dedup.py), exposed as a query. Pure JVM expressions,
+    embarrassingly parallel.
+    """
+    e = _t(spark, sf_dir, "events")
+    eid = F.col("event_id")
+    return e.select(
+        "event_id",
+        eid.bitwiseAND(F.lit(255)).alias("low_byte"),
+        eid.bitwiseOR(F.lit(4096)).alias("with_flag"),
+        eid.bitwiseXOR(F.lit(1431655765)).alias("toggled"),
+        F.shiftleft(eid, 3).alias("shifted_up"),
+        F.shiftright(eid, 2).alias("shifted_down"),
+        F.bit_count(eid).cast("long").alias("popcount"),
+    )
+
+
+@query(
     "sql_recursive",
     extra=True,
     oracle="""

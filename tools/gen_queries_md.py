@@ -52,6 +52,7 @@ COVERED_BY: dict[str, str] = {
     "retention_cohorts": "window_fns",
     "sample_quota": "sample_systematic",
     "sample_stratified": "sample_systematic",
+    "scalar_bitwise": "scalar_math",
     "scalar_regex": "scalar_string",
     "scalar_try": "scalar_math",
     "set_except": "set_ops",
@@ -73,6 +74,7 @@ COVERED_BY: dict[str, str] = {
     "text_source_entropy": "text_analysis",
     "union_by_name": "set_ops",
     "window_lag_lead": "window_fns",
+    "window_value_fns": "window_fns",
     "window_ntile": "window_fns",
     "window_range_frame": "window_fns",
     "window_rank": "window_fns",
