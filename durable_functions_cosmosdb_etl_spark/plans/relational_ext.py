@@ -318,6 +318,38 @@ def subquery_scalar(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "join_lateral",
+    extra=True,
+    oracle="""
+    SELECT c.c_custkey, t.o_orderkey, t.o_totalprice
+    FROM customer c,
+    LATERAL (SELECT o_orderkey, o_totalprice FROM orders o
+             WHERE o.o_custkey = c.c_custkey
+             ORDER BY o_totalprice DESC, o_orderkey LIMIT 2) t
+    """,
+)
+def join_lateral(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated LATERAL subquery: top-2 orders per customer through
+    the SQL front door. Same semantics as the window-based
+    ``topk_per_group``, but exercises Catalyst's lateral-join
+    decorrelation (the per-row subquery becomes a distributed join +
+    per-key limit, NOT a driver loop over customers). Deterministic via
+    the orderkey tiebreak; customers with no orders drop out (inner
+    lateral), matching the oracle.
+    """
+    register_views(spark, sf_dir, ("orders", "customer"))
+    return spark.sql(
+        """
+        SELECT c.c_custkey, t.o_orderkey, t.o_totalprice
+        FROM customer c,
+        LATERAL (SELECT o_orderkey, o_totalprice FROM orders o
+                 WHERE o.o_custkey = c.c_custkey
+                 ORDER BY o_totalprice DESC, o_orderkey LIMIT 2) t
+        """
+    )
+
+
+@query(
     "window_value_fns",
     extra=True,
     oracle="""

@@ -44,6 +44,7 @@ COVERED_BY: dict[str, str] = {
     "join_asof_tolerance": "join_asof",
     "join_cross": "join_outer_cross",
     "join_full": "join_outer_cross",
+    "join_lateral": "topk_per_group",
     "join_semi": "join_semi_anti",
     "mix_rebalance": "sample_systematic",
     "multimodal_resize": "multimodal_decode",
