@@ -318,6 +318,38 @@ def subquery_scalar(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "agg_boolean",
+    extra=True,
+    oracle="""
+    SELECT o_orderstatus,
+           bool_and(o_totalprice > 1000.0)  AS all_over_1k,
+           bool_or(o_orderpriority = '1-URGENT') AS any_urgent,
+           CAST(count(*) FILTER (WHERE o_custkey % 2 = 0) AS BIGINT)
+               AS n_even_cust,
+           CAST(count(*) FILTER (WHERE o_totalprice > 200000.0) AS BIGINT)
+               AS n_big
+    FROM orders GROUP BY o_orderstatus
+    """,
+)
+def agg_boolean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Boolean/conditional aggregates: bool_and / bool_or over group
+    predicates and count_if (the FILTER-clause aggregate) — the
+    data-quality assertion shapes ("are ALL rows valid", "does ANY row
+    trip a flag", "how many violate X") that run as ordinary one-shuffle
+    hash aggregates with map-side partials.
+    """
+    o = _t(spark, sf_dir, "orders")
+    return o.groupBy("o_orderstatus").agg(
+        F.bool_and(F.col("o_totalprice") > 1000.0).alias("all_over_1k"),
+        F.bool_or(F.col("o_orderpriority") == "1-URGENT").alias(
+            "any_urgent"
+        ),
+        F.count_if(F.col("o_custkey") % 2 == 0).alias("n_even_cust"),
+        F.count_if(F.col("o_totalprice") > 200000.0).alias("n_big"),
+    )
+
+
+@query(
     "join_lateral",
     extra=True,
     oracle="""
