@@ -484,3 +484,29 @@ def test_full_reference_story_e2e(spark, tmp_path):
     changed = t.changes(v_before).collect()
     assert {r["change"] for r in changed} <= {"insert", "update"}
     assert sum(1 for r in changed if r["change"] == "insert") == 5
+
+
+def test_csv_and_orc_source_round_trips(spark, tmp_path, sf_dir):
+    """Source-format coverage beyond parquet: the engine reads/writes
+    CSV (schema'd, with header) and ORC losslessly for a relational
+    table — the interchange formats an ETL edge actually receives.
+    Equality is asserted against the parquet-sourced original."""
+    from durable_functions_cosmosdb_etl_spark.sources.tables import load_table
+
+    nation = load_table(spark, sf_dir, "nation")
+    rows = sorted(tuple(r) for r in nation.collect())
+
+    csv_dir = str(tmp_path / "nation_csv")
+    nation.write.option("header", True).mode("overwrite").csv(csv_dir)
+    csv_back = (
+        spark.read.option("header", True)
+        .schema(nation.schema)
+        .csv(csv_dir)
+    )
+    assert sorted(tuple(r) for r in csv_back.collect()) == rows
+
+    orc_dir = str(tmp_path / "nation_orc")
+    nation.write.mode("overwrite").orc(orc_dir)
+    orc_back = spark.read.orc(orc_dir)
+    assert orc_back.schema == nation.schema
+    assert sorted(tuple(r) for r in orc_back.collect()) == rows
