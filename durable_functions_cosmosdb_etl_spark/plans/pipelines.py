@@ -358,6 +358,75 @@ def sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "pipeline_curriculum",
+    extra=True,
+    oracle=r"""
+    WITH f AS (
+        SELECT doc_id,
+            CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT) AS n_words,
+            CAST(length(text) AS BIGINT)                               AS n_chars,
+            CAST(length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS BIGINT)
+                                                                       AS alpha,
+            CAST(len(regexp_extract_all(lower(text),
+                 '\b(the|and|of|to|is|in)\b')) AS BIGINT)              AS s_en
+        FROM documents),
+    q AS (
+        SELECT doc_id,
+               CAST(round(((CAST(s_en AS DOUBLE) / n_words) * 0.5
+                 + (CAST(alpha AS DOUBLE) / n_chars) * 0.5
+                 + least(CAST(n_words AS DOUBLE) / 100.0, 1.0) * 0.5)
+                 * 1000000) AS BIGINT) / 1000000.0 AS quality
+        FROM f)
+    SELECT doc_id, quality,
+           CAST(row_number() OVER w AS BIGINT) AS curriculum_pos,
+           ntile(10) OVER w AS decile,
+           CASE WHEN ntile(10) OVER w <= 2 THEN 'warmup'
+                WHEN ntile(10) OVER w >= 9 THEN 'anneal'
+                ELSE 'main' END AS phase
+    FROM q
+    WINDOW w AS (ORDER BY quality DESC, doc_id)
+    """,
+)
+def pipeline_curriculum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Curriculum ordering: rank the corpus by quality score (highest
+    first, deterministic doc_id tiebreak) and assign training phases —
+    top deciles feed the warmup epoch, the low-quality tail is held for
+    the anneal phase (convention documented here; flip the CASE to
+    taste). The quality expression is text_analysis's, rounded 1e-6
+    BEFORE ranking so both engines rank identical keys.
+
+    The global ORDER BY window is the honest cost: a total order needs
+    a range-partitioned sort (Spark plans exactly that). At 100 TB you
+    keep the decile/phase columns (computable from a sampled quantile
+    cut instead of ntile) and drop curriculum_pos, which no trainer
+    actually needs globally — noted in-line, kept here for oracle
+    comparability.
+    """
+    from pyspark.sql import Window
+
+    from ..operators import text as tx
+
+    d = load_table(spark, sf_dir, "documents")
+    quality6 = (
+        F.round(tx.quality_score(F.col("text")) * 1000000, 0).cast("long")
+        / F.lit(1000000.0)
+    )
+    q = d.select("doc_id", quality6.alias("quality"))
+    w = Window.orderBy(F.col("quality").desc(), "doc_id")
+    decile = F.ntile(10).over(w)
+    return q.select(
+        "doc_id",
+        "quality",
+        F.row_number().over(w).cast("long").alias("curriculum_pos"),
+        decile.alias("decile"),
+        F.when(decile <= 2, "warmup")
+        .when(decile >= 9, "anneal")
+        .otherwise("main")
+        .alias("phase"),
+    )
+
+
+@query(
     "mix_rebalance",
     extra=True,
     oracle="""
