@@ -358,6 +358,59 @@ def sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "pipeline_chunk_overlap",
+    extra=True,
+    oracle=r"""
+    WITH d AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS w
+               FROM documents)
+    SELECT doc_id,
+           CAST(r['i'] AS BIGINT)                   AS chunk_idx,
+           CAST(r['start'] AS BIGINT)               AS start_word,
+           array_to_string(w[r['start']+1 : r['start']+64], ' ') AS chunk
+    FROM (SELECT doc_id, w,
+                 unnest(list_transform(range(0, greatest(len(w), 1), 48),
+                        (s, i) -> {'i': i - 1, 'start': s})) AS r
+          FROM d)
+    """,
+)
+def pipeline_chunk_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Overlapping sliding-window chunking: 64-word chunks on a 48-word
+    stride (16-word overlap) — the RAG / long-context splitting variant
+    of ``udtf_chunk`` (which is non-overlapping and exercises the UDTF
+    path). Pure array expressions: one sequence of starts per doc, one
+    slice per chunk, posexplode — an Expand-shaped per-row fan-out of
+    ~len/stride rows with NO shuffle and no Python.
+
+    Note the materialized word array: the slice lambda reads an
+    attribute, not an inline split (HOF lambdas get no CSE —
+    text.shingles_from_words, 17× measured).
+    """
+    d = load_table(spark, sf_dir, "documents")
+    w = d.select(
+        "doc_id", F.split(F.trim(F.col("text")), r"\s+").alias("w")
+    )
+    starts = F.sequence(
+        F.lit(0),
+        F.greatest(F.size("w") - 1, F.lit(0)),
+        F.lit(48),
+    )
+    chunks = F.transform(
+        starts, lambda s: F.struct(
+            s.alias("start"),
+            F.array_join(F.slice("w", s + 1, 64), " ").alias("chunk"),
+        )
+    )
+    return w.select(
+        "doc_id", F.posexplode(chunks).alias("chunk_idx", "c")
+    ).select(
+        "doc_id",
+        F.col("chunk_idx").cast("long"),
+        F.col("c.start").cast("long").alias("start_word"),
+        F.col("c.chunk").alias("chunk"),
+    )
+
+
+@query(
     "pipeline_curriculum",
     extra=True,
     oracle=r"""
