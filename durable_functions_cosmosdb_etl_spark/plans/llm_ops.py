@@ -620,6 +620,89 @@ def dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "pipeline_dedup_full",
+    extra=True,
+    oracle=rf"""
+    WITH RECURSIVE norm AS (
+        SELECT doc_id,
+               trim(regexp_replace(
+                   regexp_replace(lower(text), '[^a-z0-9\s]', ' ', 'g'),
+                   '\s+', ' ', 'g')) AS nm
+        FROM documents),
+    ek AS (SELECT nm, min(doc_id) AS exact_keeper FROM norm GROUP BY nm),
+    d2e AS (SELECT n.doc_id, e.exact_keeper FROM norm n JOIN ek e USING (nm)),
+    kd AS (SELECT d.doc_id, {_WORDS} AS w
+           FROM documents d JOIN ek e ON d.doc_id = e.exact_keeper),
+    s AS (SELECT doc_id, {_SH3} AS sh FROM kd WHERE len(w) >= 3),
+    pairs AS (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+        FROM s a JOIN s b ON a.doc_id < b.doc_id
+        WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+                / (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh)))
+                >= 0.5),
+    e2 AS (SELECT doc_a AS src, doc_b AS dst FROM pairs
+           UNION ALL SELECT doc_b, doc_a FROM pairs),
+    r AS (
+        SELECT src AS doc, src AS lab FROM (SELECT DISTINCT src FROM e2)
+        UNION
+        SELECT e2.dst, r.lab FROM r JOIN e2 ON r.doc = e2.src),
+    comp AS (SELECT doc, min(lab) AS component FROM r GROUP BY doc)
+    SELECT d2e.doc_id,
+           coalesce(c.component, d2e.exact_keeper) AS final_keeper,
+           d2e.doc_id = coalesce(c.component, d2e.exact_keeper) AS is_kept
+    FROM d2e LEFT JOIN comp c ON d2e.exact_keeper = c.doc
+    """,
+)
+def pipeline_dedup_full(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The COMPLETE dedup pipeline as one call: every document maps to
+    the single document that survives for it, via (1) normalization +
+    exact collapse (case/punct/whitespace variants at hash-agg cost),
+    (2) exact Jaccard near-dup pairs among the exact keepers ONLY — the
+    residual-graph strategy SCALE.md prescribes: the quadratic-ish
+    stage never sees collapsed copies — and (3) connected components
+    over the pair graph, min-id canonical keeper.
+
+    Output: (doc_id, final_keeper, is_kept). Stage costs: one hash agg,
+    one inverted-index join over the collapsed corpus, O(diameter)
+    label-propagation rounds — each linear, shuffles keyed on
+    norm-hash / shingle / doc id. The oracle replays all three stages
+    in DuckDB (recursive CTE for the components stage).
+    """
+    d = _docs(spark, sf_dir)
+    norm = F.trim(
+        F.regexp_replace(
+            F.regexp_replace(F.lower(F.col("text")), r"[^a-z0-9\s]", " "),
+            r"\s+",
+            " ",
+        )
+    )
+    groups = d.select("doc_id", norm.alias("nm"))
+    exact = groups.groupBy("nm").agg(F.min("doc_id").alias("exact_keeper"))
+    doc2exact = groups.join(exact, "nm").select("doc_id", "exact_keeper")
+    keeper_docs = d.join(
+        exact.select(F.col("exact_keeper").alias("doc_id")).distinct(),
+        "doc_id",
+    )
+    pairs = dd.jaccard_pairs(keeper_docs, threshold=0.5).cache()
+    nodes = (
+        pairs.select(F.col("doc_a").alias("doc"))
+        .union(pairs.select("doc_b"))
+        .distinct()
+    )
+    comp = dd.connected_components(pairs, nodes)
+    return (
+        doc2exact.join(
+            comp, doc2exact.exact_keeper == comp.doc, "left"
+        )
+        .select(
+            "doc_id",
+            F.coalesce("component", "exact_keeper").alias("final_keeper"),
+        )
+        .withColumn("is_kept", F.col("doc_id") == F.col("final_keeper"))
+    )
+
+
+@query(
     "dedup_simhash",
     oracle=rf"""
     WITH d AS (SELECT doc_id, {_WORDS} AS w FROM documents),

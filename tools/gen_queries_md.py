@@ -50,6 +50,7 @@ COVERED_BY: dict[str, str] = {
     "mix_rebalance": "sample_systematic",
     "multimodal_resize": "multimodal_decode",
     "pipeline_chunk_overlap": "udtf_chunk",
+    "pipeline_dedup_full": "dedup_components",
     "pipeline_curriculum": "pipeline_llm_prep",
     "pipeline_shard": "pipeline_pack",
     "profile_table": "agg_stats",
