@@ -318,6 +318,41 @@ def subquery_scalar(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "agg_minmax_by",
+    extra=True,
+    oracle="""
+    WITH k AS (
+        SELECT o_orderstatus, o_orderkey,
+               CAST(round(o_totalprice * 100) AS BIGINT) * 10000000
+                   + o_orderkey AS ord_key
+        FROM orders)
+    SELECT o_orderstatus,
+           arg_max(o_orderkey, ord_key) AS priciest_order,
+           arg_min(o_orderkey, ord_key) AS cheapest_order
+    FROM k GROUP BY o_orderstatus
+    """,
+)
+def agg_minmax_by(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """min_by / max_by (argmin/argmax aggregates): which order is the
+    priciest/cheapest per status — one hash aggregate instead of the
+    window-rank detour. Both engines leave ties unspecified, so the
+    ordering key is made UNIQUE (price cents scaled + orderkey) — the
+    same tiebreak discipline every top-k query here follows, applied to
+    the argmax aggregate.
+    """
+    o = _t(spark, sf_dir, "orders")
+    ord_key = (
+        F.round(F.col("o_totalprice") * 100, 0).cast("long") * 10000000
+        + F.col("o_orderkey")
+    )
+    k = o.select("o_orderstatus", "o_orderkey", ord_key.alias("ord_key"))
+    return k.groupBy("o_orderstatus").agg(
+        F.max_by("o_orderkey", "ord_key").alias("priciest_order"),
+        F.min_by("o_orderkey", "ord_key").alias("cheapest_order"),
+    )
+
+
+@query(
     "agg_boolean",
     extra=True,
     oracle="""

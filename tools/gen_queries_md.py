@@ -22,6 +22,7 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 # on unmapped extras so additions can't be forgotten.
 COVERED_BY: dict[str, str] = {
     "agg_boolean": "agg_stats",
+    "agg_minmax_by": "agg_stats",
     "agg_collect": "array_agg_fns",
     "agg_corr": "agg_stats",
     "agg_cube": "agg_grouping",
