@@ -127,6 +127,84 @@ def udaf_mode(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# 2b. Co-grouped map via cogroup().applyInPandas: per-user as-of align
+# --------------------------------------------------------------------------
+
+
+def _asof_fn(cl: pd.DataFrame, vw: pd.DataFrame) -> pd.DataFrame:
+    # Sort both sides (ts, event_id): with duplicate timestamps,
+    # merge_asof(backward) takes the LAST right row ≤ target — i.e. the
+    # max event_id at the max qualifying ts, the same rule the oracle's
+    # ORDER BY ts DESC, event_id DESC LIMIT 1 spells.
+    cl = cl.sort_values(["ts", "event_id"]).rename(
+        columns={"event_id": "click_id", "ts": "click_ts"}
+    )
+    if len(vw) == 0:
+        out = cl.copy()
+        out["view_id"] = pd.Series([None] * len(cl), dtype="Int64")
+        out["view_ts"] = pd.NaT
+    else:
+        vw = vw.sort_values(["ts", "event_id"]).rename(
+            columns={"event_id": "view_id", "ts": "view_ts"}
+        )[["view_id", "view_ts"]]
+        out = pd.merge_asof(
+            cl,
+            vw,
+            left_on="click_ts",
+            right_on="view_ts",
+            direction="backward",
+        )
+        out["view_id"] = out["view_id"].astype("Int64")
+    return out[["user_id", "click_id", "click_ts", "view_id", "view_ts"]]
+
+
+@query(
+    "udaf_cogroup_asof",
+    extra=True,
+    oracle="""
+    SELECT c.user_id, c.event_id AS click_id, c.ts AS click_ts,
+           v.event_id AS view_id, v.ts AS view_ts
+    FROM events c
+    LEFT JOIN LATERAL (SELECT event_id, ts FROM events v
+                       WHERE v.user_id = c.user_id
+                         AND v.event_type = 'view'
+                         AND v.ts <= c.ts
+                       ORDER BY v.ts DESC, v.event_id DESC LIMIT 1) v
+        ON true
+    WHERE c.event_type = 'click'
+    """,
+)
+def udaf_cogroup_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Co-grouped map (``cogroup().applyInPandas``): align each user's
+    clicks to their most recent preceding view with pandas
+    ``merge_asof`` — the two-sided grouped-UDF surface (both streams
+    shuffle once on user_id, then meet as a pair of in-memory frames
+    per key). The engine's native as-of join (operators/asof.py) covers
+    the same semantics declaratively; this entry exercises the
+    cogrouped Python path the way a feature-engineering notebook would.
+    Ties at equal timestamps break to the highest view event_id on both
+    engines.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "user_id", "event_id", "ts"
+    )
+    views = ev.filter(F.col("event_type") == "view").select(
+        "user_id", "event_id", "ts"
+    )
+    ts_type = ev.schema["ts"].dataType.simpleString()
+    out_schema = (
+        f"user_id bigint, click_id bigint, click_ts {ts_type}, "
+        f"view_id bigint, view_ts {ts_type}"
+    )
+    return (
+        clicks.groupBy("user_id")
+        .cogroup(views.groupBy("user_id"))
+        .applyInPandas(lambda cl, vw: _asof_fn(cl, vw), out_schema)
+    )
+
+
+# --------------------------------------------------------------------------
 # 3. Python UDTF: document chunking (LLM context-window prep)
 # --------------------------------------------------------------------------
 

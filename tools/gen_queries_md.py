@@ -78,6 +78,7 @@ COVERED_BY: dict[str, str] = {
     "text_repetition": "text_analysis",
     "text_scrub": "text_analysis",
     "text_source_entropy": "text_analysis",
+    "udaf_cogroup_asof": "udaf_mode",
     "union_by_name": "set_ops",
     "window_lag_lead": "window_fns",
     "window_value_fns": "window_fns",
