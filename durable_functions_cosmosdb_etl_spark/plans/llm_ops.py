@@ -663,10 +663,11 @@ def pipeline_dedup_full(spark: SparkSession, sf_dir: str) -> DataFrame:
     over the pair graph, min-id canonical keeper.
 
     Output: (doc_id, final_keeper, is_kept). Stage costs: one hash agg,
-    one inverted-index join over the collapsed corpus, O(diameter)
-    label-propagation rounds — each linear, shuffles keyed on
-    norm-hash / shingle / doc id. The oracle replays all three stages
-    in DuckDB (recursive CTE for the components stage).
+    one inverted-index join over the collapsed corpus, O(log n)
+    star-contraction rounds for the components stage — each linear,
+    shuffles keyed on norm-hash / shingle / doc id. The oracle replays
+    all three stages in DuckDB (recursive CTE for the components
+    stage).
     """
     d = _docs(spark, sf_dir)
     norm = F.trim(
@@ -783,9 +784,10 @@ def dedup_minhash_ml(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Near-dup pairs → duplicate GROUPS via distributed connected
-    components (iterative min-label propagation; each round one
-    edge⋈label join + aggregate). Oracle: DuckDB recursive CTE computing
-    min reachable id. Restricted to nodes appearing in ≥1 pair (isolated
+    components (alternating large-star/small-star contraction — O(log n)
+    rounds on ANY topology, including duplicate chains; see
+    operators/dedup.py). Oracle: DuckDB recursive CTE computing min
+    reachable id. Restricted to nodes appearing in ≥1 pair (isolated
     docs are trivially their own component).
     """
     # One materialization of the (expensive) pair generator: edge list,

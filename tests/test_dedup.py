@@ -249,3 +249,55 @@ def test_substring_pairs_no_false_positives(spark):
         [(1, "a" * 300), (2, "b" * 300)], "doc_id long, text string"
     )
     assert dd.substring_pairs(docs).count() == 0
+
+
+def _cc(spark, edges, algorithm, stats=None, max_iters=50):
+    pairs = spark.createDataFrame(edges, "doc_a int, doc_b int")
+    nodes = (
+        pairs.select(F.col("doc_a").alias("doc"))
+        .union(pairs.select("doc_b"))
+        .distinct()
+    )
+    out = dd.connected_components(
+        pairs, nodes, algorithm=algorithm, stats=stats, max_iters=max_iters
+    )
+    return {r["doc"]: r["component"] for r in out.collect()}
+
+
+def test_cc_star_matches_minlabel_on_mixed_graph(spark):
+    # two cliques bridged by a chain + an isolated pair
+    edges = (
+        [(a, b) for a in range(1, 5) for b in range(a + 1, 5)]
+        + [(10, 11), (11, 12), (12, 13), (4, 10)]
+        + [(20, 21)]
+    )
+    star = _cc(spark, edges, "star")
+    minl = _cc(spark, edges, "minlabel")
+    assert star == minl
+    assert set(star.values()) == {1, 20}
+
+
+def test_cc_star_chain_rounds_logarithmic(spark):
+    """The round-3 verdict watch-item: an n-hop chain costs the
+    min-label loop O(n) rounds; star contraction must stay O(log n).
+    n=32 chain → minlabel needs ~31 rounds, star ≤ log2(32)+3 = 8."""
+    import math
+
+    n = 32
+    edges = [(i, i + 1) for i in range(1, n)]
+    st = {}
+    labels = _cc(spark, edges, "star", stats=st)
+    assert all(c == 1 for c in labels.values())
+    assert st["rounds"] <= math.ceil(math.log2(n)) + 3, st
+    ml = {}
+    _cc(spark, edges, "minlabel", stats=ml, max_iters=200)
+    # document the contrast the probe is about
+    assert ml["rounds"] > st["rounds"]
+
+
+def test_cc_star_singleton_and_empty(spark):
+    pairs = spark.createDataFrame([], "doc_a int, doc_b int")
+    nodes = spark.createDataFrame([(7,), (9,)], "doc int")
+    out = dd.connected_components(pairs, nodes, algorithm="star")
+    got = {r["doc"]: r["component"] for r in out.collect()}
+    assert got == {7: 7, 9: 9}
