@@ -19,12 +19,26 @@ operators/lease.py):
   writing, concurrent readers keep a consistent snapshot (their pinned
   file set still exists), and ``snapshot(version=...)`` is time travel
   for free.
-- Commit = atomic ``O_CREAT|O_EXCL`` create of the next version file
-  (the same primitive the lease uses, lease.py): if a racing writer
-  took the version, the loser's data directory is abandoned as an
-  orphan (readers never see it — it is not in the log) and
-  ``ConcurrentCommitError`` surfaces the conflict instead of silently
-  interleaving. Orphans are reclaimed by ``vacuum``.
+- Commit = atomic claim of the next version file through a
+  ``CommitProtocol``. The default ``PosixCommitProtocol`` writes the
+  full entry to a tmp file, fsyncs it, and ``os.link``s it to the
+  version name: the link both claims the version (EEXIST ⇒ a racing
+  writer won ⇒ ``ConcurrentCommitError``) and publishes the COMPLETE
+  content atomically — a crash at any point leaves either no version
+  file or a fully-parseable one, never a truncated JSON that would
+  wedge replay. Valid wherever link/open(x) are atomic: local POSIX,
+  HDFS-style stores, NFSv4. S3-class object stores have no atomic
+  create-if-absent rename; there, plug in a CommitProtocol backed by a
+  conditional put (If-None-Match: *) or an external coordinator
+  (DynamoDB-lock style, as Delta on S3 does) — the seam is exactly the
+  one-method claim. A losing writer's data directory is abandoned as an
+  orphan (readers never see it — it is not in the log) and reclaimed by
+  ``vacuum``.
+- ``_meta.json`` pins ``{key, n_buckets}`` at creation. Reopening with
+  different values would silently hash the same keys into different
+  buckets (duplicate rows per key, no error), so open validates and
+  raises on mismatch — the same reason Delta/Iceberg persist layout
+  metadata in the table, not the caller.
 
 Upsert cost model is unchanged from compact_upsert: an upsert touches
 only the buckets its keys hash into — it reads those units from the
@@ -61,6 +75,52 @@ class ConcurrentCommitError(RuntimeError):
     table itself is untouched and consistent."""
 
 
+class TableMetaError(ValueError):
+    """The table's persisted ``{key, n_buckets}`` disagree with the
+    constructor arguments — proceeding would hash keys into different
+    buckets than the stored rows and break the one-row-per-key
+    invariant silently."""
+
+
+class CommitProtocol:
+    """Atomic claim-and-publish of one commit file.
+
+    Contract: ``claim(tmp, final)`` must make ``final`` exist with the
+    COMPLETE content of ``tmp`` atomically, returning False (without
+    touching ``final``) if it already exists. Readers listing the log
+    directory must never observe a partially-written ``final``.
+
+    Implementations: :class:`PosixCommitProtocol` (below) for
+    filesystems with atomic link/create — local POSIX, HDFS, NFSv4.
+    S3-class object stores need a conditional put (``If-None-Match: *``,
+    atomic on S3 since 2024) or an external claim coordinator
+    (DynamoDB-lock style, as Delta Lake on S3 does); such a protocol
+    implements this same one-method interface and is passed to
+    :class:`LogTable` at construction.
+    """
+
+    def claim(self, tmp: str, final: str) -> bool:
+        raise NotImplementedError
+
+
+class PosixCommitProtocol(CommitProtocol):
+    """Claim via ``os.link(tmp, final)``.
+
+    The hard link is one atomic metadata operation that both claims the
+    name (EEXIST when a racing writer won) and publishes the tmp file's
+    full content under it — unlike open('x') + write, there is no
+    window where ``final`` exists truncated. The tmp file is fsynced
+    first so the linked content is durable, not just visible.
+    """
+
+    def claim(self, tmp: str, final: str) -> bool:
+        try:
+            os.link(tmp, final)
+        except FileExistsError:
+            return False
+        return True
+
+
 def _unit(commit_dir: str, bucket: int) -> str:
     return f"{commit_dir}/__bucket={bucket}"
 
@@ -82,20 +142,67 @@ class LogTable:
         path: str,
         key: str = "id",
         n_buckets: int = 64,
+        protocol: CommitProtocol | None = None,
     ) -> None:
         self.spark = spark
         self.path = path
         self.key = key
         self.n_buckets = n_buckets
+        self.protocol = protocol or PosixCommitProtocol()
         os.makedirs(os.path.join(path, _LOG_DIR), exist_ok=True)
         os.makedirs(os.path.join(path, _DATA_DIR), exist_ok=True)
+        self._check_meta()
+
+    # --------------------------------------------------------------- meta
+
+    def _meta_path(self) -> str:
+        return os.path.join(self.path, _LOG_DIR, "_meta.json")
+
+    def _check_meta(self) -> None:
+        """Validate constructor args against the persisted table layout.
+
+        key/n_buckets determine the key→bucket hash mapping; opening an
+        existing table with different values would make upsert/delete
+        compute 'affected buckets' under a DIFFERENT mapping and
+        silently leave stale rows for the same key in other buckets.
+        Raise loudly instead (mirrors Delta/Iceberg persisting layout in
+        table metadata rather than trusting the caller).
+        """
+        mp = self._meta_path()
+        if not os.path.exists(mp):
+            return
+        with open(mp) as f:
+            meta = json.load(f)
+        if meta["key"] != self.key or meta["n_buckets"] != self.n_buckets:
+            raise TableMetaError(
+                f"table at {self.path} was created with key="
+                f"{meta['key']!r}, n_buckets={meta['n_buckets']}; opened "
+                f"with key={self.key!r}, n_buckets={self.n_buckets}"
+            )
+
+    def _ensure_meta(self) -> None:
+        """Persist {key, n_buckets} alongside the first commit (atomic
+        link-publish; a concurrent creator writing the same values is a
+        benign race — content is deterministic given _check_meta passed
+        on both)."""
+        mp = self._meta_path()
+        if os.path.exists(mp):
+            return
+        tmp = f"{mp}.{os.getpid()}.tmp"
+        with open(tmp, "w") as f:
+            json.dump({"key": self.key, "n_buckets": self.n_buckets}, f)
+            f.flush()
+            os.fsync(f.fileno())
+        self.protocol.claim(tmp, mp)
+        os.unlink(tmp)
 
     # ---------------------------------------------------------------- log
 
     def _log_entries(self) -> Iterator[dict]:
         log_dir = os.path.join(self.path, _LOG_DIR)
         for name in sorted(os.listdir(log_dir)):
-            if name.endswith(".json") and not name.startswith("_checkpoint"):
+            # skip _checkpoint.*, _meta.json, *.tmp
+            if name.endswith(".json") and not name.startswith("_"):
                 with open(os.path.join(log_dir, name)) as f:
                     yield json.load(f)
 
@@ -142,7 +249,7 @@ class LogTable:
         names = [
             n
             for n in os.listdir(log_dir)
-            if n.endswith(".json") and not n.startswith("_checkpoint")
+            if n.endswith(".json") and not n.startswith("_")
         ]
         return int(max(names)[:-5]) if names else -1
 
@@ -190,24 +297,29 @@ class LogTable:
         version we merged against is still the latest by claiming its
         successor atomically, and surface a conflict otherwise.
         """
+        self._ensure_meta()
         entry = {"version": v, "op": op, "added": added, "removed": removed}
         final = os.path.join(self.path, _LOG_DIR, f"{v:020d}.json")
-        tmp = final + ".tmp"
+        # Writer-private tmp (pid-suffixed: two racing writers must not
+        # scribble over each other's payload), fsynced so the linked
+        # content is durable, then one atomic link that BOTH claims the
+        # version number and publishes the complete entry. os.rename
+        # would CLOBBER an existing version on POSIX and open('x') +
+        # write would expose a truncated file to a crash — the link is
+        # the only primitive that gives claim + full content in one
+        # atomic step (see PosixCommitProtocol).
+        tmp = f"{final}.{os.getpid()}.tmp"
         with open(tmp, "w") as f:
             json.dump(entry, f)
-        try:
-            # Atomic claim of the version number: O_CREAT|O_EXCL via
-            # link-style create. os.rename would CLOBBER an existing
-            # version on POSIX, so claim with 'x' first.
-            with open(final, "x") as f:
-                json.dump(entry, f)
-        except FileExistsError:
-            os.unlink(tmp)
+            f.flush()
+            os.fsync(f.fileno())
+        claimed = self.protocol.claim(tmp, final)
+        os.unlink(tmp)
+        if not claimed:
             raise ConcurrentCommitError(
                 f"version {v} already committed by another writer; "
                 "re-read the table and retry the operation"
-            ) from None
-        os.unlink(tmp)
+            )
         return v
 
     # --------------------------------------------------------------- data
@@ -512,4 +624,12 @@ class LogTable:
             if rel not in logged_dirs:
                 shutil.rmtree(os.path.join(data_dir, d))
                 deleted.append(rel)
+        # Stale commit tmps: a writer that died between writing its tmp
+        # and linking it leaves NNN.json.<pid>.tmp — invisible to
+        # replay/version (filtered by suffix) but worth reclaiming here.
+        log_dir = os.path.join(self.path, _LOG_DIR)
+        for n in sorted(os.listdir(log_dir)):
+            if n.endswith(".tmp"):
+                os.unlink(os.path.join(log_dir, n))
+                deleted.append(f"{_LOG_DIR}/{n}")
         return deleted

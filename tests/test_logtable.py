@@ -320,3 +320,93 @@ def test_foreachbatch_streaming_upsert(spark, tmp_path):
         2: "B",
         3: "c",
     }
+
+
+def test_meta_mismatch_rejected(spark, tmp_path):
+    """{key, n_buckets} are persisted at first commit; reopening with a
+    different bucketing would hash the same keys into other buckets and
+    silently break one-row-per-key — it must raise instead."""
+    from durable_functions_cosmosdb_etl_spark.sinks.logtable import (
+        TableMetaError,
+    )
+
+    p = str(tmp_path / "t")
+    t = LogTable(spark, p, key="id", n_buckets=4)
+    t.create(_mk(spark, [(1, "a")]))
+    with pytest.raises(TableMetaError):
+        LogTable(spark, p, key="id", n_buckets=8)
+    with pytest.raises(TableMetaError):
+        LogTable(spark, p, key="val", n_buckets=4)
+    # same layout reopens fine and keeps working
+    t2 = LogTable(spark, p, key="id", n_buckets=4)
+    t2.upsert(_mk(spark, [(1, "b")]))
+    assert _rows(t2.snapshot()) == [(1, "b")]
+
+
+def test_crash_between_data_write_and_commit(spark, tmp_path):
+    """Kill point: data directory fully written, log entry never lands.
+    Readers never see the orphan (not in the log); vacuum reclaims it;
+    the next writer proceeds normally at the same version."""
+    p = str(tmp_path / "t")
+    t = LogTable(spark, p, key="id", n_buckets=4)
+    t.create(_mk(spark, [(1, "a"), (2, "b")]))
+    # simulate the dying writer: runs the data phase of an upsert, then
+    # dies before _commit
+    up = t._bucketed(_mk(spark, [(2, "X"), (3, "c")]), dedupe=True, order_col=None)
+    t._write_commit_dir(up, v=1)
+    # a fresh handle sees version 0 content only
+    t2 = LogTable(spark, p, key="id", n_buckets=4)
+    assert t2.version() == 0
+    assert _rows(t2.snapshot()) == [(1, "a"), (2, "b")]
+    deleted = t2.vacuum(retain_versions=0)
+    assert "data/c1" in deleted
+    # the recovered writer redoes the op; same logical result commits
+    v = t2.upsert(_mk(spark, [(2, "X"), (3, "c")]))
+    assert v == 1
+    assert _rows(t2.snapshot()) == [(1, "a"), (2, "X"), (3, "c")]
+
+
+def test_crash_mid_commit_never_truncates_log(spark, tmp_path):
+    """Kill point: commit tmp written (possibly partially), link never
+    happened. The version file either exists complete or not at all —
+    a half-written tmp is invisible to version()/replay, does not block
+    the version number, and vacuum reclaims it."""
+    p = str(tmp_path / "t")
+    t = LogTable(spark, p, key="id", n_buckets=4)
+    t.create(_mk(spark, [(1, "a")]))
+    # dying writer's half-written commit payload for v1
+    stale = os.path.join(p, "_log", f"{1:020d}.json.12345.tmp")
+    with open(stale, "w") as f:
+        f.write('{"version": 1, "op": "upsert", "ad')  # truncated JSON
+    t2 = LogTable(spark, p, key="id", n_buckets=4)
+    assert t2.version() == 0  # tmp not counted
+    assert t2.history()  # replay parses fine
+    v = t2.upsert(_mk(spark, [(2, "b")]))  # claims v1 unobstructed
+    assert v == 1
+    assert _rows(t2.snapshot()) == [(1, "a"), (2, "b")]
+    deleted = t2.vacuum(retain_versions=1)
+    assert f"_log/{1:020d}.json.12345.tmp" in deleted
+
+
+def test_commit_protocol_seam(spark, tmp_path):
+    """The version claim is pluggable: a protocol that refuses the claim
+    surfaces as ConcurrentCommitError with the table untouched — the
+    interface an S3 conditional-put implementation plugs into."""
+    from durable_functions_cosmosdb_etl_spark.sinks.logtable import (
+        CommitProtocol,
+        PosixCommitProtocol,
+    )
+
+    class Refuse(CommitProtocol):
+        def claim(self, tmp, final):
+            return False
+
+    p = str(tmp_path / "t")
+    t = LogTable(spark, p, key="id", n_buckets=4, protocol=Refuse())
+    with pytest.raises(ConcurrentCommitError):
+        t.create(_mk(spark, [(1, "a")]))
+    assert t.version() == -1
+    # swap in the real protocol: table works, content atomic
+    t2 = LogTable(spark, p, key="id", n_buckets=4, protocol=PosixCommitProtocol())
+    t2.create(_mk(spark, [(1, "a")]))
+    assert _rows(t2.snapshot()) == [(1, "a")]
