@@ -330,6 +330,12 @@ def assign_to_centroids(
         corpus.withColumn("_vnorm", l2_norm(vec))
         .crossJoin(cen_arr)
         .select(F.col(id_col), (-best["ncid"]).alias("centroid_id"))
+        # Degenerate codebook contract: with ZERO centroids the argmax
+        # over an empty array is NULL for every row — filter those so an
+        # empty codebook yields zero assignments (the behavior of the
+        # previous crossJoin+window shape), not a corpus-sized table of
+        # NULL centroid ids.
+        .filter(F.col("centroid_id").isNotNull())
     )
 
 

@@ -321,11 +321,12 @@ def subquery_scalar(spark: SparkSession, sf_dir: str) -> DataFrame:
     "agg_minmax_by",
     extra=True,
     oracle="""
-    WITH k AS (
+    WITH m AS (SELECT max(o_orderkey) + 1 AS mult FROM orders),
+    k AS (
         SELECT o_orderstatus, o_orderkey,
-               CAST(round(o_totalprice * 100) AS BIGINT) * 10000000
+               CAST(round(o_totalprice * 100) AS BIGINT) * m.mult
                    + o_orderkey AS ord_key
-        FROM orders)
+        FROM orders CROSS JOIN m)
     SELECT o_orderstatus,
            arg_max(o_orderkey, ord_key) AS priciest_order,
            arg_min(o_orderkey, ord_key) AS cheapest_order
@@ -336,16 +337,24 @@ def agg_minmax_by(spark: SparkSession, sf_dir: str) -> DataFrame:
     """min_by / max_by (argmin/argmax aggregates): which order is the
     priciest/cheapest per status — one hash aggregate instead of the
     window-rank detour. Both engines leave ties unspecified, so the
-    ordering key is made UNIQUE (price cents scaled + orderkey) — the
-    same tiebreak discipline every top-k query here follows, applied to
-    the argmax aggregate.
+    ordering key is made UNIQUE: price cents scaled by a multiplier
+    derived from the DATA (max orderkey + 1, a broadcast one-row
+    scalar) rather than a constant — a fixed constant is only injective
+    while orderkeys stay under it, which silently breaks at higher
+    scale factors. Packed key stays < 2^63 up to ~sf10000 (cents ≤
+    ~6e7 × multiplier ≤ ~6e10).
     """
     o = _t(spark, sf_dir, "orders")
-    ord_key = (
-        F.round(F.col("o_totalprice") * 100, 0).cast("long") * 10000000
-        + F.col("o_orderkey")
+    mult = o.agg((F.max("o_orderkey") + 1).alias("mult"))
+    k = o.crossJoin(F.broadcast(mult)).select(
+        "o_orderstatus",
+        "o_orderkey",
+        (
+            F.round(F.col("o_totalprice") * 100, 0).cast("long")
+            * F.col("mult")
+            + F.col("o_orderkey")
+        ).alias("ord_key"),
     )
-    k = o.select("o_orderstatus", "o_orderkey", ord_key.alias("ord_key"))
     return k.groupBy("o_orderstatus").agg(
         F.max_by("o_orderkey", "ord_key").alias("priciest_order"),
         F.min_by("o_orderkey", "ord_key").alias("cheapest_order"),

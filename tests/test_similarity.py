@@ -276,3 +276,18 @@ def test_null_embeddings_dropped_not_crashed(spark):
     assert {r.vec_id for r in sd.collect()} == {1, 2, 3}
     tk = sim.brute_force_topk(vecs, vecs, k=2)
     assert tk.filter("query_id = 0 OR neighbor_id = 0").count() == 0
+
+
+def test_assign_to_centroids_empty_codebook_yields_zero_rows(spark):
+    """Degenerate-codebook contract: an empty centroid table assigns
+    nothing (not a corpus of NULL centroid ids)."""
+    from durable_functions_cosmosdb_etl_spark.operators.similarity import (
+        assign_to_centroids,
+    )
+
+    corpus = spark.createDataFrame(
+        [(1, [1.0, 0.0]), (2, [0.0, 1.0])],
+        "vec_id long, embedding array<float>",
+    )
+    empty = spark.createDataFrame([], "centroid_id int, centroid array<float>")
+    assert assign_to_centroids(corpus, empty).count() == 0
