@@ -289,12 +289,28 @@ def persist_inverted_index(
 
 
 def jaccard_pairs_from_index(
-    spark, table_name: str, threshold: float = 0.5
+    spark,
+    table_name: str,
+    threshold: float = 0.5,
+    docs_filter: DataFrame | None = None,
 ) -> DataFrame:
     """Verified Jaccard pairs from a :func:`persist_inverted_index`
     table. Identical output to :func:`jaccard_pairs` on the same corpus;
-    the candidate self-join runs exchange-free on the bucketing."""
-    return _pairs_from_index(spark.table(table_name), threshold)
+    the candidate self-join runs exchange-free on the bucketing.
+
+    ``docs_filter`` (a one-column ``doc`` DataFrame) restricts the index
+    to a doc subset via a BROADCAST semi-join — broadcast so the
+    bucketed scan's output partitioning survives and the self-join stays
+    exchange-free. This is how the composed dedup pipeline runs its
+    near-dup stage on exact-collapse keepers against a full-corpus
+    index (the index is written once per corpus snapshot; the keeper
+    set changes per run)."""
+    ex = spark.table(table_name)
+    if docs_filter is not None:
+        ex = ex.join(
+            F.broadcast(docs_filter.select("doc")), "doc", "left_semi"
+        )
+    return _pairs_from_index(ex, threshold)
 
 
 def _shingle_hashes(df: DataFrame, id_col: str, text_col: str, n: int) -> DataFrame:
@@ -439,7 +455,7 @@ def minhash_lsh_pairs(
 
 def connected_components(
     pairs: DataFrame,
-    nodes: DataFrame,
+    nodes: DataFrame | None = None,
     a_col: str = "doc_a",
     b_col: str = "doc_b",
     node_col: str = "doc",
@@ -472,6 +488,12 @@ def connected_components(
     small-star adds one per node), so intermediate state never exceeds
     a constant factor of the input edge list.
 
+    ``nodes=None`` derives the node set from the CHECKPOINTED edge list
+    instead of re-evaluating the ``pairs`` plan — for an expensive pair
+    generator (the inverted-index join) that saves a full second run,
+    which is why callers no longer need to ``.cache()`` the pairs.
+    Pass ``nodes`` explicitly only to label extra isolated nodes.
+
     Returns (node_col, component) — component = min node id reachable.
     """
     if algorithm == "star":
@@ -491,7 +513,12 @@ def connected_components(
         .union(pairs.select(F.col(b_col).alias("src"), F.col(a_col).alias("dst")))
         .localCheckpoint()
     )
-    labels = nodes.select(
+    if nodes is None:
+        # every pair endpoint, read off the checkpoint — not the pairs plan
+        node_src = e.select(F.col("src").alias(node_col)).distinct()
+    else:
+        node_src = nodes
+    labels = node_src.select(
         F.col(node_col).alias("node"), F.col(node_col).alias("component")
     )
     rounds = 0
@@ -530,7 +557,7 @@ def connected_components(
 
 def _cc_star(
     pairs: DataFrame,
-    nodes: DataFrame,
+    nodes: DataFrame | None,
     a_col: str,
     b_col: str,
     node_col: str,
@@ -579,6 +606,8 @@ def _cc_star(
         .distinct()
         .localCheckpoint()
     )
+    e0 = e  # initial checkpoint: node derivation reads this, not `pairs`
+
     def _sig(df: DataFrame):
         # (count, sum-of-edge-hashes): a one-row partial-aggregate scan
         # of the checkpointed blocks — no shuffle of the edge set.
@@ -646,9 +675,16 @@ def _cc_star(
     star_labels = e.groupBy(F.col("v").alias("node")).agg(
         F.min("u").alias("component")
     )
+    if nodes is None:
+        node_src = (
+            e0.select(F.col("u").alias("node"))
+            .union(e0.select(F.col("v").alias("node")))
+            .distinct()
+        )
+    else:
+        node_src = nodes.select(F.col(node_col).alias("node"))
     return (
-        nodes.select(F.col(node_col).alias("node"))
-        .join(star_labels, "node", "left")
+        node_src.join(star_labels, "node", "left")
         .select(
             F.col("node").alias(node_col),
             F.coalesce("component", "node").alias("component"),

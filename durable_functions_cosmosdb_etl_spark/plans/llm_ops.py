@@ -653,7 +653,9 @@ def dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM d2e LEFT JOIN comp c ON d2e.exact_keeper = c.doc
     """,
 )
-def pipeline_dedup_full(spark: SparkSession, sf_dir: str) -> DataFrame:
+def pipeline_dedup_full(
+    spark: SparkSession, sf_dir: str, index_table: str | None = None
+) -> DataFrame:
     """The COMPLETE dedup pipeline as one call: every document maps to
     the single document that survives for it, via (1) normalization +
     exact collapse (case/punct/whitespace variants at hash-agg cost),
@@ -680,17 +682,23 @@ def pipeline_dedup_full(spark: SparkSession, sf_dir: str) -> DataFrame:
     groups = d.select("doc_id", norm.alias("nm"))
     exact = groups.groupBy("nm").agg(F.min("doc_id").alias("exact_keeper"))
     doc2exact = groups.join(exact, "nm").select("doc_id", "exact_keeper")
-    keeper_docs = d.join(
-        exact.select(F.col("exact_keeper").alias("doc_id")).distinct(),
-        "doc_id",
-    )
-    pairs = dd.jaccard_pairs(keeper_docs, threshold=0.5).cache()
-    nodes = (
-        pairs.select(F.col("doc_a").alias("doc"))
-        .union(pairs.select("doc_b"))
-        .distinct()
-    )
-    comp = dd.connected_components(pairs, nodes)
+    if index_table is not None:
+        # Full-corpus bucketed index, restricted to exact-collapse
+        # keepers by broadcast semi-join (per-doc shingles are identical
+        # whether shingled from the subset or filtered from the full
+        # index) — the composed pipeline's near-dup stage then runs
+        # shingle-free AND exchange-free, with no .cache() anywhere.
+        keepers = exact.select(F.col("exact_keeper").alias("doc")).distinct()
+        pairs = dd.jaccard_pairs_from_index(
+            spark, index_table, threshold=0.5, docs_filter=keepers
+        )
+    else:
+        keeper_docs = d.join(
+            exact.select(F.col("exact_keeper").alias("doc_id")).distinct(),
+            "doc_id",
+        )
+        pairs = dd.jaccard_pairs(keeper_docs, threshold=0.5)
+    comp = dd.connected_components(pairs)
     return (
         doc2exact.join(
             comp, doc2exact.exact_keeper == comp.doc, "left"
@@ -782,24 +790,28 @@ def dedup_minhash_ml(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT doc, min(lab) AS component FROM r GROUP BY doc
     """,
 )
-def dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+def dedup_components(
+    spark: SparkSession, sf_dir: str, index_table: str | None = None
+) -> DataFrame:
     """Near-dup pairs → duplicate GROUPS via distributed connected
     components (alternating large-star/small-star contraction — O(log n)
     rounds on ANY topology, including duplicate chains; see
     operators/dedup.py). Oracle: DuckDB recursive CTE computing min
     reachable id. Restricted to nodes appearing in ≥1 pair (isolated
     docs are trivially their own component).
+
+    The pair generator runs EXACTLY ONCE either way (the components
+    operator checkpoints the edge list and derives the node set from
+    the checkpoint — no ``.cache()`` anywhere in the composition).
+    ``index_table`` (a :func:`persist_inverted_index` table) swaps in
+    the bucketed inverted index, making that one run shingle-free and
+    exchange-free on the self-join — the 100 TB form.
     """
-    # One materialization of the (expensive) pair generator: edge list,
-    # node list, and every propagation round all read this cache instead
-    # of re-running shingle+join lineage through their own plans.
-    pairs = dd.jaccard_pairs(_docs(spark, sf_dir), threshold=0.5).cache()
-    nodes = (
-        pairs.select(F.col("doc_a").alias("doc"))
-        .union(pairs.select("doc_b"))
-        .distinct()
-    )
-    return dd.connected_components(pairs, nodes)
+    if index_table is not None:
+        pairs = dd.jaccard_pairs_from_index(spark, index_table, threshold=0.5)
+    else:
+        pairs = dd.jaccard_pairs(_docs(spark, sf_dir), threshold=0.5)
+    return dd.connected_components(pairs)
 
 
 @query(
