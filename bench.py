@@ -53,6 +53,10 @@ HEADLINE_EXT = [
     "dedup_semantic",  # extras tier — benched for a scale trend line
     "text_ngram_df",  # extras tier (round 3): stop-shingle DF diagnostic
     "mix_rebalance",  # extras tier (round 3): mixture planning agg
+    # round 4 (VERDICT r3 item 7): production 16×4 banding beside the
+    # completeness banding in dedup_minhash, so the oracle-point vs
+    # production-point costs both have trend lines
+    "dedup_minhash_prod",
 ]
 
 N_RUNS = 3  # median-of-3 so noise blips are distinguishable from regressions

@@ -73,14 +73,69 @@ def _fake_decode(payload: bytes) -> tuple[int, int, int, list[float]]:
     return width, height, 3, feature
 
 
-def decode_image_batch(df: DataFrame) -> DataFrame:
+def _pil_decode(payload: bytes) -> tuple[int, int, int, list[float]]:
+    """Real image decode via Pillow (optional dependency): true
+    dimensions + band count, and a deterministic 8-bin grayscale
+    histogram as the feature vector — same signature/schema as
+    ``_fake_decode``, so the two are drop-in interchangeable."""
+    import io
+
+    from PIL import Image
+
+    img = Image.open(io.BytesIO(payload))
+    img.load()
+    w, h = img.size
+    bands = len(img.getbands())
+    hist = img.convert("L").histogram()  # 256 luminance bins
+    tot = float(sum(hist)) or 1.0
+    feature = [
+        float(sum(hist[i * 32 : (i + 1) * 32]) / tot) for i in range(8)
+    ]
+    return w, h, bands, feature
+
+
+def get_decoder(decoder="fake"):
+    """Resolve the per-payload decode function.
+
+    ``"fake"`` — the deterministic stub (default; what the oracle-backed
+    queries pin, since no codec ships in this environment).
+    ``"pil"`` — Pillow-backed real decode; ImportError if absent.
+    ``"auto"`` — Pillow when importable, else the stub.
+    A callable passes through (bring-your-own codec — libvips, ffmpeg
+    keyframe grab, …), keeping the Spark-side plumbing identical.
+
+    Resolution happens ON THE DRIVER so a missing library fails fast at
+    plan time, not per-task; on a real cluster the chosen library must
+    of course exist on the executors too.
+    """
+    if callable(decoder):
+        return decoder
+    if decoder == "fake":
+        return _fake_decode
+    if decoder == "pil":
+        import PIL  # noqa: F401  (fail fast with the real ImportError)
+
+        return _pil_decode
+    if decoder == "auto":
+        try:
+            import PIL  # noqa: F401
+
+            return _pil_decode
+        except ImportError:
+            return _fake_decode
+    raise ValueError(f"unknown decoder: {decoder!r}")
+
+
+def decode_image_batch(df: DataFrame, decoder="fake") -> DataFrame:
     """binary media → (dims, feature vector) via Arrow-batched mapInPandas.
 
     Batch shape: each pandas chunk holds whole payloads; decode is
     per-row CPU work that scales with partition count, no shuffle.
-    Production swaps ``_fake_decode`` for a real codec; resize /
-    frame-sample stages chain the same way.
+    ``decoder`` selects the codec (see :func:`get_decoder`); the
+    registered oracle query keeps the deterministic default, production
+    passes ``"pil"``/``"auto"`` or its own callable.
     """
+    decode = get_decoder(decoder)
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -91,7 +146,7 @@ def decode_image_batch(df: DataFrame) -> DataFrame:
                     # row kept so media audits see the gap.
                     rows.append((doc_id, None, None, None, None))
                     continue
-                w, h, c, feat = _fake_decode(bytes(content))
+                w, h, c, feat = decode(bytes(content))
                 rows.append((doc_id, w, h, c, feat))
             yield pd.DataFrame(
                 rows, columns=["doc_id", "width", "height", "n_channels", "feature"]

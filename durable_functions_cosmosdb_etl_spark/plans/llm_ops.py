@@ -619,6 +619,20 @@ def dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query("dedup_minhash_prod", extra=True)  # probabilistic banding → rows-only
+def dedup_minhash_prod(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The PRODUCTION MinHash operating point: default 16 bands × 4 rows
+    (target_miss=None), same τ=0.7 threshold as the oracle-equivalent
+    `dedup_minhash`. Registered so the bench carries BOTH trend lines —
+    the completeness banding `dedup_minhash` pays ~2× band rows for its
+    ≤1e-9 miss bound (the r03 '+15%' that looked like a regression),
+    while this is the cheaper curve a deployment actually runs. Not
+    oracle-backed by construction: 16×4 banding has a nonzero miss
+    probability near the threshold, so its output is a statistical
+    subset of the all-pairs oracle."""
+    return dd.minhash_lsh_pairs(_docs(spark, sf_dir), threshold=0.7)
+
+
 @query(
     "pipeline_dedup_full",
     extra=True,

@@ -60,3 +60,61 @@ def test_frame_sample_expands_rows(spark, sf_dir):
         assert 1 <= len(rows) <= 4
         for r in rows:
             assert r.frame_ts_ms == r.frame_idx * 1000
+
+
+def _has_pil():
+    try:
+        import PIL  # noqa: F401
+
+        return True
+    except ImportError:
+        return False
+
+
+def test_decoder_seam_resolution():
+    """The codec seam: 'fake' pins the stub, 'pil' fails fast when
+    Pillow is absent, 'auto' falls back to the stub, callables pass
+    through."""
+    import pytest as _pytest
+
+    from durable_functions_cosmosdb_etl_spark.operators.multimodal import (
+        _fake_decode,
+        get_decoder,
+    )
+
+    assert get_decoder("fake") is _fake_decode
+    own = lambda b: (1, 1, 1, [0.0])  # noqa: E731
+    assert get_decoder(own) is own
+    with _pytest.raises(ValueError):
+        get_decoder("nope")
+    if not _has_pil():
+        assert get_decoder("auto") is _fake_decode
+        with _pytest.raises(ImportError):
+            get_decoder("pil")
+
+
+def test_decode_real_png_with_pil(spark):
+    """With Pillow present, the same mapInPandas plumbing decodes real
+    image bytes: true dims/bands + histogram feature."""
+    import pytest as _pytest
+
+    if not _has_pil():
+        _pytest.skip("pillow not installed in this environment")
+    import io
+
+    from PIL import Image
+
+    from durable_functions_cosmosdb_etl_spark.operators.multimodal import (
+        decode_image_batch,
+    )
+
+    buf = io.BytesIO()
+    Image.new("RGB", (20, 10), (255, 0, 0)).save(buf, format="PNG")
+    df = spark.createDataFrame(
+        [(1, bytearray(buf.getvalue()), "image/png", len(buf.getvalue()))],
+        "doc_id long, content binary, mime string, n_bytes long",
+    )
+    row = decode_image_batch(df, decoder="pil").collect()[0]
+    assert (row["width"], row["height"], row["n_channels"]) == (20, 10, 3)
+    assert len(row["feature"]) == 8
+    assert abs(sum(row["feature"]) - 1.0) < 1e-6

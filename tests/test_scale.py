@@ -331,3 +331,107 @@ def test_composed_dedup_pipeline_on_bucketed_index(spark, sf_dir):
     join_part = plan.split("HashAggregate")[-1]
     assert "SortMergeJoin" in join_part
     assert "Exchange hashpartitioning" not in join_part
+
+
+def test_stop_shingle_skew_candidates_stay_linear(spark):
+    """Adversarial skew probe (VERDICT r3 item 6): one stop-phrase in
+    50% of docs makes the raw inverted-index self-join quadratic in the
+    sharing set (4 stop shingles × C(200,2) pairs here); max_shingle_df
+    drops those index rows BEFORE the join, and the surviving verified
+    pairs remain the documented superset-filter semantics."""
+    from durable_functions_cosmosdb_etl_spark.operators.dedup import (
+        _shingled,
+        jaccard_pairs,
+    )
+
+    rows = []
+    for i in range(400):
+        base = f"unique tokens d{i} x{i} y{i} z{i} w{i} v{i} u{i} t{i}"
+        if i % 2 == 0:
+            base = "the quick brown fox jumps over " + base
+        rows.append((i, base))
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+
+    ex = _shingled(docs, "doc_id", "text", 3).select(
+        "doc", "n_sh", F.explode("sh").alias("g")
+    )
+
+    def n_candidates(e):
+        a, b = e.alias("a"), e.alias("b")
+        return a.join(
+            b,
+            (F.col("a.g") == F.col("b.g"))
+            & (F.col("a.doc") < F.col("b.doc")),
+        ).count()
+
+    raw = n_candidates(ex)
+    keep = (
+        ex.groupBy("g")
+        .agg(F.count(F.lit(1)).alias("dfg"))
+        .filter("dfg <= 20")
+        .select("g")
+    )
+    capped = n_candidates(ex.join(F.broadcast(keep), "g"))
+    # quadratic blowup uncapped (~119k), linear bound capped: each
+    # surviving shingle contributes at most C(20,2) pairs
+    assert raw > 100_000
+    assert capped <= 20 * 400  # << raw; here exactly 0
+    # semantics: capped pairs are a subset of exact pairs
+    exact = {
+        (r.doc_a, r.doc_b)
+        for r in jaccard_pairs(docs, threshold=0.5).collect()
+    }
+    sub = {
+        (r.doc_a, r.doc_b)
+        for r in jaccard_pairs(
+            docs, threshold=0.5, max_shingle_df=20
+        ).collect()
+    }
+    assert sub <= exact
+
+
+def test_aqe_skew_split_fires_on_skewed_band_join(spark):
+    """AQE's runtime skew-join split is the engine-level backstop when a
+    hot band/bucket key slips past the static caps: with skew
+    thresholds scaled down to test size, the skewed self-join's final
+    adaptive plan carries the skew=true marker (partition split), with
+    no hand-salting."""
+    keys = [
+        "spark.sql.autoBroadcastJoinThreshold",
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes",
+        "spark.sql.adaptive.skewJoin.skewedPartitionFactor",
+    ]
+    old = {k: spark.conf.get(k) for k in keys}
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        spark.conf.set(
+            "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
+            "8KB",
+        )
+        spark.conf.set(
+            "spark.sql.adaptive.advisoryPartitionSizeInBytes", "8KB"
+        )
+        spark.conf.set(
+            "spark.sql.adaptive.skewJoin.skewedPartitionFactor", "2"
+        )
+        # one band hash carries 2000 docs, the rest are singletons
+        rows = [(i, 0 if i < 2000 else i) for i in range(4000)]
+        df = spark.createDataFrame(rows, "doc long, band long")
+        a, b = df.alias("a"), df.alias("b")
+        j = (
+            a.join(
+                b,
+                (F.col("a.band") == F.col("b.band"))
+                & (F.col("a.doc") < F.col("b.doc")),
+            )
+            .select((F.col("a.doc") % 997).alias("m"))
+            .filter("m = 0")
+        )
+        assert len(j.collect()) > 0
+        plan = j._jdf.queryExecution().executedPlan().toString()
+        assert "isFinalPlan=true" in plan
+        assert "skew=true" in plan
+    finally:
+        for k, v in old.items():
+            spark.conf.set(k, v)

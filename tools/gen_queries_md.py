@@ -38,6 +38,7 @@ COVERED_BY: dict[str, str] = {
     "array_fns": "array_agg_fns",
     "case_when": "etl_transform",
     "dedup_minhash_ml": "dedup_minhash",
+    "dedup_minhash_prod": "dedup_minhash",
     "dedup_normalized": "dedup_exact",
     "dedup_semantic": "dedup_embedding",
     "dedup_simhash_fast": "dedup_simhash",
