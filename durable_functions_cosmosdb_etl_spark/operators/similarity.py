@@ -318,9 +318,14 @@ def assign_to_centroids(
         F.transform(
             F.col("_cens"),
             lambda c: F.struct(
-                (
-                    dot(vec, c["centroid"])
-                    / (F.col("_vnorm") * c["cnorm"])
+                # try_divide: a zero-norm vector (or centroid) has no
+                # defined cosine — NULL sim sorts below every real sim in
+                # the struct ordering, and an all-NULL row still resolves
+                # via the ncid tie-break to the lowest centroid id instead
+                # of raising DIVIDE_BY_ZERO under ANSI mode.
+                F.try_divide(
+                    dot(vec, c["centroid"]),
+                    F.col("_vnorm") * c["cnorm"],
                 ).alias("sim"),
                 (-c["centroid_id"]).alias("ncid"),
             ),

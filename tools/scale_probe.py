@@ -60,15 +60,20 @@ def build_scaled(spark, mult: int) -> str:
         if name in FACT_KEYS and mult > 1:
             keys = FACT_KEYS[name]
             offs = {k: src.agg(F.max(k)).first()[0] + 1 for k in keys}
-            parts = []
-            for i in range(mult):
-                p = src
-                for k in keys:
-                    p = p.withColumn(k, F.col(k) + F.lit(i * offs[k]))
-                parts.append(p)
-            scaled = parts[0]
-            for p in parts[1:]:
-                scaled = scaled.unionByName(p)
+            # explode-based replication: ONE scan + a generator, not a
+            # mult-way union (a 256-branch union is a 256-scan plan and
+            # a driver-side planning hazard). Repartition after the
+            # explode so output file sizes stay bounded at high mults.
+            scaled = src.withColumn(
+                "__rep", F.explode(F.sequence(F.lit(0), F.lit(mult - 1)))
+            )
+            for k in keys:
+                scaled = scaled.withColumn(
+                    k, F.col(k) + F.col("__rep") * F.lit(offs[k])
+                )
+            scaled = scaled.drop("__rep").repartition(
+                max(32, min(256, 2 * mult))
+            )
             scaled.write.mode("overwrite").parquet(dst)
         else:
             src.write.mode("overwrite").parquet(dst)
