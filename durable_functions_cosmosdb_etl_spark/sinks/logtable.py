@@ -57,16 +57,124 @@ as compact/vacuum.
 
 from __future__ import annotations
 
+import datetime
 import json
 import os
 import shutil
 from typing import Iterator
 
+import pyarrow.parquet as pq
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 _LOG_DIR = "_log"
 _DATA_DIR = "data"
+
+
+def _json_stat(v):
+    """A parquet-footer statistic as a JSON-storable scalar, or None when
+    the type has no faithful JSON ordering (raw binary). Timestamps/dates
+    go to ISO-8601 strings — lexicographic order equals time order, so
+    the pruning comparisons below stay valid on the string form."""
+    if v is None or isinstance(v, bool):
+        return v
+    if isinstance(v, (int, float, str)):
+        return v
+    if isinstance(v, (datetime.datetime, datetime.date)):
+        return v.isoformat()
+    return None
+
+
+def _collect_unit_stats(unit_dir: str) -> dict:
+    """Per-unit ``{rows, stats: {col: {min, max, nulls}}}`` harvested from
+    the parquet FOOTERS of the files just written — a driver-side read of
+    O(files-in-this-commit) metadata pages, no Spark job and no second
+    scan of the data (the writer already computed these statistics; this
+    is Delta's add-file stats idea sourced the cheap way). Only
+    top-level primitive leaves are kept; a column whose footer omits
+    min/max (e.g. over-long strings) simply records nulls-only and is
+    never used to prune."""
+    rows = 0
+    stats: dict[str, dict] = {}
+    for name in sorted(os.listdir(unit_dir)):
+        if not name.endswith(".parquet"):
+            continue
+        md = pq.ParquetFile(os.path.join(unit_dir, name)).metadata
+        rows += md.num_rows
+        for rg in range(md.num_row_groups):
+            g = md.row_group(rg)
+            for ci in range(g.num_columns):
+                col = g.column(ci)
+                path = col.path_in_schema
+                if "." in path or path.startswith("__"):
+                    continue  # nested leaf / internal bucketing column
+                st = col.statistics
+                if st is None:
+                    continue
+                s = stats.setdefault(
+                    path, {"min": None, "max": None, "nulls": 0}
+                )
+                if st.null_count is not None:
+                    s["nulls"] += st.null_count
+                if st.has_min_max:
+                    mn, mx = _json_stat(st.min), _json_stat(st.max)
+                    if mn is None or mx is None:
+                        # un-orderable type: poison the column so a
+                        # partial (some-row-groups-only) bound is never
+                        # trusted for pruning
+                        s["min"] = s["max"] = None
+                        s["nulls"] = -1
+                        continue
+                    s["min"] = mn if s["min"] is None else min(s["min"], mn)
+                    s["max"] = mx if s["max"] is None else max(s["max"], mx)
+    return {
+        "rows": rows,
+        "stats": {c: s for c, s in stats.items() if s["nulls"] >= 0},
+    }
+
+
+_PRUNE_OPS = {"==", "=", "<", "<=", ">", ">="}
+
+
+def _stats_refute(entry: dict, where: list[tuple]) -> bool:
+    """True when the unit's footer stats PROVE no row satisfies the
+    conjunction ``where`` = [(col, op, value), ...] — the data-skipping
+    decision. Conservative by construction: missing stats, missing
+    columns, or a non-comparable value type all mean 'cannot prune'.
+    NULL never satisfies a comparison, so min/max bounds (which exclude
+    nulls) are sufficient evidence even for all-null units."""
+    stats = entry.get("stats") or {}
+    rows = entry.get("rows")
+    for col, op, raw in where:
+        if op not in _PRUNE_OPS:
+            continue
+        s = stats.get(col)
+        if s is None:
+            continue
+        val = _json_stat(raw)
+        if val is None:
+            continue
+        mn, mx = s["min"], s["max"]
+        if mn is None or mx is None:
+            # no min/max recorded: all-null column (nulls==rows) proves
+            # emptiness under any comparison; otherwise inconclusive
+            if rows is not None and s["nulls"] == rows and rows > 0:
+                return True
+            continue
+        try:
+            if op in ("==", "=") and (val < mn or val > mx):
+                return True
+            if op == "<" and mn >= val:
+                return True
+            if op == "<=" and mn > val:
+                return True
+            if op == ">" and mx <= val:
+                return True
+            if op == ">=" and mx < val:
+                return True
+        except TypeError:
+            continue  # value/stat type mismatch: never prune on a guess
+    return False
 
 
 class ConcurrentCommitError(RuntimeError):
@@ -232,7 +340,7 @@ class LogTable:
         """
         v = self.version()
         live = self._live_units(as_of=v if v >= 0 else None)
-        cp = {"version": v, "live": [{"unit": u, "bucket": b} for u, b in live.items()]}
+        cp = {"version": v, "live": list(live.values())}
         final = os.path.join(
             self.path, _LOG_DIR, f"_checkpoint.{v:020d}.json"
         )
@@ -257,8 +365,9 @@ class LogTable:
         """All commit records, oldest first (op, version, added/removed)."""
         return list(self._log_entries())
 
-    def _live_units(self, as_of: int | None = None) -> dict[str, int]:
-        """Replay the log: unit path (relative) → bucket id, at a version.
+    def _live_units(self, as_of: int | None = None) -> dict[str, dict]:
+        """Replay the log: unit path (relative) → its full added entry
+        (bucket id + rows/stats), at a version.
 
         Starts from the newest log checkpoint at or before the target
         version when one exists (O(commits since checkpoint)); time
@@ -268,11 +377,11 @@ class LogTable:
         latest = self.version()
         if as_of is not None and (as_of < 0 or as_of > latest):
             raise ValueError(f"version {as_of} does not exist")
-        live: dict[str, int] = {}
+        live: dict[str, dict] = {}
         start_after = -1
         cp = self._latest_checkpoint()
         if cp is not None and (as_of is None or as_of >= cp["version"]):
-            live = {u["unit"]: u["bucket"] for u in cp["live"]}
+            live = {u["unit"]: u for u in cp["live"]}
             start_after = cp["version"]
         for e in self._log_entries():
             if e["version"] <= start_after:
@@ -282,7 +391,7 @@ class LogTable:
             for u in e.get("removed", []):
                 live.pop(u["unit"], None)
             for u in e.get("added", []):
-                live[u["unit"]] = u["bucket"]
+                live[u["unit"]] = u
         return live
 
     def _commit(
@@ -345,22 +454,29 @@ class LogTable:
             "__bucket", F.col("__b")
         )
 
-    def _write_commit_dir(self, bucketed: DataFrame, v: int) -> tuple[str, list[int]]:
+    def _write_commit_dir(self, bucketed: DataFrame, v: int) -> list[dict]:
+        """Write one commit's data dir; return its ``added`` log entries,
+        one per bucket unit, each carrying the footer-harvested row count
+        and per-column min/max/null stats (see _collect_unit_stats) that
+        snapshot's data-skipping prunes on."""
         rel = f"{_DATA_DIR}/c{v}"
         out = os.path.join(self.path, rel)
         bucketed.write.mode("overwrite").partitionBy("__bucket").parquet(out)
-        written = [
-            int(d.split("=", 1)[1])
-            for d in os.listdir(out)
-            if d.startswith("__bucket=")
-        ]
-        return rel, sorted(written)
+        added = []
+        for d in sorted(os.listdir(out)):
+            if not d.startswith("__bucket="):
+                continue
+            b = int(d.split("=", 1)[1])
+            entry = {"unit": _unit(rel, b), "bucket": b}
+            entry.update(_collect_unit_stats(os.path.join(out, d)))
+            added.append(entry)
+        return added
 
-    def _read_units(self, units: dict[str, int], buckets: set[int] | None):
+    def _read_units(self, units: dict[str, dict], buckets: set[int] | None):
         paths = [
             os.path.join(self.path, u)
-            for u, b in units.items()
-            if buckets is None or b in buckets
+            for u, e in units.items()
+            if buckets is None or e["bucket"] in buckets
         ]
         if not paths:
             return None
@@ -382,15 +498,10 @@ class LogTable:
         Does NOT maintain the one-row-per-key invariant; pair with
         upsert-only writes when that invariant matters."""
         v = self.version() + 1
-        rel, written = self._write_commit_dir(
+        added = self._write_commit_dir(
             self._bucketed(df, dedupe=False, order_col=None), v
         )
-        return self._commit(
-            "append",
-            [{"unit": _unit(rel, b), "bucket": b} for b in written],
-            [],
-            v,
-        )
+        return self._commit("append", added, [], v)
 
     def upsert(self, updates: DataFrame, order_col: str | None = None) -> int:
         """MERGE: update-or-insert by key, touching only affected buckets.
@@ -429,7 +540,7 @@ class LogTable:
             r["__b"] for r in up.select("__b").distinct().collect()
         }
         replaced = [
-            {"unit": u, "bucket": b} for u, b in live.items() if b in affected
+            e for e in live.values() if e["bucket"] in affected
         ]
         current = self._read_units(live, affected)
         if current is not None:
@@ -446,13 +557,114 @@ class LogTable:
             ).withColumn("__bucket", F.col("__b"))
         else:
             merged = up
-        rel, written = self._write_commit_dir(merged, v)
-        return self._commit(
-            op,
-            [{"unit": _unit(rel, b), "bucket": b} for b in written],
-            replaced,
-            v,
+        added = self._write_commit_dir(merged, v)
+        return self._commit(op, added, replaced, v)
+
+    def merge(
+        self,
+        source: DataFrame,
+        update_cols: list[str] | None = None,
+        matched_condition: str | None = None,
+        insert_not_matched: bool = True,
+        delete_matched: bool = False,
+        order_col: str | None = None,
+    ) -> int:
+        """MERGE INTO with clause semantics — the column-patch upgrade
+        over :meth:`upsert`'s whole-row replacement.
+
+        Equivalent SQL::
+
+            MERGE INTO table t USING source s ON t.key = s.key
+            WHEN MATCHED [AND <matched_condition>]
+                THEN UPDATE SET <update_cols from s>   -- or DELETE
+            WHEN NOT MATCHED THEN INSERT *             -- optional
+
+        - ``update_cols``: the target columns a matched row takes from
+          the source; every other target column KEEPS its stored value
+          (unlike upsert, which nulls columns the update omits). Default
+          = every source column except the key.
+        - ``matched_condition``: SQL over aliases ``s`` (source) and
+          ``t`` (target), e.g. ``"s.ver > t.ver"`` — matched rows that
+          fail it stay untouched. NULL counts as fail (SQL semantics).
+        - ``delete_matched``: WHEN MATCHED THEN DELETE instead of
+          UPDATE (``update_cols`` is then ignored).
+        - ``insert_not_matched``: False = update-only merge.
+
+        Same cost model and isolation as upsert: duplicate source keys
+        resolve first (highest ``order_col`` wins), only the buckets the
+        source keys hash into are read and rewritten, read/write sets
+        are disjoint, and one commit claims base+1 or raises
+        :class:`ConcurrentCommitError`.
+        """
+        base = self.version()
+        live = self._live_units(as_of=base if base >= 0 else None)
+        v = base + 1
+        key = self.key
+        src = self._bucketed(source, dedupe=True, order_col=order_col).drop(
+            "__bucket"
         )
+        affected = {r["__b"] for r in src.select("__b").distinct().collect()}
+        replaced = [e for e in live.values() if e["bucket"] in affected]
+        current = self._read_units(live, affected)
+        if current is None:
+            if not insert_not_matched:
+                return self._commit("merge", [], [], v)
+            merged = src.withColumn("__bucket", F.col("__b"))
+        else:
+            t = current.alias("t")
+            s = src.alias("s")
+            t_cols = set(current.columns)
+            s_cols = set(src.columns)
+            upd_cols = set(
+                update_cols
+                if update_cols is not None
+                else (s_cols - {key, "__b"})
+            )
+            joined = t.join(
+                s, F.col(f"t.{key}") == F.col(f"s.{key}"), "full_outer"
+            )
+            t_here = F.col(f"t.{key}").isNotNull()
+            s_here = F.col(f"s.{key}").isNotNull()
+            matched = t_here & s_here
+            cond = (
+                F.expr(matched_condition).eqNullSafe(F.lit(True))
+                if matched_condition
+                else F.lit(True)
+            )
+            hit = matched & cond
+            keep = F.lit(True)
+            if delete_matched:
+                keep = keep & ~hit
+            if not insert_not_matched:
+                keep = keep & t_here
+            data_cols = [
+                c
+                for c in list(current.columns)
+                + [c for c in src.columns if c not in t_cols]
+                if c not in (key, "__b")
+            ]
+
+            def pick(c):
+                tc = F.col(f"t.{c}") if c in t_cols else F.lit(None)
+                sc = F.col(f"s.{c}") if c in s_cols else F.lit(None)
+                return (
+                    F.when(F.lit(not delete_matched and c in upd_cols) & hit, sc)
+                    .when(t_here, tc)
+                    .otherwise(sc)
+                    .alias(c)
+                )
+
+            merged = (
+                joined.filter(keep)
+                .select(
+                    F.coalesce(F.col(f"t.{key}"), F.col(f"s.{key}")).alias(key),
+                    F.coalesce(F.col("t.__b"), F.col("s.__b")).alias("__b"),
+                    *[pick(c) for c in data_cols],
+                )
+                .withColumn("__bucket", F.col("__b"))
+            )
+        added = self._write_commit_dir(merged, v)
+        return self._commit("merge", added, replaced, v)
 
     def delete_keys(self, keys: DataFrame) -> int:
         """Delete by key: rewrites affected buckets without the keys.
@@ -466,7 +678,7 @@ class LogTable:
         k = self._bucketed(keys.select(self.key), dedupe=True, order_col=None)
         affected = {r["__b"] for r in k.select("__b").distinct().collect()}
         replaced = [
-            {"unit": u, "bucket": b} for u, b in live.items() if b in affected
+            e for e in live.values() if e["bucket"] in affected
         ]
         current = self._read_units(live, affected)
         added: list[dict] = []
@@ -474,8 +686,7 @@ class LogTable:
             remaining = current.join(
                 k.select(F.col(self.key)), self.key, "left_anti"
             ).withColumn("__bucket", F.col("__b"))
-            rel, written = self._write_commit_dir(remaining, v)
-            added = [{"unit": _unit(rel, b), "bucket": b} for b in written]
+            added = self._write_commit_dir(remaining, v)
         return self._commit("delete", added, replaced, v)
 
     def compact(self) -> int:
@@ -487,29 +698,66 @@ class LogTable:
         cur = self._read_units(live, None)
         added: list[dict] = []
         if cur is not None:
-            rel, written = self._write_commit_dir(
+            added = self._write_commit_dir(
                 cur.withColumn("__bucket", F.col("__b")), v
             )
-            added = [{"unit": _unit(rel, b), "bucket": b} for b in written]
-        return self._commit(
-            "compact",
-            added,
-            [{"unit": u, "bucket": b} for u, b in live.items()],
-            v,
-        )
+        return self._commit("compact", added, list(live.values()), v)
 
     # -------------------------------------------------------------- reads
 
-    def snapshot(self, version: int | None = None) -> DataFrame:
+    def snapshot(
+        self,
+        version: int | None = None,
+        where: list[tuple] | None = None,
+    ) -> DataFrame:
         """The table at a committed version (default: latest). Raises on
         an uncommitted version or when no data units are live (never
-        created, or everything deleted)."""
+        created, or everything deleted).
+
+        ``where`` = [(col, op, value), ...] (ops ``== < <= > >=``,
+        conjunctive) enables FILE-LEVEL DATA SKIPPING: units whose
+        logged footer stats prove the conjunction empty are not read at
+        all — the plan's scan lists only surviving files, the same
+        log-driven pruning Delta does with add-file stats. The filters
+        are ALSO applied to the returned DataFrame, so the result is
+        identical to ``snapshot().filter(...)`` whether or not any unit
+        had usable stats; skipping is purely an I/O optimization. At
+        100 TB this is the difference between touching every bucket and
+        touching the handful whose [min,max] straddle the predicate —
+        O(live units) driver-side arithmetic on the already-replayed
+        log, no extra I/O to decide.
+        """
         live = self._live_units(as_of=version)
-        df = self._read_units(live, None)
+        pruned = live
+        if where:
+            pruned = {
+                u: e for u, e in live.items() if not _stats_refute(e, where)
+            }
+        df = self._read_units(pruned, None)
         if df is None:
-            raise ValueError(
-                f"no data at version {self.version() if version is None else version}"
-            )
+            if live and where:
+                # everything was pruned: the correct result is an empty
+                # relation WITH the table schema — read-side limit(0) on
+                # one live unit supplies the schema without scanning rows
+                df = self._read_units(live, None).limit(0)
+            else:
+                raise ValueError(
+                    f"no data at version "
+                    f"{self.version() if version is None else version}"
+                )
+        if where:
+            for col, op, val in where:
+                c = F.col(col)
+                df = df.filter(
+                    {
+                        "==": c == F.lit(val),
+                        "=": c == F.lit(val),
+                        "<": c < F.lit(val),
+                        "<=": c <= F.lit(val),
+                        ">": c > F.lit(val),
+                        ">=": c >= F.lit(val),
+                    }[op]
+                )
         return df.drop("__b")
 
     def changes(self, from_version: int, to_version: int | None = None) -> DataFrame:

@@ -410,3 +410,152 @@ def test_commit_protocol_seam(spark, tmp_path):
     t2 = LogTable(spark, p, key="id", n_buckets=4, protocol=PosixCommitProtocol())
     t2.create(_mk(spark, [(1, "a")]))
     assert _rows(t2.snapshot()) == [(1, "a")]
+
+
+# ---------------------------------------------------------------- merge
+
+
+def _mk3(spark, rows):
+    return spark.createDataFrame(rows, "id long, val string, ver long")
+
+
+def test_merge_column_patch_keeps_unlisted_columns(spark, tmp_path):
+    """MERGE updates only update_cols; other target columns keep their
+    stored values — the patch semantics upsert deliberately lacks."""
+    t = LogTable(spark, str(tmp_path / "t"), key="id", n_buckets=8)
+    t.create(_mk3(spark, [(1, "a", 10), (2, "b", 20)]))
+    src = spark.createDataFrame([(2, "B2"), (5, "e")], "id long, val string")
+    t.merge(src, update_cols=["val"])
+    got = sorted(
+        (r["id"], r["val"], r["ver"]) for r in t.snapshot().collect()
+    )
+    # id=2 patched val, KEPT ver=20; id=5 inserted with NULL ver
+    assert got == [(1, "a", 10), (2, "B2", 20), (5, "e", None)]
+
+
+def test_merge_matched_condition_gates_update(spark, tmp_path):
+    """WHEN MATCHED AND s.ver > t.ver: stale source rows leave the
+    target untouched (NULL condition counts as fail, SQL-style)."""
+    t = LogTable(spark, str(tmp_path / "t"), key="id", n_buckets=8)
+    t.create(_mk3(spark, [(1, "a", 10), (2, "b", 20)]))
+    src = _mk3(spark, [(1, "A-new", 11), (2, "B-stale", 19), (3, "c", 1)])
+    t.merge(src, matched_condition="s.ver > t.ver")
+    got = sorted(
+        (r["id"], r["val"], r["ver"]) for r in t.snapshot().collect()
+    )
+    assert got == [(1, "A-new", 11), (2, "b", 20), (3, "c", 1)]
+
+
+def test_merge_delete_matched(spark, tmp_path):
+    """WHEN MATCHED THEN DELETE — with a condition and not-matched rows
+    still inserted."""
+    t = LogTable(spark, str(tmp_path / "t"), key="id", n_buckets=8)
+    t.create(_mk(spark, [(1, "a"), (2, "b"), (3, "c")]))
+    src = _mk(spark, [(2, "x"), (3, "x"), (9, "i")])
+    t.merge(src, delete_matched=True)
+    assert _rows(t.snapshot()) == [(1, "a"), (9, "i")]
+
+
+def test_merge_update_only_skips_inserts(spark, tmp_path):
+    t = LogTable(spark, str(tmp_path / "t"), key="id", n_buckets=8)
+    t.create(_mk(spark, [(1, "a")]))
+    t.merge(_mk(spark, [(1, "A1"), (7, "g")]), insert_not_matched=False)
+    assert _rows(t.snapshot()) == [(1, "A1")]
+
+
+def test_merge_into_empty_buckets_inserts(spark, tmp_path):
+    """Merge whose keys hash only into buckets with no live units takes
+    the insert-only path."""
+    t = LogTable(spark, str(tmp_path / "t"), key="id", n_buckets=64)
+    t.create(_mk(spark, [(1, "a")]))
+    # find a key whose bucket differs from id=1's
+    import pyspark.sql.functions as F
+
+    b_of = lambda k: spark.range(1).select(  # noqa: E731
+        F.pmod(F.xxhash64(F.lit(k).cast("long")), F.lit(64))
+    ).first()[0]
+    other = next(k for k in range(2, 200) if b_of(k) != b_of(1))
+    t.merge(_mk(spark, [(other, "new")]))
+    assert _rows(t.snapshot()) == sorted([(1, "a"), (other, "new")])
+
+
+def test_merge_only_affected_buckets_rewritten(spark, tmp_path):
+    """Same locality guarantee as upsert: untouched buckets' units stay
+    live across a merge."""
+    t = LogTable(spark, str(tmp_path / "t"), key="id", n_buckets=4)
+    t.create(spark.createDataFrame(
+        [(i, "v") for i in range(40)], "id long, val string"
+    ))
+    before = t._live_units()
+    t.merge(_mk(spark, [(0, "V0")]))
+    after = t._live_units()
+    surviving = set(before) & set(after)
+    assert surviving, "buckets not hit by the merge must keep their units"
+
+
+# ---------------------------------------------------- stats & skipping
+
+
+def test_commit_log_carries_footer_stats(spark, tmp_path):
+    t = LogTable(spark, str(tmp_path / "t"), key="id", n_buckets=4)
+    t.create(_mk3(spark, [(1, "a", 10), (2, "b", 20), (3, "c", 30)]))
+    added = t.history()[-1]["added"]
+    assert added, "create must add units"
+    total_rows = sum(e["rows"] for e in added)
+    assert total_rows == 3
+    # every unit logs min/max for the numeric column
+    for e in added:
+        s = e["stats"]["ver"]
+        assert s["min"] is not None and s["min"] <= s["max"]
+        assert 10 <= s["min"] and s["max"] <= 30
+
+
+def test_snapshot_where_prunes_units_and_matches_filter(spark, tmp_path):
+    """Data skipping: a selective predicate reads strictly fewer files
+    than the full snapshot, and returns exactly snapshot().filter()."""
+    t = LogTable(spark, str(tmp_path / "t"), key="id", n_buckets=8)
+    # two commits with DISJOINT ver ranges → the log can prove one
+    # commit's units irrelevant to a range predicate
+    t.create(_mk3(spark, [(i, "lo", i) for i in range(1, 50)]))
+    t.append(_mk3(spark, [(i, "hi", i) for i in range(1000, 1050)]))
+    full_files = set(t.snapshot().inputFiles())
+    pruned = t.snapshot(where=[("ver", ">=", 1000)])
+    pruned_files = set(pruned.inputFiles())
+    assert pruned_files < full_files, "stats must prune the lo units"
+    expect = sorted(
+        (r["id"], r["ver"])
+        for r in t.snapshot().filter("ver >= 1000").collect()
+    )
+    assert sorted((r["id"], r["ver"]) for r in pruned.collect()) == expect
+    # equality probe outside every range reads zero rows
+    assert t.snapshot(where=[("ver", "==", 500)]).count() == 0
+
+
+def test_snapshot_where_all_pruned_keeps_schema(spark, tmp_path):
+    t = LogTable(spark, str(tmp_path / "t"), key="id", n_buckets=4)
+    t.create(_mk3(spark, [(1, "a", 10)]))
+    out = t.snapshot(where=[("ver", ">", 99)])
+    assert out.count() == 0
+    assert set(out.columns) == {"id", "val", "ver"}
+
+
+def test_snapshot_where_string_and_conjunction(spark, tmp_path):
+    t = LogTable(spark, str(tmp_path / "t"), key="id", n_buckets=4)
+    t.create(_mk3(spark, [(1, "apple", 1), (2, "pear", 2), (3, "zeta", 3)]))
+    got = t.snapshot(where=[("val", ">=", "pear"), ("ver", "<=", 2)])
+    assert [(r["id"], r["val"]) for r in got.collect()] == [(2, "pear")]
+
+
+def test_stats_survive_checkpoint_replay(spark, tmp_path):
+    """checkpoint_log must carry the unit stats forward — otherwise
+    pruning silently degrades after the first checkpoint."""
+    t = LogTable(spark, str(tmp_path / "t"), key="id", n_buckets=4)
+    t.create(_mk3(spark, [(i, "x", i) for i in range(10)]))
+    t.checkpoint_log()
+    t.append(_mk3(spark, [(i, "y", i) for i in range(1000, 1010)]))
+    live = t._live_units()
+    assert all("stats" in e for e in live.values())
+    # pruning still works through the checkpointed entries
+    pruned = t.snapshot(where=[("ver", ">=", 1000)])
+    assert set(pruned.inputFiles()) < set(t.snapshot().inputFiles())
+    assert pruned.count() == 10
