@@ -62,19 +62,29 @@ def build_scaled(spark, mult: int) -> str:
             offs = {k: src.agg(F.max(k)).first()[0] + 1 for k in keys}
             # explode-based replication: ONE scan + a generator, not a
             # mult-way union (a 256-branch union is a 256-scan plan and
-            # a driver-side planning hazard). Repartition after the
-            # explode so output file sizes stay bounded at high mults.
-            scaled = src.withColumn(
+            # a driver-side planning hazard). Repartition the BASE table
+            # BEFORE the explode — the shuffle moves only the un-replicated
+            # rows (cheap) and gives the ×mult expansion real parallelism;
+            # exploding first would funnel it through one map task per
+            # input file (measured: a 3-file lineitem stalls a ×256 build
+            # on 3 tasks of ~51M output rows each).
+            n_out = max(32, min(256, 2 * mult))
+            scaled = src.repartition(n_out).withColumn(
                 "__rep", F.explode(F.sequence(F.lit(0), F.lit(mult - 1)))
             )
             for k in keys:
                 scaled = scaled.withColumn(
                     k, F.col(k) + F.col("__rep") * F.lit(offs[k])
                 )
-            scaled = scaled.drop("__rep").repartition(
-                max(32, min(256, 2 * mult))
-            )
-            scaled.write.mode("overwrite").parquet(dst)
+            # second repartition ON THE SHIFTED KEY: without it each
+            # output file holds `mult` clustered copies of the same base
+            # rows, which dictionary/RLE-encode into unrealistically
+            # cheap scans (measured 7x faster per row at 256x) and make
+            # cross-scale scan comparisons meaningless. Hashing on the
+            # now-distinct key interleaves copies like organic data.
+            scaled.drop("__rep").repartition(
+                n_out, F.col(keys[0])
+            ).write.mode("overwrite").parquet(dst)
         else:
             src.write.mode("overwrite").parquet(dst)
     return out
@@ -117,4 +127,8 @@ def main() -> None:
 
 if __name__ == "__main__":
     main()
-    shutil.rmtree(WORK, ignore_errors=True)
+    # scaled data stays under /tmp/scale_probe for follow-up runs
+    # (different probe sets, plan inspection); set SPARK_GRAFT_PROBE_CLEAN
+    # to reclaim the space at exit.
+    if os.environ.get("SPARK_GRAFT_PROBE_CLEAN"):
+        shutil.rmtree(WORK, ignore_errors=True)
