@@ -19,7 +19,7 @@ aggregations*, never pairwise driver loops:
 from __future__ import annotations
 
 import pandas as pd
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
@@ -189,6 +189,7 @@ def jaccard_pairs(
     n: int = 3,
     threshold: float = 0.5,
     max_shingle_df: int | None = None,
+    collapse_identical: bool = True,
 ) -> DataFrame:
     """Exact word-n-gram Jaccard near-dup pairs via inverted index.
 
@@ -198,21 +199,113 @@ def jaccard_pairs(
     drops shingles appearing in more than that many docs (stop-shingles
     generate quadratic candidate blowup while contributing mostly to
     already-similar pairs); None = exact semantics (oracle mode).
+
+    ``collapse_identical`` (default): docs with IDENTICAL shingle sets
+    collapse to one representative BEFORE the candidate join, and the
+    rep-level pairs expand back through the group membership afterward.
+    Exactness: J(u, v) depends only on the two shingle sets, so every
+    member pair inherits its reps' jaccard verbatim, and within-group
+    pairs score s/(2n−s) where s = the group's surviving-shingle count
+    (= n uncapped → exactly 1.0; under ``max_shingle_df`` the same
+    value the join would have computed). The candidate join's cost is
+    Σ_g df_g² over DISTINCT-content docs — on a corpus where exact
+    copies dominate (every real crawl; the replication probe's c-clique
+    corpus) that removes a c² multiplier from the only super-linear
+    stage, while the linear stages (shingle, window, expansion joins)
+    stay linear. All shuffles key on the shingle-set / rep / shingle —
+    no new skew classes; a giant identical group costs one window
+    partition (min/count only) plus its own (unavoidable) pair output.
     """
     d = _shingled(df, id_col, text_col, n)
-    # Cache the exploded inverted index: the self-join below reads it
-    # TWICE, and Spark does not automatically share the subplan — without
-    # the cache the shingling runs once per side (the dominant cost; at
-    # scale, persist to a bucketed table keyed on g instead).
-    ex = d.select("doc", "n_sh", F.explode("sh").alias("g")).cache()
+    if not collapse_identical:
+        # Cache the exploded inverted index: the self-join below reads
+        # it TWICE, and Spark does not automatically share the subplan —
+        # without the cache the shingling runs once per side (the
+        # dominant cost; at scale, persist to a bucketed table keyed on
+        # g instead).
+        ex = d.select("doc", "n_sh", F.explode("sh").alias("g")).cache()
+        if max_shingle_df is not None:
+            keep = (
+                ex.groupBy("g").agg(F.count(F.lit(1)).alias("df_g"))
+                .filter(F.col("df_g") <= max_shingle_df)
+                .select("g")
+            )
+            ex = ex.join(F.broadcast(keep), "g")
+        return _pairs_from_index(ex, threshold)
+    # ---- collapse path -------------------------------------------------
+    # Shingle-less docs can never share a shingle → contribute no pairs
+    # in either path; dropping them here also keeps the all-empty-array
+    # group out of the window.
+    d = d.filter(F.col("n_sh") >= 1)
+    # Group key = the SORTED shingle array itself (order-insensitive,
+    # collision-free — no hash-merging of distinct contents). The window
+    # computes each doc's representative in ONE shuffle keyed on the set.
+    w = Window.partitionBy(F.array_sort("sh"))
+    mem = (
+        d.withColumn("rep", F.min("doc").over(w))
+        .select("doc", "n_sh", "sh", "rep")
+        # Cached for the same reason as the inline index: membership and
+        # the rep index are both read multiple times below, and the
+        # shingler is the dominant linear cost.
+        .cache()
+    )
+    memb = mem.select("doc", "n_sh", "rep")
+    reps = mem.filter(F.col("doc") == F.col("rep")).select("doc", "n_sh", "sh")
+    ex = reps.select("doc", "n_sh", F.explode("sh").alias("g"))
     if max_shingle_df is not None:
+        # document frequency still counts ORIGINAL docs: weight each
+        # rep's postings by its group size, so the capped shingle set is
+        # identical to the uncollapsed path's.
+        gsz = memb.groupBy("rep").agg(F.count(F.lit(1)).alias("gsz"))
         keep = (
-            ex.groupBy("g").agg(F.count(F.lit(1)).alias("df_g"))
+            ex.join(gsz, ex.doc == gsz.rep)
+            .groupBy("g")
+            .agg(F.sum("gsz").alias("df_g"))
             .filter(F.col("df_g") <= max_shingle_df)
             .select("g")
         )
         ex = ex.join(F.broadcast(keep), "g")
-    return _pairs_from_index(ex, threshold)
+    rep_pairs = _pairs_from_index(ex, threshold)
+    # Within-group pairs: all members share the rep's shingle set, so
+    # J = s/(2n−s) with s = surviving postings per rep (inner join ⇒
+    # s ≥ 1, mirroring the join path's at-least-one-common-shingle
+    # existence requirement).
+    surv = ex.groupBy(F.col("doc").alias("rep")).agg(
+        F.count(F.lit(1)).alias("s")
+    )
+    x, y = memb.alias("x"), memb.alias("y")
+    same = (
+        x.join(
+            y,
+            (F.col("x.rep") == F.col("y.rep"))
+            & (F.col("x.doc") < F.col("y.doc")),
+        )
+        .join(surv, F.col("x.rep") == surv.rep)
+        .select(
+            F.col("x.doc").alias("doc_a"),
+            F.col("y.doc").alias("doc_b"),
+            (
+                F.col("s").cast("double")
+                / (2 * F.col("x.n_sh") - F.col("s")).cast("double")
+            ).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= threshold)
+    )
+    # Cross-group pairs: every (member-of-a, member-of-b) combination
+    # inherits the rep pair's jaccard; least/greatest restores the
+    # doc_a < doc_b canonical orientation.
+    ma = memb.select(F.col("rep").alias("doc_a"), F.col("doc").alias("m_a"))
+    mb = memb.select(F.col("rep").alias("doc_b"), F.col("doc").alias("m_b"))
+    cross = (
+        rep_pairs.join(ma, "doc_a")
+        .join(mb, "doc_b")
+        .select(
+            F.least("m_a", "m_b").alias("doc_a"),
+            F.greatest("m_a", "m_b").alias("doc_b"),
+            "jaccard",
+        )
+    )
+    return cross.unionByName(same)
 
 
 def _pairs_from_index(ex: DataFrame, threshold: float) -> DataFrame:

@@ -770,21 +770,46 @@ class LogTable:
         183-187): a downstream incremental pipeline can read
         ``changes(last_seen, latest)`` instead of rescanning the table —
         the log makes the diff well-defined. Computed as a full outer
-        join of the two snapshots on the key (cost: the two snapshots'
-        live sets, not history); at 100 TB both sides are bucketed the
-        same way, so the join co-locates. A delta-file-based feed (read
-        only the commits' added units) would avoid the old-snapshot
-        read; that needs per-unit min/max key stats to classify
-        insert-vs-update — noted as the next step, same as Delta's CDF.
+        join of the two snapshots on the key RESTRICTED TO THE BUCKETS
+        the intervening commits touched: every mutation rewrites whole
+        bucket units and logs them as added/removed, so a key whose
+        bucket appears in no commit between the two versions cannot have
+        changed — those buckets are never read. Cost is O(touched
+        buckets × 2), not O(2 full snapshots); a feed consumed after
+        every few commits reads only the slice of the table those
+        commits wrote (the log-driven pruning half of Delta's CDF —
+        without requiring change classification to be stored per file).
+        Both sides hash-bucket identically, so the join co-locates.
+        ``compact`` rewrites every live unit, so an interval containing
+        one degrades (correctly) to the full diff — run feeds and
+        compaction on separate cadences.
         """
         lo = self._live_units(as_of=from_version)
         to_version = self.version() if to_version is None else to_version
         hi = self._live_units(as_of=to_version)
-        old = self._read_units(lo, None)
-        new = self._read_units(hi, None)
+        touched: set[int] | None = set()
+        for e in self._log_entries():
+            if from_version < e["version"] <= to_version:
+                for u in e.get("added", []) + e.get("removed", []):
+                    touched.add(u["bucket"])
+        old = self._read_units(lo, touched)
+        new = self._read_units(hi, touched)
         key = self.key
         if old is None and new is None:
-            raise ValueError("both versions are empty")
+            # no touched bucket holds units on either side: the interval's
+            # net change is empty (or both versions are empty tables).
+            # Return an EMPTY feed with the table schema when any unit
+            # exists to supply it; raise only when the table never held
+            # data at either version.
+            any_units = self._read_units(hi, None)
+            if any_units is None:
+                any_units = self._read_units(lo, None)
+            if any_units is None:
+                raise ValueError("both versions are empty")
+            empty = any_units.limit(0).drop("__b")
+            return empty.select(
+                F.lit("insert").alias("change"), *empty.columns
+            )
         if old is None:
             return new.drop("__b").withColumn("change", F.lit("insert"))
         if new is None:

@@ -301,3 +301,47 @@ def test_cc_star_singleton_and_empty(spark):
     out = dd.connected_components(pairs, nodes, algorithm="star")
     got = {r["doc"]: r["component"] for r in out.collect()}
     assert got == {7: 7, 9: 9}
+
+
+def test_jaccard_collapse_identical_equivalence(spark):
+    """collapse_identical=True is byte-identical to the plain
+    inverted-index join — on a corpus where exact copies form cliques
+    (the case the collapse removes a c-squared candidate multiplier
+    from), with and without the df cap, including the within-group
+    jaccard values under capping."""
+    base = [
+        (0, "the quick brown fox jumps over the lazy dog again and again"),
+        (1, "a completely different document about spark physical planning"),
+        (2, "the quick brown fox jumps over the lazy dog again and often"),
+        (3, "short text"),
+    ]
+    # 6 copies of each doc (shifted ids) + one unique straggler
+    rows = [(i + 100 * c, t) for (i, t) in base for c in range(6)]
+    rows.append((999, "an entirely unique closing document with many words here"))
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    # cap=10 sits between one group's df (6) and two overlapping
+    # groups' (12): group-local shingles survive, cross-doc shared
+    # shingles drop — exercising the capped within-group jaccard.
+    for cap in (None, 10):
+        a = dd.jaccard_pairs(
+            docs, n=2, threshold=0.3, max_shingle_df=cap,
+            collapse_identical=False,
+        )
+        b = dd.jaccard_pairs(
+            docs, n=2, threshold=0.3, max_shingle_df=cap,
+            collapse_identical=True,
+        )
+        ra = sorted(
+            (r.doc_a, r.doc_b, round(r.jaccard, 9)) for r in a.collect()
+        )
+        rb = sorted(
+            (r.doc_a, r.doc_b, round(r.jaccard, 9)) for r in b.collect()
+        )
+        assert ra == rb, f"cap={cap}: collapse path diverged"
+        assert len(ra) > 0
+        if cap is None:
+            # within-group pairs carry exactly 1.0 (under the cap the
+            # doc-0/doc-2 groups lose their shared shingles, so their
+            # within-group jaccard drops below 1 — by design)
+            ones = [p for p in rb if p[2] == 1.0]
+            assert len(ones) >= 3 * (6 * 5 // 2)

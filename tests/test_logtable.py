@@ -559,3 +559,41 @@ def test_stats_survive_checkpoint_replay(spark, tmp_path):
     pruned = t.snapshot(where=[("ver", ">=", 1000)])
     assert set(pruned.inputFiles()) < set(t.snapshot().inputFiles())
     assert pruned.count() == 10
+
+
+def test_changes_reads_only_touched_buckets(spark, tmp_path):
+    """The feed's scan set is restricted to buckets the interval's
+    commits rewrote — not the two full snapshots."""
+    t = LogTable(spark, str(tmp_path / "t"), key="id", n_buckets=8)
+    t.create(spark.createDataFrame(
+        [(i, "v") for i in range(80)], "id long, val string"
+    ))
+    v0 = t.version()
+    t.upsert(_mk(spark, [(0, "V0")]))
+    ch = t.changes(v0)
+    got = [(r["change"], r["id"], r["val"]) for r in ch.collect()]
+    assert got == [("update", 0, "V0")]
+    full = set(t.snapshot().inputFiles()) | set(t.snapshot(v0).inputFiles())
+    assert set(ch.inputFiles()) < full, "must not read untouched buckets"
+
+
+def test_changes_empty_interval_returns_empty_feed(spark, tmp_path):
+    t = LogTable(spark, str(tmp_path / "t"), key="id", n_buckets=8)
+    t.create(_mk(spark, [(1, "a")]))
+    v = t.version()
+    ch = t.changes(v, v)
+    assert ch.count() == 0
+    assert ch.columns[0] == "change"
+    assert {"id", "val"} <= set(ch.columns)
+
+
+def test_changes_insert_then_delete_nets_to_empty(spark, tmp_path):
+    """A key that appears and disappears inside the interval produces no
+    change row (snapshot-diff semantics), even though its bucket was
+    touched twice."""
+    t = LogTable(spark, str(tmp_path / "t"), key="id", n_buckets=8)
+    t.create(_mk(spark, [(1, "a")]))
+    v0 = t.version()
+    t.upsert(_mk(spark, [(50, "temp")]))
+    t.delete_keys(spark.createDataFrame([(50,)], "id long"))
+    assert t.changes(v0).count() == 0
