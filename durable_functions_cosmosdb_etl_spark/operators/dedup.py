@@ -1031,6 +1031,7 @@ def substring_pairs(
     text_col: str = "text",
     k: int = SUBSTR_K,
     p: int = SUBSTR_P,
+    collapse_identical: bool = True,
 ) -> DataFrame:
     """Doc pairs sharing ≥1 sampled verbatim k-char gram (the
     exact-substring-dedup primitive of Lee et al.'s "Deduplicating
@@ -1045,13 +1046,48 @@ def substring_pairs(
     is a hash equi-join on the gram — linear shuffle, no pairwise scan;
     grams hash-distribute uniformly so no skew salting is needed.
     Output: (doc_a, doc_b, n_shared) with doc_a < doc_b.
+
+    ``collapse_identical`` (default): docs with the same sampled-gram
+    MULTISET collapse to one representative before the gram join —
+    n_shared(u, v) = Σ_g cnt_u(g)·cnt_v(g) depends only on the two
+    multisets, so cross-group pairs inherit the rep pair's count and
+    within-group pairs carry the rep's self-count Σ_g cnt(g)² (computed
+    linearly per rep). Exact-copy cliques otherwise multiply the gram
+    join's candidate volume by c² — the same collapse argument as
+    :func:`jaccard_pairs`.
     """
-    fps = df.select(
+    raw = df.select(
         F.col(id_col).alias("doc"),
-        F.explode(_substr_fp_udf(k, p)(F.col(text_col))).alias("g"),
-    ).cache()
+        _substr_fp_udf(k, p)(F.col(text_col)).alias("gs"),
+    )
+    if not collapse_identical:
+        fps = raw.select("doc", F.explode("gs").alias("g")).cache()
+        a, b = fps.alias("a"), fps.alias("b")
+        return (
+            a.join(
+                b,
+                (F.col("a.g") == F.col("b.g"))
+                & (F.col("a.doc") < F.col("b.doc")),
+            )
+            .groupBy(F.col("a.doc").alias("doc_a"), F.col("b.doc").alias("doc_b"))
+            .agg(F.count(F.lit(1)).alias("n_shared"))
+        )
+    # docs with no sampled grams can never pair — and dropping them keeps
+    # the all-empty group out of the window
+    raw = raw.filter(F.size("gs") >= 1)
+    w = Window.partitionBy(F.array_sort("gs"))
+    mem = (
+        raw.withColumn("rep", F.min("doc").over(w))
+        .select("doc", "rep", "gs")
+        .cache()
+    )
+    memb = mem.select("doc", "rep")
+    fps = (
+        mem.filter(F.col("doc") == F.col("rep"))
+        .select("doc", F.explode("gs").alias("g"))
+    )
     a, b = fps.alias("a"), fps.alias("b")
-    return (
+    rep_pairs = (
         a.join(
             b,
             (F.col("a.g") == F.col("b.g")) & (F.col("a.doc") < F.col("b.doc")),
@@ -1059,3 +1095,36 @@ def substring_pairs(
         .groupBy(F.col("a.doc").alias("doc_a"), F.col("b.doc").alias("doc_b"))
         .agg(F.count(F.lit(1)).alias("n_shared"))
     )
+    # within-group self-count: Σ_g cnt(g)² over the rep's gram multiset
+    selfshare = (
+        fps.groupBy("doc", "g")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .groupBy(F.col("doc").alias("rep"))
+        .agg(F.sum(F.col("c") * F.col("c")).alias("n_shared"))
+    )
+    x, y = memb.alias("x"), memb.alias("y")
+    same = (
+        x.join(
+            y,
+            (F.col("x.rep") == F.col("y.rep"))
+            & (F.col("x.doc") < F.col("y.doc")),
+        )
+        .join(selfshare, F.col("x.rep") == selfshare.rep)
+        .select(
+            F.col("x.doc").alias("doc_a"),
+            F.col("y.doc").alias("doc_b"),
+            "n_shared",
+        )
+    )
+    ma = memb.select(F.col("rep").alias("doc_a"), F.col("doc").alias("m_a"))
+    mb = memb.select(F.col("rep").alias("doc_b"), F.col("doc").alias("m_b"))
+    cross = (
+        rep_pairs.join(ma, "doc_a")
+        .join(mb, "doc_b")
+        .select(
+            F.least("m_a", "m_b").alias("doc_a"),
+            F.greatest("m_a", "m_b").alias("doc_b"),
+            "n_shared",
+        )
+    )
+    return cross.unionByName(same)

@@ -657,6 +657,7 @@ def semantic_dedup(
     n_clusters: int = 10,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    collapse_identical: bool = True,
 ) -> DataFrame:
     """SemDeDup-style semantic dedup: cluster, then dedup WITHIN clusters.
 
@@ -683,17 +684,42 @@ def semantic_dedup(
     # Null embeddings are dropped (no cluster membership is definable);
     # output therefore has one row per non-null input vector.
     corpus = corpus.filter(F.col(vec_col).isNotNull())
+    # Codebook fit ALWAYS sees the full corpus (duplicates included) —
+    # collapsing before the fit would move the centroids and change the
+    # output.
     centroids = fit_ivf_centroids(corpus, n_clusters, id_col, vec_col)
-    assigned = assign_to_centroids(corpus, centroids, id_col, vec_col)
-    cells = corpus.select(
-        F.col(id_col).alias("id"), F.col(vec_col).alias("v")
-    ).join(assigned.withColumnRenamed(id_col, "id"), "id")
+    base = corpus.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"))
+    if collapse_identical:
+        # Bit-identical vectors collapse to their min-id representative
+        # BEFORE the quadratic within-cell GEMM (the only super-linear
+        # stage) — c copies of a vector cost the cell c² sim entries for
+        # information the group structure already carries. Exactness of
+        # the expansion below: a non-rep member always has its (lower-id,
+        # identical) rep in the same cell, and the sim the original GEMM
+        # would have computed for that pair is EXACTLY the rep's diagonal
+        # entry (same byte rows → same BLAS dot), which dedup_cell now
+        # returns as `self_over`; rep rows keep the rep-level verdict,
+        # which coincides with the full-matrix verdict because every
+        # dropper of id x has a rep ≤ its own id with the same vector.
+        w = Window.partitionBy("v")
+        mem = base.withColumn("rep", F.min("id").over(w)).cache()
+        work = mem.filter(F.col("id") == F.col("rep")).select("id", "v")
+    else:
+        work = base
+    assigned = assign_to_centroids(
+        work.select(F.col("id").alias(id_col), F.col("v").alias(vec_col)),
+        centroids,
+        id_col,
+        vec_col,
+    )
+    cells = work.join(assigned.withColumnRenamed(id_col, "id"), "id")
 
     out_schema = T.StructType(
         [
             T.StructField("centroid_id", T.IntegerType()),
             T.StructField("id", T.LongType()),
             T.StructField("kept", T.BooleanType()),
+            T.StructField("self_over", T.BooleanType()),
         ]
     )
 
@@ -710,18 +736,40 @@ def semantic_dedup(
         over = sims >= threshold
         over &= ids[:, None] < ids[None, :]
         dropped = over.any(axis=0)
+        # self-cosine ≥ threshold, NaN-safe in numpy (zero-norm → NaN →
+        # False → identical-copy members stay kept, matching what the
+        # full matrix would have decided for the pair)
+        self_over = np.diag(sims) >= threshold
         return pd.DataFrame(
             {
                 "centroid_id": pdf["centroid_id"].to_numpy(),
                 "id": ids,
                 "kept": ~dropped,
+                "self_over": self_over,
             }
         )
 
-    return (
-        cells.groupBy("centroid_id")
-        .applyInPandas(dedup_cell, schema=out_schema)
-        .select(F.col("id").alias(id_col), "centroid_id", "kept")
+    rep_out = cells.groupBy("centroid_id").applyInPandas(
+        dedup_cell, schema=out_schema
+    )
+    if not collapse_identical:
+        return rep_out.select(F.col("id").alias(id_col), "centroid_id", "kept")
+    # Expansion: reps keep their verdict; other members are dropped iff
+    # their rep's self-cosine clears the threshold (the boolean computed
+    # IN numpy above — Spark's NaN ordering would invert the zero-norm
+    # case if the comparison ran SQL-side).
+    rep_out = rep_out.select(
+        F.col("id").alias("rep"),
+        "centroid_id",
+        F.col("kept").alias("rep_kept"),
+        "self_over",
+    )
+    return mem.join(rep_out, "rep").select(
+        F.col("id").alias(id_col),
+        "centroid_id",
+        F.when(F.col("id") == F.col("rep"), F.col("rep_kept"))
+        .otherwise(~F.col("self_over"))
+        .alias("kept"),
     )
 
 

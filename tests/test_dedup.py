@@ -345,3 +345,22 @@ def test_jaccard_collapse_identical_equivalence(spark):
             # within-group jaccard drops below 1 — by design)
             ones = [p for p in rb if p[2] == 1.0]
             assert len(ones) >= 3 * (6 * 5 // 2)
+
+
+def test_substring_collapse_identical_equivalence(spark):
+    """substring_pairs collapse path matches the plain gram join on a
+    corpus with exact-copy cliques, including the within-group
+    self-count sum(cnt^2) under gram multiset semantics."""
+    base = [
+        (0, "alpha beta gamma delta epsilon zeta eta theta " * 30),
+        (1, "one two three four five six seven eight nine ten " * 30),
+        (2, "alpha beta gamma delta epsilon zeta eta theta " * 29 + "coda"),
+    ]
+    rows = [(i + 100 * c, t) for (i, t) in base for c in range(5)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    a = dd.substring_pairs(docs, k=20, p=8, collapse_identical=False)
+    b = dd.substring_pairs(docs, k=20, p=8, collapse_identical=True)
+    ra = sorted((r.doc_a, r.doc_b, r.n_shared) for r in a.collect())
+    rb = sorted((r.doc_a, r.doc_b, r.n_shared) for r in b.collect())
+    assert ra == rb
+    assert len(ra) >= 3 * (5 * 4 // 2)  # each clique fully paired

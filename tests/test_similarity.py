@@ -291,3 +291,35 @@ def test_assign_to_centroids_empty_codebook_yields_zero_rows(spark):
     )
     empty = spark.createDataFrame([], "centroid_id int, centroid array<float>")
     assert assign_to_centroids(corpus, empty).count() == 0
+
+
+def test_semantic_dedup_collapse_identical_equivalence(spark):
+    """semantic_dedup with collapse_identical matches the full
+    within-cell GEMM on a corpus of exact vector copies — including the
+    zero-norm group, whose members must all stay kept (NaN cosine)."""
+    import random
+
+    from durable_functions_cosmosdb_etl_spark.operators.similarity import (
+        semantic_dedup,
+    )
+
+    rng = random.Random(7)
+    base = [[rng.uniform(-1, 1) for _ in range(8)] for _ in range(40)]
+    base.append([0.0] * 8)  # zero-norm vector
+    rows = [
+        (i + 1000 * c, [float(x) for x in v])
+        for i, v in enumerate(base)
+        for c in range(4)
+    ]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    a = semantic_dedup(emb, threshold=0.35, n_clusters=4,
+                       collapse_identical=False)
+    b = semantic_dedup(emb, threshold=0.35, n_clusters=4,
+                       collapse_identical=True)
+    ra = sorted((r.vec_id, r.centroid_id, r.kept) for r in a.collect())
+    rb = sorted((r.vec_id, r.centroid_id, r.kept) for r in b.collect())
+    assert ra == rb
+    # zero-norm copies: all kept
+    zero_ids = {40 + 1000 * c for c in range(4)}
+    kept = {r[0]: r[2] for r in rb}
+    assert all(kept[z] for z in zero_ids)
