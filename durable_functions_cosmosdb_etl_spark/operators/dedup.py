@@ -233,46 +233,12 @@ def jaccard_pairs(
             ex = ex.join(F.broadcast(keep), "g")
         return _pairs_from_index(ex, threshold)
     # ---- collapse path -------------------------------------------------
-    # Shingle-less docs can never share a shingle → contribute no pairs
-    # in either path; dropping them here also keeps the all-empty-array
-    # group out of the window.
-    d = d.filter(F.col("n_sh") >= 1)
-    # Group key = the SORTED shingle array itself (order-insensitive,
-    # collision-free — no hash-merging of distinct contents). The window
-    # computes each doc's representative in ONE shuffle keyed on the set.
-    w = Window.partitionBy(F.array_sort("sh"))
-    mem = (
-        d.withColumn("rep", F.min("doc").over(w))
-        .select("doc", "n_sh", "sh", "rep")
-        # Cached for the same reason as the inline index: membership and
-        # the rep index are both read multiple times below, and the
-        # shingler is the dominant linear cost.
-        .cache()
-    )
-    memb = mem.select("doc", "n_sh", "rep")
-    reps = mem.filter(F.col("doc") == F.col("rep")).select("doc", "n_sh", "sh")
-    ex = reps.select("doc", "n_sh", F.explode("sh").alias("g"))
-    if max_shingle_df is not None:
-        # document frequency still counts ORIGINAL docs: weight each
-        # rep's postings by its group size, so the capped shingle set is
-        # identical to the uncollapsed path's.
-        gsz = memb.groupBy("rep").agg(F.count(F.lit(1)).alias("gsz"))
-        keep = (
-            ex.join(gsz, ex.doc == gsz.rep)
-            .groupBy("g")
-            .agg(F.sum("gsz").alias("df_g"))
-            .filter(F.col("df_g") <= max_shingle_df)
-            .select("g")
-        )
-        ex = ex.join(F.broadcast(keep), "g")
+    memb, ex, surv = _collapsed_rep_index(d, max_shingle_df)
     rep_pairs = _pairs_from_index(ex, threshold)
     # Within-group pairs: all members share the rep's shingle set, so
     # J = s/(2n−s) with s = surviving postings per rep (inner join ⇒
     # s ≥ 1, mirroring the join path's at-least-one-common-shingle
     # existence requirement).
-    surv = ex.groupBy(F.col("doc").alias("rep")).agg(
-        F.count(F.lit(1)).alias("s")
-    )
     x, y = memb.alias("x"), memb.alias("y")
     same = (
         x.join(
@@ -306,6 +272,133 @@ def jaccard_pairs(
         )
     )
     return cross.unionByName(same)
+
+
+def _collapsed_rep_index(
+    d: DataFrame, max_shingle_df: int | None
+) -> tuple[DataFrame, DataFrame, DataFrame]:
+    """Identical-content collapse shared by :func:`jaccard_pairs` and
+    :func:`jaccard_components`.
+
+    Input: a ``_shingled`` frame (doc, n_sh, sh). Returns
+    ``(memb, ex, surv)``:
+
+    - ``memb`` (doc, n_sh, rep): every doc mapped to its group
+      representative = the MIN doc id among docs with the identical
+      shingle set (cached — read several times downstream and the
+      shingler is the dominant linear cost),
+    - ``ex`` (doc, n_sh, g): the inverted index over REPRESENTATIVES
+      only (optionally df-capped, where document frequency still counts
+      ORIGINAL docs via group-size weighting so the capped shingle set
+      matches the uncollapsed path's),
+    - ``surv`` (rep, s): surviving-posting count per rep, the ``s`` in
+      the within-group Jaccard s/(2n−s).
+    """
+    # Shingle-less docs can never share a shingle → contribute no pairs
+    # in either path; dropping them here also keeps the all-empty-array
+    # group out of the window.
+    d = d.filter(F.col("n_sh") >= 1)
+    # Group key = the SORTED shingle array itself (order-insensitive,
+    # collision-free — no hash-merging of distinct contents). The window
+    # computes each doc's representative in ONE shuffle keyed on the set.
+    w = Window.partitionBy(F.array_sort("sh"))
+    mem = (
+        d.withColumn("rep", F.min("doc").over(w))
+        .select("doc", "n_sh", "sh", "rep")
+        .cache()
+    )
+    memb = mem.select("doc", "n_sh", "rep")
+    reps = mem.filter(F.col("doc") == F.col("rep")).select("doc", "n_sh", "sh")
+    ex = reps.select("doc", "n_sh", F.explode("sh").alias("g"))
+    if max_shingle_df is not None:
+        gsz = memb.groupBy("rep").agg(F.count(F.lit(1)).alias("gsz"))
+        keep = (
+            ex.join(gsz, ex.doc == gsz.rep)
+            .groupBy("g")
+            .agg(F.sum("gsz").alias("df_g"))
+            .filter(F.col("df_g") <= max_shingle_df)
+            .select("g")
+        )
+        ex = ex.join(F.broadcast(keep), "g")
+    surv = ex.groupBy(F.col("doc").alias("rep")).agg(
+        F.count(F.lit(1)).alias("s")
+    )
+    return memb, ex, surv
+
+
+def jaccard_components(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    threshold: float = 0.5,
+    max_shingle_df: int | None = None,
+    node_col: str = "doc",
+    max_iters: int = 50,
+    algorithm: str = "star",
+) -> DataFrame:
+    """Connected components of the :func:`jaccard_pairs` graph WITHOUT
+    materializing the within-clique pair expansion.
+
+    ``connected_components(jaccard_pairs(df))`` first expands every
+    identical-content group of size c into its c(c−1)/2 member pairs,
+    then contracts them right back — on a copy-heavy corpus (every real
+    crawl; the replication scale probe) that materializes a quadratic
+    edge list whose only purpose is to be collapsed again. This
+    operator runs CC on the REPRESENTATIVE graph and expands group
+    membership afterward, which is provably the same answer:
+
+    - connectivity: members of a group share one shingle set, so every
+      edge incident to any member holds for all members — the expanded
+      graph's components are unions of whole groups, glued exactly when
+      their reps connect in the rep graph (or the group has a
+      within-group edge, J_within = s/(2n−s) ≥ t, making it a clique).
+    - labels: the component id is the min reachable doc; each rep IS
+      its group's min member, so min over an expanded component = min
+      rep over the rep component — the rep-level label verbatim.
+    - node set: a doc appears in the expanded graph iff its group has a
+      within-group edge (size ≥ 2 and J_within ≥ t) or its rep touches
+      a rep-level pair — the ``filter`` below.
+
+    Cost: the only super-linear stage left is the rep-level candidate
+    join over distinct-content docs; CC rounds operate on the rep graph
+    (≤ distinct-content nodes), and the expansion is one linear
+    broadcast-friendly join keyed on rep. Same recursive-CTE oracle as
+    ``dedup_components``; equivalence to the expanded composition is
+    pytest-gated on a cliquey corpus.
+    """
+    d = _shingled(df, id_col, text_col, n)
+    memb, ex, surv = _collapsed_rep_index(d, max_shingle_df)
+    rep_pairs = _pairs_from_index(ex, threshold)
+    comp_rep = connected_components(
+        rep_pairs, node_col="rep", max_iters=max_iters, algorithm=algorithm
+    )
+    within = (
+        memb.groupBy("rep")
+        .agg(F.count(F.lit(1)).alias("gsz"), F.min("n_sh").alias("n_sh"))
+        .join(surv, "rep", "left")
+        .select(
+            "rep",
+            (
+                (F.col("gsz") >= 2)
+                & F.col("s").isNotNull()
+                & (
+                    F.col("s").cast("double")
+                    / (2 * F.col("n_sh") - F.col("s")).cast("double")
+                    >= threshold
+                )
+            ).alias("within_ok"),
+        )
+    )
+    return (
+        memb.join(comp_rep, "rep", "left")
+        .join(within, "rep")
+        .filter(F.col("component").isNotNull() | F.col("within_ok"))
+        .select(
+            F.col("doc").alias(node_col),
+            F.coalesce("component", "rep").alias("component"),
+        )
+    )
 
 
 def _pairs_from_index(ex: DataFrame, threshold: float) -> DataFrame:

@@ -814,18 +814,23 @@ def dedup_components(
     reachable id. Restricted to nodes appearing in ≥1 pair (isolated
     docs are trivially their own component).
 
-    The pair generator runs EXACTLY ONCE either way (the components
-    operator checkpoints the edge list and derives the node set from
-    the checkpoint — no ``.cache()`` anywhere in the composition).
-    ``index_table`` (a :func:`persist_inverted_index` table) swaps in
-    the bucketed inverted index, making that one run shingle-free and
-    exchange-free on the self-join — the 100 TB form.
+    The default path is :func:`operators.dedup.jaccard_components`: CC
+    runs on the identical-content REPRESENTATIVE graph and group
+    membership expands afterward — the quadratic within-clique pair
+    expansion that ``connected_components(jaccard_pairs(...))`` would
+    materialize (c(c−1)/2 edges per c-copy group, only to contract them
+    again) never exists. Same answer (see the operator's proof sketch;
+    equivalence pytest-gated), and the 64× replication probe drops from
+    ~31 s to rep-graph cost. ``index_table`` (a
+    :func:`persist_inverted_index` table) swaps in the bucketed
+    inverted index, making the pair run shingle-free and exchange-free
+    on the self-join — the 100 TB form (the index stores original docs,
+    so that branch keeps the expanded-graph composition).
     """
     if index_table is not None:
         pairs = dd.jaccard_pairs_from_index(spark, index_table, threshold=0.5)
-    else:
-        pairs = dd.jaccard_pairs(_docs(spark, sf_dir), threshold=0.5)
-    return dd.connected_components(pairs)
+        return dd.connected_components(pairs)
+    return dd.jaccard_components(_docs(spark, sf_dir), threshold=0.5)
 
 
 @query(

@@ -347,6 +347,34 @@ def test_jaccard_collapse_identical_equivalence(spark):
             assert len(ones) >= 3 * (6 * 5 // 2)
 
 
+def test_jaccard_components_equivalence(spark):
+    """jaccard_components (CC on the representative graph + membership
+    expansion) equals connected_components(jaccard_pairs(...)) — the
+    composition that materializes every within-clique pair — on a
+    copy-clique corpus, with and without the df cap. This is the
+    equivalence the registered dedup_components query now relies on."""
+    base = [
+        (0, "the quick brown fox jumps over the lazy dog again and again"),
+        (1, "a completely different document about spark physical planning"),
+        (2, "the quick brown fox jumps over the lazy dog again and often"),
+        (3, "short text"),
+    ]
+    rows = [(i + 100 * c, t) for (i, t) in base for c in range(6)]
+    rows.append((999, "an entirely unique closing document with many words here"))
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    for cap in (None, 10):
+        expanded = dd.connected_components(
+            dd.jaccard_pairs(docs, n=2, threshold=0.3, max_shingle_df=cap)
+        )
+        collapsed = dd.jaccard_components(
+            docs, n=2, threshold=0.3, max_shingle_df=cap
+        )
+        ea = sorted((r.doc, r.component) for r in expanded.collect())
+        ca = sorted((r.doc, r.component) for r in collapsed.collect())
+        assert ea == ca, f"cap={cap}: rep-graph CC diverged"
+        assert len(ea) > 0
+
+
 def test_substring_collapse_identical_equivalence(spark):
     """substring_pairs collapse path matches the plain gram join on a
     corpus with exact-copy cliques, including the within-group
