@@ -569,6 +569,7 @@ def minhash_lsh_pairs(
     n: int = 3,
     threshold: float = 0.5,
     target_miss: float | None = None,
+    collapse_identical: bool = True,
 ) -> DataFrame:
     """Near-dup pairs: MinHash signatures → banded LSH → exact verify.
 
@@ -585,12 +586,82 @@ def minhash_lsh_pairs(
     inverted-index join, which is what lets the registered dedup_minhash
     query share the exact-Jaccard DuckDB oracle (same recipe as
     dedup_embedding). None keeps the production 16×4 default.
+
+    ``collapse_identical`` (default): docs with IDENTICAL shingle sets
+    collapse to their min-id representative BEFORE signatures/banding,
+    and pairs expand back through the membership afterward. Unlike the
+    LSH itself this is not merely statistically equivalent — it is
+    BYTE-identical to the uncollapsed path: identical sets ⇒ identical
+    signatures ⇒ the capture decision of every member pair equals its
+    rep pair's, within-group pairs collide in every band and verify to
+    exactly 1.0 (intersect/union of an array with itself), and
+    cross-group pairs inherit the rep verification verbatim (same two
+    arrays). On a copy-heavy corpus this removes the c² band-join
+    candidate blowup per c-copy group (the 64× replication probe's
+    super-linear stage: 60 s → rep-level cost + linear expansion). It
+    also drops shingle-less docs up front — their all-zero signatures
+    band-collide with EACH OTHER (a c² candidate class at scale) only
+    to verify to null jaccard and vanish.
     """
     if target_miss is not None:
         n_bands, n_rows = pick_bands(threshold, MINHASH_K, target_miss)
     else:
         n_bands, n_rows = LSH_BANDS, LSH_ROWS
-    sigs = minhash_signatures(df, id_col, text_col, n).cache()
+    hashed = _shingle_hashes(df, id_col, text_col, n)
+    if not collapse_identical:
+        sigs = hashed.withColumn("sig", _minhash_sig_udf()(F.col("hs")))
+        return _minhash_pairs_core(sigs, n_bands, n_rows, threshold)
+    mem = (
+        hashed.filter(F.col("n_sh") >= 1)
+        .withColumn("rep", F.min("doc").over(Window.partitionBy(F.array_sort("sh"))))
+        .cache()
+    )
+    memb = mem.select("doc", "rep")
+    reps = mem.filter(F.col("doc") == F.col("rep")).select(
+        "doc", "n_sh", "sh", "hs"
+    )
+    rep_pairs = _minhash_pairs_core(
+        reps.withColumn("sig", _minhash_sig_udf()(F.col("hs"))),
+        n_bands,
+        n_rows,
+        threshold,
+    )
+    ma = memb.select(F.col("rep").alias("doc_a"), F.col("doc").alias("m_a"))
+    mb = memb.select(F.col("rep").alias("doc_b"), F.col("doc").alias("m_b"))
+    cross = (
+        rep_pairs.join(ma, "doc_a")
+        .join(mb, "doc_b")
+        .select(
+            F.least("m_a", "m_b").alias("doc_a"),
+            F.greatest("m_a", "m_b").alias("doc_b"),
+            "jaccard",
+        )
+    )
+    if threshold > 1.0:  # degenerate: even exact copies can't reach it
+        return cross
+    x, y = memb.alias("x"), memb.alias("y")
+    same = (
+        x.join(
+            y,
+            (F.col("x.rep") == F.col("y.rep"))
+            & (F.col("x.doc") < F.col("y.doc")),
+        )
+        .select(
+            F.col("x.doc").alias("doc_a"),
+            F.col("y.doc").alias("doc_b"),
+            F.lit(1.0).alias("jaccard"),
+        )
+    )
+    return cross.unionByName(same)
+
+
+def _minhash_pairs_core(
+    sigs: DataFrame, n_bands: int, n_rows: int, threshold: float
+) -> DataFrame:
+    """Banded-LSH candidate join + exact-Jaccard verify over a signature
+    frame (doc, n_sh, sh, sig). Shared by both collapse modes of
+    :func:`minhash_lsh_pairs`."""
+    sigs = sigs.cache()
     bands = sigs.select(
         "doc",
         F.posexplode(
@@ -972,21 +1043,53 @@ def simhash_pairs_portable(
         "             (a, h) -> a + (shiftright(h, i) & 1)) > size(hs)"
         "     THEN shiftleft(1L, i) ELSE 0L END)"
     )
-    sh = (
-        hashed.filter(F.col("n_sh") >= 1)
-        .select("doc", F.expr(vote).alias("sim"))
-        .cache()
+    sh = hashed.filter(F.col("n_sh") >= 1).select(
+        "doc", F.expr(vote).alias("sim")
     )
-    chunks = sh.select(
+    return _simhash_pairs_core(sh, 8, SIMHASH_CHUNKS, cutoff, cast_long=True)
+
+
+def _simhash_pairs_core(
+    sh: DataFrame,
+    chunk_bits: int,
+    n_chunks: int,
+    cutoff: int,
+    cast_long: bool,
+    collapse_identical: bool = True,
+) -> DataFrame:
+    """Chunk-banded candidate join + Hamming verify over (doc, sim).
+    Shared by :func:`simhash_pairs` (4×16-bit) and
+    :func:`simhash_pairs_portable` (6×8-bit).
+
+    ``collapse_identical``: docs with the IDENTICAL simhash collapse to
+    their min-id representative before the chunk join — byte-identical
+    output (equal sims ⇒ equal chunks ⇒ every member pair's capture
+    decision equals its rep pair's; within-group Hamming is exactly 0 ≤
+    any cutoff; cross-group pairs inherit the rep Hamming verbatim),
+    but the c² chunk-join candidate blowup per c identical-simhash docs
+    becomes c-linear membership expansion. Note the group key is the
+    SIMHASH, not the shingle set — strictly coarser, so organically
+    colliding docs collapse too.
+    """
+    ham_t = "long" if cast_long else "int"
+    if collapse_identical:
+        mem = sh.withColumn(
+            "rep", F.min("doc").over(Window.partitionBy("sim"))
+        ).cache()
+        memb = mem.select("doc", "rep")
+        base = mem.filter(F.col("doc") == F.col("rep")).select("doc", "sim")
+    else:
+        base = sh.cache()
+    chunks = base.select(
         "doc",
         "sim",
         F.posexplode(
             F.array(
                 *[
-                    F.shiftrightunsigned(F.col("sim"), j * 8).bitwiseAND(
-                        F.lit(0xFF)
-                    )
-                    for j in range(SIMHASH_CHUNKS)
+                    F.shiftrightunsigned(
+                        F.col("sim"), j * chunk_bits
+                    ).bitwiseAND(F.lit((1 << chunk_bits) - 1))
+                    for j in range(n_chunks)
                 ]
             )
         ).alias("chunk_idx", "chunk_val"),
@@ -1007,14 +1110,41 @@ def simhash_pairs_portable(
         )
         .distinct()
     )
-    return (
+    pairs = (
         cand.withColumn(
             "hamming",
-            F.bit_count(F.col("sim_a").bitwiseXOR(F.col("sim_b"))).cast("long"),
+            F.bit_count(F.col("sim_a").bitwiseXOR(F.col("sim_b"))).cast(ham_t),
         )
         .filter(F.col("hamming") <= cutoff)
         .select("doc_a", "doc_b", "hamming")
     )
+    if not collapse_identical:
+        return pairs
+    ma = memb.select(F.col("rep").alias("doc_a"), F.col("doc").alias("m_a"))
+    mb = memb.select(F.col("rep").alias("doc_b"), F.col("doc").alias("m_b"))
+    cross = (
+        pairs.join(ma, "doc_a")
+        .join(mb, "doc_b")
+        .select(
+            F.least("m_a", "m_b").alias("doc_a"),
+            F.greatest("m_a", "m_b").alias("doc_b"),
+            "hamming",
+        )
+    )
+    x, y = memb.alias("x"), memb.alias("y")
+    same = (
+        x.join(
+            y,
+            (F.col("x.rep") == F.col("y.rep"))
+            & (F.col("x.doc") < F.col("y.doc")),
+        )
+        .select(
+            F.col("x.doc").alias("doc_a"),
+            F.col("y.doc").alias("doc_b"),
+            F.lit(0).cast(ham_t).alias("hamming"),
+        )
+    )
+    return cross.unionByName(same)
 
 
 def simhash_pairs(
@@ -1031,44 +1161,8 @@ def simhash_pairs(
     equi on (chunk_idx, chunk_value) — linear shuffle, like MinHash-LSH.
     """
     hashed = _shingle_hashes(df, id_col, text_col, n)
-    sh = hashed.withColumn("sim", simhash(F.col("hs"))).cache()
-    chunks = sh.select(
-        "doc",
-        "sim",
-        F.posexplode(
-            F.array(
-                *[
-                    F.shiftrightunsigned(F.col("sim"), j * 16).bitwiseAND(
-                        F.lit(0xFFFF)
-                    )
-                    for j in range(4)
-                ]
-            )
-        ).alias("chunk_idx", "chunk_val"),
-    )
-    a, b = chunks.alias("a"), chunks.alias("b")
-    cand = (
-        a.join(
-            b,
-            (F.col("a.chunk_idx") == F.col("b.chunk_idx"))
-            & (F.col("a.chunk_val") == F.col("b.chunk_val"))
-            & (F.col("a.doc") < F.col("b.doc")),
-        )
-        .select(
-            F.col("a.doc").alias("doc_a"),
-            F.col("b.doc").alias("doc_b"),
-            F.col("a.sim").alias("sim_a"),
-            F.col("b.sim").alias("sim_b"),
-        )
-        .distinct()
-    )
-    return (
-        cand.withColumn(
-            "hamming", F.bit_count(F.col("sim_a").bitwiseXOR(F.col("sim_b")))
-        )
-        .filter(F.col("hamming") <= max_hamming)
-        .select("doc_a", "doc_b", "hamming")
-    )
+    sh = hashed.withColumn("sim", simhash(F.col("hs"))).select("doc", "sim")
+    return _simhash_pairs_core(sh, 16, 4, max_hamming, cast_long=False)
 
 
 # Substring-level dedup: portable polynomial hash for char k-grams.

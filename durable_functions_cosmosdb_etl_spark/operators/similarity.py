@@ -577,6 +577,7 @@ def cosine_pairs_lsh(
     n_bands: int | None = None,
     band_bits: int | None = None,
     mode: str = "auto",
+    collapse_identical: bool = True,
 ) -> DataFrame:
     """Embedding near-dup pairs via random-hyperplane sign-LSH banding.
 
@@ -605,11 +606,78 @@ def cosine_pairs_lsh(
       13× faster than the τ=0.35 banding at sf0.1: 15.5s → 1.2s warm).
       Otherwise band.
     - "lsh" / "exact": force the respective path.
+
+    ``collapse_identical`` (default): BIT-identical embedding vectors
+    collapse to their min-id representative before either regime, and
+    pairs expand back through the membership — the same trick as
+    dedup.jaccard_pairs/minhash/simhash, keyed on the raw vector. Every
+    member pair's score is computed from the same two float arrays as
+    its rep pair, so the pair-set decision is identical; within-group
+    pairs are emitted iff the group's self-cosine reaches the threshold
+    (≈1.0 whenever the norm is nonzero; all-zero vectors verify to
+    null/NaN and drop in BOTH paths). Removes the c²-per-copy-group
+    GEMM/band-join work the quadratic stage would otherwise spend on
+    exact duplicates.
     """
     if n_bands is None or band_bits is None:
         auto_b, auto_k = pick_sign_bands(threshold)
         n_bands = n_bands if n_bands is not None else auto_b
         band_bits = band_bits if band_bits is not None else auto_k
+    if collapse_identical:
+        v0 = vectors.filter(F.col(vec_col).isNotNull()).select(
+            F.col(id_col).alias("id"), F.col(vec_col).alias("v")
+        )
+        mem = v0.withColumn(
+            "rep", F.min("id").over(Window.partitionBy("v"))
+        ).cache()
+        memb = mem.select("id", "rep")
+        reps = mem.filter(F.col("id") == F.col("rep")).select(
+            F.col("id").alias(id_col), F.col("v").alias(vec_col)
+        )
+        rep_pairs = cosine_pairs_lsh(
+            reps,
+            threshold,
+            id_col,
+            vec_col,
+            n_bands,
+            band_bits,
+            mode,
+            collapse_identical=False,
+        )
+        ma = memb.select(F.col("rep").alias("vec_id_a"), F.col("id").alias("m_a"))
+        mb = memb.select(F.col("rep").alias("vec_id_b"), F.col("id").alias("m_b"))
+        cross = (
+            rep_pairs.join(ma, "vec_id_a")
+            .join(mb, "vec_id_b")
+            .select(
+                F.least("m_a", "m_b").alias("vec_id_a"),
+                F.greatest("m_a", "m_b").alias("vec_id_b"),
+            )
+        )
+        # Within-group gate replicates the verify expression on the
+        # group's own vector: dot(v,v)/(‖v‖·‖v‖) ≥ τ — null/NaN for
+        # zero-norm vectors, matching both regimes' drop behavior.
+        ok = (
+            mem.filter(F.col("id") == F.col("rep"))
+            .filter(
+                F.try_divide(
+                    dot(F.col("v"), F.col("v")),
+                    l2_norm(F.col("v")) * l2_norm(F.col("v")),
+                )
+                >= F.lit(threshold)
+            )
+            .select("rep")
+        )
+        gm = memb.join(ok, "rep")
+        x, y = gm.alias("x"), gm.alias("y")
+        same = x.join(
+            y,
+            (F.col("x.rep") == F.col("y.rep"))
+            & (F.col("x.id") < F.col("y.id")),
+        ).select(
+            F.col("x.id").alias("vec_id_a"), F.col("y.id").alias("vec_id_b")
+        )
+        return cross.unionByName(same)
     if mode == "exact" or (
         mode == "auto" and n_bands / float(2**band_bits) >= 1.0
     ):
@@ -641,9 +709,13 @@ def cosine_pairs_lsh(
         .select(
             F.col("id_a").alias("vec_id_a"),
             F.col("id_b").alias("vec_id_b"),
-            (
-                dot(F.col("na.v"), F.col("nb.v"))
-                / (F.col("na.nrm") * F.col("nb.nrm"))
+            # try_divide: zero-norm vectors CAN band-collide (all sign
+            # bits identical), and ANSI mode turns the 0-divisor verify
+            # into a job-killing DIVIDE_BY_ZERO; null sim drops the pair
+            # — the same outcome as the blocked path's NaN comparison.
+            F.try_divide(
+                dot(F.col("na.v"), F.col("nb.v")),
+                F.col("na.nrm") * F.col("nb.nrm"),
             ).alias("sim"),
         )
         .filter(F.col("sim") >= threshold)

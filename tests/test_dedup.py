@@ -347,6 +347,89 @@ def test_jaccard_collapse_identical_equivalence(spark):
             assert len(ones) >= 3 * (6 * 5 // 2)
 
 
+def test_minhash_collapse_identical_equivalence(spark):
+    """minhash_lsh_pairs collapse path is BYTE-identical to the
+    uncollapsed path (identical shingle sets => identical signatures =>
+    identical banding decisions; within-group jaccard exactly 1.0) on a
+    copy-clique corpus, at both the production banding and the
+    completeness banding."""
+    base = [
+        (0, "the quick brown fox jumps over the lazy dog again and again"),
+        (1, "a completely different document about spark physical planning"),
+        (2, "the quick brown fox jumps over the lazy dog again and often"),
+        (3, "short text"),
+    ]
+    rows = [(i + 100 * c, t) for (i, t) in base for c in range(6)]
+    rows.append((999, "an entirely unique closing document with many words here"))
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    for tm in (None, 1e-9):
+        a = dd.minhash_lsh_pairs(
+            docs, n=2, threshold=0.3, target_miss=tm,
+            collapse_identical=False,
+        )
+        b = dd.minhash_lsh_pairs(
+            docs, n=2, threshold=0.3, target_miss=tm,
+            collapse_identical=True,
+        )
+        ra = sorted((r.doc_a, r.doc_b, round(r.jaccard, 9)) for r in a.collect())
+        rb = sorted((r.doc_a, r.doc_b, round(r.jaccard, 9)) for r in b.collect())
+        assert ra == rb, f"target_miss={tm}: collapse path diverged"
+        assert len(ra) > 0
+
+
+def test_simhash_collapse_identical_equivalence(spark):
+    """Both simhash variants' collapse path (group on the simhash VALUE)
+    is byte-identical to the uncollapsed chunk join on a copy-clique
+    corpus — including the empty-shingle degenerate group in the 64-bit
+    variant, whose members pair at hamming 0 either way."""
+    base = [
+        (0, "the quick brown fox jumps over the lazy dog again and again"),
+        (1, "a completely different document about spark physical planning"),
+        (2, "the quick brown fox jumps over the lazy dog again and often"),
+        (3, "x"),  # shingle-less at n=2
+    ]
+    rows = [(i + 100 * c, t) for (i, t) in base for c in range(6)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    from durable_functions_cosmosdb_etl_spark.operators.dedup import (
+        SIMHASH_CHUNKS,
+        _simhash_pairs_core,
+        _shingle_hashes,
+        portable_shingle_hashes,
+        simhash,
+    )
+
+    sh64 = (
+        _shingle_hashes(docs, "doc_id", "text", 2)
+        .withColumn("sim", simhash(F.col("hs")))
+        .select("doc", "sim")
+    )
+    vote = (
+        "aggregate(sequence(0, 47), 0L, (acc, i) -> acc + "
+        "CASE WHEN 2 * aggregate(hs, 0L,"
+        "             (a, h) -> a + (shiftright(h, i) & 1)) > size(hs)"
+        "     THEN shiftleft(1L, i) ELSE 0L END)"
+    )
+    sh48 = (
+        portable_shingle_hashes(docs, "doc_id", "text", 2)
+        .filter(F.col("n_sh") >= 1)
+        .select("doc", F.expr(vote).alias("sim"))
+    )
+    for sh, bits, chunks, cutoff, lng in [
+        (sh64, 16, 4, 8, False),
+        (sh48, 8, SIMHASH_CHUNKS, SIMHASH_CHUNKS - 1, True),
+    ]:
+        plain = _simhash_pairs_core(
+            sh, bits, chunks, cutoff, cast_long=lng, collapse_identical=False
+        )
+        coll = _simhash_pairs_core(
+            sh, bits, chunks, cutoff, cast_long=lng, collapse_identical=True
+        )
+        ra = sorted((r.doc_a, r.doc_b, r.hamming) for r in plain.collect())
+        rb = sorted((r.doc_a, r.doc_b, r.hamming) for r in coll.collect())
+        assert ra == rb, f"{bits}-bit chunks: collapse path diverged"
+        assert len(ra) > 0
+
+
 def test_jaccard_components_equivalence(spark):
     """jaccard_components (CC on the representative graph + membership
     expansion) equals connected_components(jaccard_pairs(...)) — the

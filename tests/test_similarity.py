@@ -323,3 +323,38 @@ def test_semantic_dedup_collapse_identical_equivalence(spark):
     zero_ids = {40 + 1000 * c for c in range(4)}
     kept = {r[0]: r[2] for r in rb}
     assert all(kept[z] for z in zero_ids)
+
+
+def test_cosine_pairs_lsh_collapse_identical_equivalence(spark):
+    """cosine_pairs_lsh collapse path (group on the raw vector, pairs
+    expanded through membership) matches the uncollapsed path in BOTH
+    regimes — blocked-exact (low threshold) and banded LSH (high
+    threshold) — on a corpus of exact embedding copies, including the
+    zero-norm group whose self-cosine is null and must emit nothing."""
+    import random
+
+    from durable_functions_cosmosdb_etl_spark.operators.similarity import (
+        cosine_pairs_lsh,
+    )
+
+    rng = random.Random(11)
+    base = [[rng.uniform(-1, 1) for _ in range(8)] for _ in range(30)]
+    base.append([0.0] * 8)
+    rows = [
+        (i + 1000 * c, [float(x) for x in v])
+        for i, v in enumerate(base)
+        for c in range(4)
+    ]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    for thresh in (0.35, 0.9):
+        a = cosine_pairs_lsh(emb, threshold=thresh, collapse_identical=False)
+        b = cosine_pairs_lsh(emb, threshold=thresh, collapse_identical=True)
+        ra = sorted((r.vec_id_a, r.vec_id_b) for r in a.collect())
+        rb = sorted((r.vec_id_a, r.vec_id_b) for r in b.collect())
+        assert ra == rb, f"threshold={thresh}: collapse path diverged"
+        assert len(ra) > 0
+        # zero-norm copies never pair, even with each other
+        zeros = {30 + 1000 * c for c in range(4)}
+        assert all(
+            p[0] not in zeros and p[1] not in zeros for p in rb
+        )
