@@ -182,6 +182,43 @@ def _shingled(
     )
 
 
+# "auto" collapse engages below this exact-copy fraction threshold.
+# Rationale in _should_collapse; shared by every near-dup operator so
+# the cutover behavior is uniform across the family.
+DUP_COLLAPSE_MIN = 0.05
+
+
+def _should_collapse(df: DataFrame, col: str, setting) -> bool:
+    """Resolve a ``collapse_identical`` setting (True/False/"auto").
+
+    "auto" probes the corpus's exact-copy mass with ONE scalar
+    aggregate: xxhash64 over the content column + HyperLogLog distinct
+    (``approx_count_distinct``, rsd 2%) — partial-aggregated, so no
+    shuffle of content and the driver sees two longs. Collapse engages
+    only when ≥ ``DUP_COLLAPSE_MIN`` of rows are copies: below that the
+    collapse's extra window+membership joins are pure fixed overhead
+    (measured +0.4-0.7 s per operator at sf0.1, where the organic dup
+    fraction is 0.16%), above it the c²-per-group savings in the
+    quadratic candidate stage dominate (measured 5-25× on the
+    replication probes — SCALE.md §1b). Either choice is byte-identical
+    in output (equivalence pytest-gated per operator), so the probe
+    only ever trades speed, never answers.
+
+    The probe costs one eager action over the input plan; callers with
+    an expensive upstream should cache it or pin True/False.
+    """
+    if setting != "auto":
+        return bool(setting)
+    r = df.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.approx_count_distinct(
+            F.xxhash64(F.col(col).cast("string")), 0.02
+        ).alias("nd"),
+    ).first()
+    n = r["n"]
+    return n > 0 and (1.0 - r["nd"] / n) >= DUP_COLLAPSE_MIN
+
+
 def jaccard_pairs(
     df: DataFrame,
     id_col: str = "doc_id",
@@ -189,7 +226,7 @@ def jaccard_pairs(
     n: int = 3,
     threshold: float = 0.5,
     max_shingle_df: int | None = None,
-    collapse_identical: bool = True,
+    collapse_identical="auto",
 ) -> DataFrame:
     """Exact word-n-gram Jaccard near-dup pairs via inverted index.
 
@@ -217,7 +254,7 @@ def jaccard_pairs(
     partition (min/count only) plus its own (unavoidable) pair output.
     """
     d = _shingled(df, id_col, text_col, n)
-    if not collapse_identical:
+    if not _should_collapse(df, text_col, collapse_identical):
         # Cache the exploded inverted index: the self-join below reads
         # it TWICE, and Spark does not automatically share the subplan —
         # without the cache the shingling runs once per side (the
@@ -336,6 +373,7 @@ def jaccard_components(
     node_col: str = "doc",
     max_iters: int = 50,
     algorithm: str = "star",
+    collapse_identical="auto",
 ) -> DataFrame:
     """Connected components of the :func:`jaccard_pairs` graph WITHOUT
     materializing the within-clique pair expansion.
@@ -366,7 +404,27 @@ def jaccard_components(
     broadcast-friendly join keyed on rep. Same recursive-CTE oracle as
     ``dedup_components``; equivalence to the expanded composition is
     pytest-gated on a cliquey corpus.
+
+    ``collapse_identical="auto"``: on a corpus the duplication probe
+    calls copy-free (see ``_should_collapse``), the rep machinery is
+    pure overhead — fall back to plain CC over the uncollapsed pair
+    join (same answer, fewer stages).
     """
+    if not _should_collapse(df, text_col, collapse_identical):
+        return connected_components(
+            jaccard_pairs(
+                df,
+                id_col,
+                text_col,
+                n,
+                threshold,
+                max_shingle_df,
+                collapse_identical=False,
+            ),
+            node_col=node_col,
+            max_iters=max_iters,
+            algorithm=algorithm,
+        )
     d = _shingled(df, id_col, text_col, n)
     memb, ex, surv = _collapsed_rep_index(d, max_shingle_df)
     rep_pairs = _pairs_from_index(ex, threshold)
@@ -569,7 +627,7 @@ def minhash_lsh_pairs(
     n: int = 3,
     threshold: float = 0.5,
     target_miss: float | None = None,
-    collapse_identical: bool = True,
+    collapse_identical="auto",
 ) -> DataFrame:
     """Near-dup pairs: MinHash signatures → banded LSH → exact verify.
 
@@ -608,7 +666,7 @@ def minhash_lsh_pairs(
     else:
         n_bands, n_rows = LSH_BANDS, LSH_ROWS
     hashed = _shingle_hashes(df, id_col, text_col, n)
-    if not collapse_identical:
+    if not _should_collapse(df, text_col, collapse_identical):
         sigs = hashed.withColumn("sig", _minhash_sig_udf()(F.col("hs")))
         return _minhash_pairs_core(sigs, n_bands, n_rows, threshold)
     mem = (
@@ -719,6 +777,7 @@ def connected_components(
     max_iters: int = 50,
     algorithm: str = "star",
     stats: dict | None = None,
+    local_threshold: int = 200_000,
 ) -> DataFrame:
     """Near-dup pairs → dedup groups: distributed connected components.
 
@@ -751,8 +810,71 @@ def connected_components(
     which is why callers no longer need to ``.cache()`` the pairs.
     Pass ``nodes`` explicitly only to label extra isolated nodes.
 
+    ``local_threshold``: adaptive small-graph fast path. When the node
+    set derives from the edges (``nodes=None``), the edge list is
+    checkpointed first either way, so its size is one cheap metadata
+    count — if it is ≤ the threshold (default 200k edges ≈ 3 MB of
+    longs), iterative Spark rounds are pure scheduler overhead
+    (measured ~3 s for a few hundred edges at sf0.1: 4-6 stages ×
+    rounds for a graph union-find solves in microseconds). The fast
+    path collects the BOUNDED edge list, runs union-find with min-root
+    labels on the driver, and parallelizes the labels back — the same
+    adaptive-threshold discipline as broadcast joins, with the
+    distributed rounds untouched above the threshold (and for callers
+    that pass ``nodes`` or ``local_threshold=0``). Output identical by
+    construction; equivalence pytest-gated.
+
     Returns (node_col, component) — component = min node id reachable.
     """
+    if nodes is None and local_threshold > 0:
+        # Raw pairs, no distinct/canonicalize pass: union-find absorbs
+        # duplicate and reversed edges for free, and the count threshold
+        # on the RAW list is only more conservative than on the distinct
+        # one. One checkpoint materializes the (possibly expensive)
+        # upstream generator exactly once for whichever path runs.
+        e0 = pairs.select(
+            F.col(a_col).alias("u"), F.col(b_col).alias("v")
+        ).localCheckpoint()
+        if e0.count() <= local_threshold:
+            if stats is not None:
+                stats["rounds"] = 0
+                stats["local"] = True
+            parent: dict = {}
+
+            def find(x):
+                r = x
+                while parent[r] != r:
+                    r = parent[r]
+                while parent[x] != r:  # path compression
+                    parent[x], x = r, parent[x]
+                return r
+
+            for r in e0.collect():
+                u, v = r["u"], r["v"]
+                if u == v:
+                    continue  # self-loops carry no membership, as in the
+                    # distributed canonicalization
+                parent.setdefault(u, u)
+                parent.setdefault(v, v)
+                ru, rv = find(u), find(v)
+                if ru != rv:
+                    # union by MIN root: the root IS the component label
+                    if rv < ru:
+                        ru, rv = rv, ru
+                    parent[rv] = ru
+            out = [(x, find(x)) for x in parent]
+            spark = pairs.sparkSession
+            schema = T.StructType(
+                [
+                    T.StructField(node_col, e0.schema["u"].dataType),
+                    T.StructField("component", e0.schema["u"].dataType),
+                ]
+            )
+            return spark.createDataFrame(out, schema)
+        # big graph: hand the checkpointed edges to the distributed
+        # rounds (their canonicalize+distinct reads the checkpoint, not
+        # the upstream generator)
+        pairs = e0.select(F.col("u").alias(a_col), F.col("v").alias(b_col))
     if algorithm == "star":
         return _cc_star(pairs, nodes, a_col, b_col, node_col, max_iters, stats)
     if algorithm != "minlabel":
@@ -1016,6 +1138,7 @@ def simhash_pairs_portable(
     id_col: str = "doc_id",
     text_col: str = "text",
     n: int = 3,
+    collapse_identical="auto",
 ) -> DataFrame:
     """Deterministic cross-engine SimHash near-dup pairs (oracle-exact).
 
@@ -1046,7 +1169,14 @@ def simhash_pairs_portable(
     sh = hashed.filter(F.col("n_sh") >= 1).select(
         "doc", F.expr(vote).alias("sim")
     )
-    return _simhash_pairs_core(sh, 8, SIMHASH_CHUNKS, cutoff, cast_long=True)
+    return _simhash_pairs_core(
+        sh,
+        8,
+        SIMHASH_CHUNKS,
+        cutoff,
+        cast_long=True,
+        collapse_identical=_should_collapse(df, text_col, collapse_identical),
+    )
 
 
 def _simhash_pairs_core(
@@ -1153,6 +1283,7 @@ def simhash_pairs(
     text_col: str = "text",
     n: int = 3,
     max_hamming: int = 8,
+    collapse_identical="auto",
 ) -> DataFrame:
     """SimHash near-dup pairs: band on 4×16-bit chunks, verify Hamming.
 
@@ -1162,7 +1293,14 @@ def simhash_pairs(
     """
     hashed = _shingle_hashes(df, id_col, text_col, n)
     sh = hashed.withColumn("sim", simhash(F.col("hs"))).select("doc", "sim")
-    return _simhash_pairs_core(sh, 16, 4, max_hamming, cast_long=False)
+    return _simhash_pairs_core(
+        sh,
+        16,
+        4,
+        max_hamming,
+        cast_long=False,
+        collapse_identical=_should_collapse(df, text_col, collapse_identical),
+    )
 
 
 # Substring-level dedup: portable polynomial hash for char k-grams.
@@ -1218,7 +1356,7 @@ def substring_pairs(
     text_col: str = "text",
     k: int = SUBSTR_K,
     p: int = SUBSTR_P,
-    collapse_identical: bool = True,
+    collapse_identical="auto",
 ) -> DataFrame:
     """Doc pairs sharing ≥1 sampled verbatim k-char gram (the
     exact-substring-dedup primitive of Lee et al.'s "Deduplicating
@@ -1247,7 +1385,7 @@ def substring_pairs(
         F.col(id_col).alias("doc"),
         _substr_fp_udf(k, p)(F.col(text_col)).alias("gs"),
     )
-    if not collapse_identical:
+    if not _should_collapse(df, text_col, collapse_identical):
         fps = raw.select("doc", F.explode("gs").alias("g")).cache()
         a, b = fps.alias("a"), fps.alias("b")
         return (

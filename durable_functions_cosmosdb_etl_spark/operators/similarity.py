@@ -577,7 +577,7 @@ def cosine_pairs_lsh(
     n_bands: int | None = None,
     band_bits: int | None = None,
     mode: str = "auto",
-    collapse_identical: bool = True,
+    collapse_identical="auto",
 ) -> DataFrame:
     """Embedding near-dup pairs via random-hyperplane sign-LSH banding.
 
@@ -623,7 +623,9 @@ def cosine_pairs_lsh(
         auto_b, auto_k = pick_sign_bands(threshold)
         n_bands = n_bands if n_bands is not None else auto_b
         band_bits = band_bits if band_bits is not None else auto_k
-    if collapse_identical:
+    from .dedup import _should_collapse
+
+    if _should_collapse(vectors, vec_col, collapse_identical):
         v0 = vectors.filter(F.col(vec_col).isNotNull()).select(
             F.col(id_col).alias("id"), F.col(vec_col).alias("v")
         )
@@ -729,7 +731,7 @@ def semantic_dedup(
     n_clusters: int = 10,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
-    collapse_identical: bool = True,
+    collapse_identical="auto",
 ) -> DataFrame:
     """SemDeDup-style semantic dedup: cluster, then dedup WITHIN clusters.
 

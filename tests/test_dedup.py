@@ -475,3 +475,24 @@ def test_substring_collapse_identical_equivalence(spark):
     rb = sorted((r.doc_a, r.doc_b, r.n_shared) for r in b.collect())
     assert ra == rb
     assert len(ra) >= 3 * (5 * 4 // 2)  # each clique fully paired
+
+
+def test_cc_local_fast_path_matches_distributed(spark):
+    """The small-graph local union-find (nodes=None, edges under the
+    threshold) produces exactly the distributed star labels, including
+    chains, cliques, self-loops and duplicate edges."""
+    edges = (
+        [(a, b) for a in range(1, 5) for b in range(a + 1, 5)]
+        + [(10, 11), (11, 12), (12, 13), (4, 10)]
+        + [(20, 21), (21, 20), (7, 7)]
+    )
+    pairs = spark.createDataFrame(edges, "doc_a int, doc_b int")
+    st = {}
+    local = dd.connected_components(pairs, stats=st)
+    assert st.get("local") is True
+    got = {(r.doc, r.component) for r in local.collect()}
+    dist = dd.connected_components(pairs, local_threshold=0)
+    want = {(r.doc, r.component) for r in dist.collect()}
+    assert got == want
+    # self-loop-only node 7 is dropped by canonicalization in BOTH paths
+    assert 7 not in {d for d, _ in got}

@@ -131,3 +131,45 @@ def test_fingerprint_matches_documented_formula(spark, ws):
         % 1_000_000_007
     )
     assert got == expect
+
+
+@given(
+    st.lists(st.integers(0, 5), min_size=2, max_size=14),
+    st.integers(0, 1000),
+)
+@settings(**SPARK_SETTINGS)
+def test_jaccard_collapse_equivalence_random(spark, picks, seed):
+    """Randomized corpora (drawn from a tiny doc pool so exact copies
+    and organic near-dups both occur) keep the collapse paths
+    byte-identical: jaccard_pairs(collapse) == jaccard_pairs(plain) and
+    jaccard_components == CC(jaccard_pairs). Complements the fixed
+    clique-corpus tests with hypothesis-driven shapes (singletons,
+    all-same, no-dups, mixed)."""
+    import random as _r
+
+    from durable_functions_cosmosdb_etl_spark.operators import dedup as dd
+
+    pool = [
+        "the quick brown fox jumps over the lazy dog",
+        "the quick brown fox jumps over the lazy cat",
+        "an entirely different text about query planning",
+        "short",
+        "",
+        "one two three four five six seven",
+    ]
+    rng = _r.Random(seed)
+    rows = [(i, pool[p % len(pool)]) for i, p in enumerate(picks)]
+    rng.shuffle(rows)
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    plain = dd.jaccard_pairs(
+        docs, n=2, threshold=0.4, collapse_identical=False
+    )
+    coll = dd.jaccard_pairs(docs, n=2, threshold=0.4)
+    pa = sorted((r.doc_a, r.doc_b, round(r.jaccard, 9)) for r in plain.collect())
+    pb = sorted((r.doc_a, r.doc_b, round(r.jaccard, 9)) for r in coll.collect())
+    assert pa == pb
+    expanded = dd.connected_components(plain)
+    comp = dd.jaccard_components(docs, n=2, threshold=0.4)
+    ea = sorted((r.doc, r.component) for r in expanded.collect())
+    ca = sorted((r.doc, r.component) for r in comp.collect())
+    assert ea == ca
