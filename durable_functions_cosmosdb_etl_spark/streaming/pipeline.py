@@ -72,6 +72,12 @@ def run_incremental_transform(
       isolation and time travel across micro-batches. Batch redelivery
       re-merges identical content: idempotent in state (a no-op
       version), matching the batch_dirs contract.
+    - ``sink="logtable_deferred"``: merge-on-READ ingest —
+      ``upsert_deferred`` appends each batch as delta units (commit
+      cost = the batch, regardless of table size; the eager MERGE's
+      per-batch bucket rewrite was the measured streaming bottleneck,
+      SCALE.md §2b), readers resolve latest-per-key lazily, and
+      ``compact()`` on the maintenance cadence folds deltas back.
     """
     if available_now is None:
         available_now = processing_time is None
@@ -80,7 +86,7 @@ def run_incremental_transform(
             "available_now=True and processing_time are mutually "
             "exclusive trigger modes"
         )
-    if sink not in ("batch_dirs", "logtable"):
+    if sink not in ("batch_dirs", "logtable", "logtable_deferred"):
         raise ValueError(f"unknown sink mode: {sink!r}")
     if isinstance(staging_dir, Container):
         # Connector path: cosmos.oltp.changeFeed (EtlProcess.cs:183-189)
@@ -92,7 +98,7 @@ def run_incremental_transform(
         )
 
     table = None
-    if sink == "logtable":
+    if sink in ("logtable", "logtable_deferred"):
         from ..sinks.logtable import LogTable
 
         table = LogTable(spark, out_dir, key="id")
@@ -102,6 +108,8 @@ def run_incremental_transform(
         if table is not None:
             if table.version() < 0:
                 table.create(out)
+            elif sink == "logtable_deferred":
+                table.upsert_deferred(out)
             else:
                 table.upsert(out)
         else:

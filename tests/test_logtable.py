@@ -597,3 +597,108 @@ def test_changes_insert_then_delete_nets_to_empty(spark, tmp_path):
     t.upsert(_mk(spark, [(50, "temp")]))
     t.delete_keys(spark.createDataFrame([(50,)], "id long"))
     assert t.changes(v0).count() == 0
+
+
+def test_upsert_deferred_resolves_latest_per_key(spark, tmp_path):
+    """Merge-on-read: deferred batches stack as delta units; snapshot
+    resolves to the highest generation per key with one row per key."""
+    t = LogTable(spark, str(tmp_path / "t"), key="id", n_buckets=4)
+    t.create(_mk(spark, [(1, "a"), (2, "b"), (3, "c")]))
+    t.upsert_deferred(_mk(spark, [(2, "b2"), (4, "d")]))
+    t.upsert_deferred(_mk(spark, [(2, "b3"), (5, "e")]))
+    assert _rows(t.snapshot()) == [
+        (1, "a"), (2, "b3"), (3, "c"), (4, "d"), (5, "e")
+    ]
+    assert "__gen" not in t.snapshot().columns
+    # time travel: the intermediate version resolves with its own deltas
+    assert _rows(t.snapshot(version=1)) == [
+        (1, "a"), (2, "b2"), (3, "c"), (4, "d")
+    ]
+    # in-batch duplicate keys resolve by order_col before the write
+    t2 = LogTable(spark, str(tmp_path / "t2"), key="id", n_buckets=4)
+    t2.create(_mk(spark, [(1, "a")]))
+    dups = spark.createDataFrame(
+        [(1, "low", 1), (1, "high", 9)], "id long, val string, ver long"
+    )
+    t2.upsert_deferred(dups.select("id", "val", "ver"), order_col="ver")
+    got = {(r["id"], r["val"]) for r in t2.snapshot().collect()}
+    assert got == {(1, "high")}
+
+
+def test_upsert_deferred_commit_cost_is_batch_only(spark, tmp_path):
+    """A deferred upsert adds units without removing or rewriting any —
+    the log proves the commit touched only the batch."""
+    t = LogTable(spark, str(tmp_path / "t"), key="id", n_buckets=4)
+    t.create(_mk(spark, [(i, f"v{i}") for i in range(40)]))
+    v = t.upsert_deferred(_mk(spark, [(1, "x")]))
+    entry = [e for e in t.history() if e["version"] == v][0]
+    assert entry["op"] == "upsert_delta"
+    assert entry["removed"] == []
+    assert all(u.get("delta") for u in entry["added"])
+    # the single-key batch wrote exactly one bucket unit
+    assert len(entry["added"]) == 1
+
+
+def test_eager_mutators_read_through_deltas(spark, tmp_path):
+    """upsert/merge/delete after deferred batches must not resurrect
+    shadowed rows or duplicate keys."""
+    t = LogTable(spark, str(tmp_path / "t"), key="id", n_buckets=4)
+    t.create(_mk(spark, [(1, "a"), (2, "b")]))
+    t.upsert_deferred(_mk(spark, [(1, "a2"), (3, "c")]))
+    t.upsert(_mk(spark, [(2, "b2")]))
+    assert _rows(t.snapshot()) == [(1, "a2"), (2, "b2"), (3, "c")]
+    t.delete_keys(spark.createDataFrame([(1,)], "id long"))
+    assert _rows(t.snapshot()) == [(2, "b2"), (3, "c")]
+    t.merge(_mk(spark, [(3, "c9"), (6, "f")]))
+    assert _rows(t.snapshot()) == [(2, "b2"), (3, "c9"), (6, "f")]
+
+
+def test_compact_folds_deltas_into_base(spark, tmp_path):
+    t = LogTable(spark, str(tmp_path / "t"), key="id", n_buckets=4)
+    t.create(_mk(spark, [(1, "a"), (2, "b")]))
+    t.upsert_deferred(_mk(spark, [(1, "a2")]))
+    before = _rows(t.snapshot())
+    t.compact()
+    assert _rows(t.snapshot()) == before
+    live = t._live_units()
+    assert not any(e.get("delta") for e in live.values())
+    assert "__gen" not in t.snapshot().columns
+
+
+def test_snapshot_where_correct_on_dirty_buckets(spark, tmp_path):
+    """Stats skipping must not let a stale shadowed base row win: a
+    filtered snapshot over dirty buckets equals filter-after-resolve."""
+    t = LogTable(spark, str(tmp_path / "t"), key="id", n_buckets=2)
+    t.create(spark.createDataFrame(
+        [(i, i) for i in range(20)], "id long, x long"
+    ))
+    # shift every key's x up by 100 via deferred upsert
+    t.upsert_deferred(spark.createDataFrame(
+        [(i, i + 100) for i in range(20)], "id long, x long"
+    ))
+    got = sorted(r["id"] for r in t.snapshot(where=[("x", "<", 50)]).collect())
+    # after resolution no row has x<50 — the stale base rows (x<20) must
+    # NOT surface even though their units' stats satisfy the predicate
+    assert got == []
+    got2 = sorted(
+        r["id"] for r in t.snapshot(where=[("x", ">=", 110)]).collect()
+    )
+    assert got2 == list(range(10, 20))
+
+
+def test_changes_across_deferred_commits(spark, tmp_path):
+    t = LogTable(spark, str(tmp_path / "t"), key="id", n_buckets=4)
+    t.create(_mk(spark, [(1, "a"), (2, "b")]))
+    t.upsert_deferred(_mk(spark, [(1, "a2"), (3, "c")]))
+    feed = {
+        (r["change"], r["id"], r["val"]) for r in t.changes(0, 1).collect()
+    }
+    assert feed == {("update", 1, "a2"), ("insert", 3, "c")}
+
+
+def test_upsert_deferred_rejects_append_lineage(spark, tmp_path):
+    t = LogTable(spark, str(tmp_path / "t"), key="id", n_buckets=4)
+    t.create(_mk(spark, [(1, "a")]))
+    t.append(_mk(spark, [(1, "dup")]))
+    with pytest.raises(ValueError, match="append"):
+        t.upsert_deferred(_mk(spark, [(2, "b")]))

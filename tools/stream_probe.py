@@ -66,6 +66,7 @@ def main() -> None:
         ("batch_dirs_all", None, "batch_dirs"),
         ("logtable_1file", 1, "logtable"),
         ("logtable_all", None, "logtable"),
+        ("logtable_deferred_1file", 1, "logtable_deferred"),
     ]
     for label, mfpt, sink in configs:
         out = f"{WORK}/out_{label}"
