@@ -496,3 +496,22 @@ def test_cc_local_fast_path_matches_distributed(spark):
     assert got == want
     # self-loop-only node 7 is dropped by canonicalization in BOTH paths
     assert 7 not in {d for d, _ in got}
+
+
+def test_should_collapse_probe_decision(spark):
+    """The "auto" duplication probe: engages on copy-heavy corpora,
+    stays off on all-distinct ones, and honors explicit pins."""
+    distinct = spark.createDataFrame(
+        [(i, f"unique text number {i}") for i in range(200)],
+        "doc_id long, text string",
+    )
+    copies = spark.createDataFrame(
+        [(i, f"copy number {i % 10}") for i in range(200)],
+        "doc_id long, text string",
+    )
+    assert dd._should_collapse(distinct, "text", "auto") is False
+    assert dd._should_collapse(copies, "text", "auto") is True
+    assert dd._should_collapse(distinct, "text", True) is True
+    assert dd._should_collapse(copies, "text", False) is False
+    empty = spark.createDataFrame([], "doc_id long, text string")
+    assert dd._should_collapse(empty, "text", "auto") is False
