@@ -538,8 +538,21 @@ class LogTable:
     def append(self, df: DataFrame) -> int:
         """Raw append commit — adds rows without touching stored ones.
         Does NOT maintain the one-row-per-key invariant; pair with
-        upsert-only writes when that invariant matters."""
-        v = self.version() + 1
+        upsert-only writes when that invariant matters. Refuses tables
+        with live delta units (the mirror of upsert_deferred's
+        append-lineage guard): merge-on-read resolution keeps ONE row
+        per key, so appended duplicate keys would silently vanish from
+        every read until the deltas were compacted away."""
+        base = self.version()
+        if base >= 0 and any(
+            e.get("delta") for e in self._live_units(as_of=base).values()
+        ):
+            raise ValueError(
+                "append onto a table with live delta units would let "
+                "merge-on-read resolution collapse the appended rows; "
+                "compact() first"
+            )
+        v = base + 1
         added = self._write_commit_dir(
             self._bucketed(df, dedupe=False, order_col=None), v
         )

@@ -702,3 +702,16 @@ def test_upsert_deferred_rejects_append_lineage(spark, tmp_path):
     t.append(_mk(spark, [(1, "dup")]))
     with pytest.raises(ValueError, match="append"):
         t.upsert_deferred(_mk(spark, [(2, "b")]))
+
+
+def test_append_rejects_live_deltas(spark, tmp_path):
+    """Mirror guard of the append-lineage check: appending onto live
+    delta units would let resolution collapse the appended rows."""
+    t = LogTable(spark, str(tmp_path / "t"), key="id", n_buckets=4)
+    t.create(_mk(spark, [(1, "a")]))
+    t.upsert_deferred(_mk(spark, [(1, "a2")]))
+    with pytest.raises(ValueError, match="delta"):
+        t.append(_mk(spark, [(1, "dup")]))
+    t.compact()
+    t.append(_mk(spark, [(1, "dup")]))  # folded: append allowed again
+    assert t.snapshot().count() == 2
