@@ -435,3 +435,36 @@ def test_aqe_skew_split_fires_on_skewed_band_join(spark):
     finally:
         for k, v in old.items():
             spark.conf.set(k, v)
+
+
+def test_collapse_paths_no_cartesian(spark):
+    """Every identical-content collapse path (forced on) keeps the
+    linear equi-join shape: no CartesianProduct / BroadcastNestedLoopJoin
+    anywhere in the physical plan — the membership-expansion joins are
+    all keyed on the representative."""
+    from durable_functions_cosmosdb_etl_spark.operators import dedup as dd
+    from durable_functions_cosmosdb_etl_spark.operators.similarity import (
+        cosine_pairs_lsh,
+    )
+
+    docs = spark.createDataFrame(
+        [(i, f"some words repeated here {i % 5} tail tokens") for i in range(40)],
+        "doc_id long, text string",
+    )
+    vecs = spark.createDataFrame(
+        [(i, [float(i % 7), 1.0, 2.0]) for i in range(40)],
+        "vec_id long, embedding array<float>",
+    )
+    frames = [
+        dd.jaccard_pairs(docs, n=2, threshold=0.4, collapse_identical=True),
+        dd.minhash_lsh_pairs(
+            docs, n=2, threshold=0.4, collapse_identical=True
+        ),
+        dd.simhash_pairs(docs, n=2, collapse_identical=True),
+        dd.substring_pairs(docs, k=8, collapse_identical=True),
+        cosine_pairs_lsh(vecs, threshold=0.9, collapse_identical=True),
+    ]
+    for df in frames:
+        plan = _plan(df)
+        assert "CartesianProduct" not in plan, plan
+        assert "BroadcastNestedLoopJoin" not in plan, plan
