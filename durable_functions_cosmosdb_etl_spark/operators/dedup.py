@@ -224,11 +224,11 @@ def _should_collapse(df: DataFrame, col: str, setting) -> bool:
         memo_key = None
     if memo_key is not None and memo_key in _COLLAPSE_MEMO:
         return _COLLAPSE_MEMO[memo_key]
+    # xxhash64 hashes strings AND arrays natively — no string
+    # materialization of embedding columns for the probe.
     r = df.agg(
         F.count(F.lit(1)).alias("n"),
-        F.approx_count_distinct(
-            F.xxhash64(F.col(col).cast("string")), 0.02
-        ).alias("nd"),
+        F.approx_count_distinct(F.xxhash64(F.col(col)), 0.02).alias("nd"),
     ).first()
     n = r["n"]
     decision = n > 0 and (1.0 - r["nd"] / n) >= DUP_COLLAPSE_MIN
