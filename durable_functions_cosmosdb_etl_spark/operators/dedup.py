@@ -271,8 +271,8 @@ def jaccard_pairs(
     no new skew classes; a giant identical group costs one window
     partition (min/count only) plus its own (unavoidable) pair output.
     """
-    d = _shingled(df, id_col, text_col, n)
     if not _should_collapse(df, text_col, collapse_identical):
+        d = _shingled(df, id_col, text_col, n)
         # Cache the exploded inverted index: the self-join below reads
         # it TWICE, and Spark does not automatically share the subplan —
         # without the cache the shingling runs once per side (the
@@ -288,7 +288,9 @@ def jaccard_pairs(
             ex = ex.join(F.broadcast(keep), "g")
         return _pairs_from_index(ex, threshold)
     # ---- collapse path -------------------------------------------------
-    memb, ex, surv = _collapsed_rep_index(d, max_shingle_df)
+    memb, ex, surv = _collapsed_rep_index(
+        df, id_col, text_col, n, max_shingle_df
+    )
     rep_pairs = _pairs_from_index(ex, threshold)
     # Within-group pairs: all members share the rep's shingle set, so
     # J = s/(2n−s) with s = surviving postings per rep (inner join ⇒
@@ -329,43 +331,85 @@ def jaccard_pairs(
     return cross.unionByName(same)
 
 
+def _text_collapsed(
+    df: DataFrame, id_col: str, text_col: str
+) -> tuple[DataFrame, DataFrame]:
+    """Level-0 collapse: byte-identical TEXTS to their min-id doc.
+
+    One shuffle keyed on the raw text value, run BEFORE any shingling —
+    so the (dominant) vectorized shingle UDF and the set-keyed window
+    downstream touch only DISTINCT content, not every copy. On the 64×
+    replication probe that is 5k rows through the expensive stages
+    instead of 320k. Returns ``(memb0 (doc, rep0), reps0 (doc, __text))``
+    with ``memb0`` cached (read again for the final membership join).
+    NULL texts group together like any other value; their downstream
+    fate (empty shingle set) is unchanged.
+    """
+    m0 = (
+        df.select(F.col(id_col).alias("doc"), F.col(text_col).alias("__text"))
+        .withColumn("rep0", F.min("doc").over(Window.partitionBy("__text")))
+        .cache()
+    )
+    memb0 = m0.select("doc", "rep0")
+    reps0 = m0.filter(F.col("doc") == F.col("rep0")).select("doc", "__text")
+    return memb0, reps0
+
+
 def _collapsed_rep_index(
-    d: DataFrame, max_shingle_df: int | None
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int,
+    max_shingle_df: int | None,
 ) -> tuple[DataFrame, DataFrame, DataFrame]:
-    """Identical-content collapse shared by :func:`jaccard_pairs` and
-    :func:`jaccard_components`.
+    """Two-level identical-content collapse shared by
+    :func:`jaccard_pairs` and :func:`jaccard_components`.
 
-    Input: a ``_shingled`` frame (doc, n_sh, sh). Returns
-    ``(memb, ex, surv)``:
+    Level 0 groups byte-identical texts BEFORE the shingler
+    (:func:`_text_collapsed`); level 1 groups the text-representatives
+    by their (sorted) shingle SET — strictly coarser (distinct texts
+    can shingle identically), and the set is what Jaccard semantics
+    depend on. The set-representative is the min of text-reps, each of
+    which is its group's min doc, so labels equal the global min member
+    — identical to the previous single-level collapse, with the linear
+    stages now sized by distinct content.
 
-    - ``memb`` (doc, n_sh, rep): every doc mapped to its group
-      representative = the MIN doc id among docs with the identical
-      shingle set (cached — read several times downstream and the
-      shingler is the dominant linear cost),
-    - ``ex`` (doc, n_sh, g): the inverted index over REPRESENTATIVES
+    Returns ``(memb, ex, surv)``:
+
+    - ``memb`` (doc, n_sh, rep): every ORIGINAL doc mapped to its
+      set-representative (composition of both levels),
+    - ``ex`` (doc, n_sh, g): the inverted index over set-representatives
       only (optionally df-capped, where document frequency still counts
-      ORIGINAL docs via group-size weighting so the capped shingle set
-      matches the uncollapsed path's),
+      ORIGINAL docs — the group sizes come from ``memb``),
     - ``surv`` (rep, s): surviving-posting count per rep, the ``s`` in
       the within-group Jaccard s/(2n−s).
     """
+    memb0, reps0 = _text_collapsed(df, id_col, text_col)
     # Shingle-less docs can never share a shingle → contribute no pairs
-    # in either path; dropping them here also keeps the all-empty-array
-    # group out of the window.
-    d = d.filter(F.col("n_sh") >= 1)
+    # in either path; dropping them (and, via the inner membership join,
+    # their whole identical-text groups) mirrors the plain path.
+    d = _shingled(reps0, "doc", "__text", n).filter(F.col("n_sh") >= 1)
     # Group key = the SORTED shingle array itself (order-insensitive,
     # collision-free — no hash-merging of distinct contents). The window
-    # computes each doc's representative in ONE shuffle keyed on the set.
+    # computes each text-rep's representative in ONE shuffle keyed on
+    # the set — over distinct texts only.
     w = Window.partitionBy(F.array_sort("sh"))
     mem = (
         d.withColumn("rep", F.min("doc").over(w))
         .select("doc", "n_sh", "sh", "rep")
         .cache()
     )
-    memb = mem.select("doc", "n_sh", "rep")
+    memb = (
+        memb0.join(
+            mem.select(F.col("doc").alias("rep0"), "n_sh", "rep"), "rep0"
+        )
+        .select("doc", "n_sh", "rep")
+    )
     reps = mem.filter(F.col("doc") == F.col("rep")).select("doc", "n_sh", "sh")
     ex = reps.select("doc", "n_sh", F.explode("sh").alias("g"))
     if max_shingle_df is not None:
+        # document frequency counts ORIGINAL docs: group sizes from the
+        # composed membership, exactly the uncollapsed path's df.
         gsz = memb.groupBy("rep").agg(F.count(F.lit(1)).alias("gsz"))
         keep = (
             ex.join(gsz, ex.doc == gsz.rep)
@@ -443,8 +487,9 @@ def jaccard_components(
             max_iters=max_iters,
             algorithm=algorithm,
         )
-    d = _shingled(df, id_col, text_col, n)
-    memb, ex, surv = _collapsed_rep_index(d, max_shingle_df)
+    memb, ex, surv = _collapsed_rep_index(
+        df, id_col, text_col, n, max_shingle_df
+    )
     rep_pairs = _pairs_from_index(ex, threshold)
     comp_rep = connected_components(
         rep_pairs, node_col="rep", max_iters=max_iters, algorithm=algorithm
@@ -683,16 +728,24 @@ def minhash_lsh_pairs(
         n_bands, n_rows = pick_bands(threshold, MINHASH_K, target_miss)
     else:
         n_bands, n_rows = LSH_BANDS, LSH_ROWS
-    hashed = _shingle_hashes(df, id_col, text_col, n)
     if not _should_collapse(df, text_col, collapse_identical):
+        hashed = _shingle_hashes(df, id_col, text_col, n)
         sigs = hashed.withColumn("sig", _minhash_sig_udf()(F.col("hs")))
         return _minhash_pairs_core(sigs, n_bands, n_rows, threshold)
+    # Two-level collapse (see _collapsed_rep_index): identical texts
+    # fold BEFORE the shingle/signature UDFs, identical shingle sets
+    # fold before banding; membership composes back to original docs.
+    memb0, reps0 = _text_collapsed(df, id_col, text_col)
+    hashed = _shingle_hashes(reps0, "doc", "__text", n)
     mem = (
         hashed.filter(F.col("n_sh") >= 1)
         .withColumn("rep", F.min("doc").over(Window.partitionBy(F.array_sort("sh"))))
         .cache()
     )
-    memb = mem.select("doc", "rep")
+    memb = (
+        memb0.join(mem.select(F.col("doc").alias("rep0"), "rep"), "rep0")
+        .select("doc", "rep")
+    )
     reps = mem.filter(F.col("doc") == F.col("rep")).select(
         "doc", "n_sh", "sh", "hs"
     )
@@ -1172,7 +1225,6 @@ def simhash_pairs_portable(
     Output: (doc_a, doc_b, hamming) for pairs with hamming <= chunks-1.
     """
     cutoff = SIMHASH_CHUNKS - 1
-    hashed = portable_shingle_hashes(df, id_col, text_col, n)
     # Majority vote as a pure JVM expression (no Python): bit i of sim is
     # set iff more than half the shingle hashes have bit i set — the
     # exact expression the DuckDB oracle evaluates. 48 × |hs| interpreted
@@ -1184,6 +1236,13 @@ def simhash_pairs_portable(
         "             (a, h) -> a + (shiftright(h, i) & 1)) > size(hs)"
         "     THEN shiftleft(1L, i) ELSE 0L END)"
     )
+    collapse = _should_collapse(df, text_col, collapse_identical)
+    if collapse:
+        memb0, reps0 = _text_collapsed(df, id_col, text_col)
+        hashed = portable_shingle_hashes(reps0, "doc", "__text", n)
+    else:
+        memb0 = None
+        hashed = portable_shingle_hashes(df, id_col, text_col, n)
     sh = hashed.filter(F.col("n_sh") >= 1).select(
         "doc", F.expr(vote).alias("sim")
     )
@@ -1193,7 +1252,8 @@ def simhash_pairs_portable(
         SIMHASH_CHUNKS,
         cutoff,
         cast_long=True,
-        collapse_identical=_should_collapse(df, text_col, collapse_identical),
+        collapse_identical=collapse,
+        pre_memb=memb0,
     )
 
 
@@ -1204,6 +1264,7 @@ def _simhash_pairs_core(
     cutoff: int,
     cast_long: bool,
     collapse_identical: bool = True,
+    pre_memb: DataFrame | None = None,
 ) -> DataFrame:
     """Chunk-banded candidate join + Hamming verify over (doc, sim).
     Shared by :func:`simhash_pairs` (4×16-bit) and
@@ -1225,6 +1286,16 @@ def _simhash_pairs_core(
             "rep", F.min("doc").over(Window.partitionBy("sim"))
         ).cache()
         memb = mem.select("doc", "rep")
+        if pre_memb is not None:
+            # sh rows are text-representatives; compose doc → text-rep →
+            # sim-rep so the expansion below emits ORIGINAL doc pairs
+            # (sim-rep = min of text-reps = global min member).
+            memb = (
+                pre_memb.join(
+                    memb.withColumnRenamed("doc", "rep0"), "rep0"
+                )
+                .select("doc", "rep")
+            )
         base = mem.filter(F.col("doc") == F.col("rep")).select("doc", "sim")
     else:
         base = sh.cache()
@@ -1309,7 +1380,13 @@ def simhash_pairs(
     least one exact 16-bit quarter; wider distances trade recall. Join is
     equi on (chunk_idx, chunk_value) — linear shuffle, like MinHash-LSH.
     """
-    hashed = _shingle_hashes(df, id_col, text_col, n)
+    collapse = _should_collapse(df, text_col, collapse_identical)
+    if collapse:
+        memb0, reps0 = _text_collapsed(df, id_col, text_col)
+        hashed = _shingle_hashes(reps0, "doc", "__text", n)
+    else:
+        memb0 = None
+        hashed = _shingle_hashes(df, id_col, text_col, n)
     sh = hashed.withColumn("sim", simhash(F.col("hs"))).select("doc", "sim")
     return _simhash_pairs_core(
         sh,
@@ -1317,7 +1394,8 @@ def simhash_pairs(
         4,
         max_hamming,
         cast_long=False,
-        collapse_identical=_should_collapse(df, text_col, collapse_identical),
+        collapse_identical=collapse,
+        pre_memb=memb0,
     )
 
 
