@@ -10,7 +10,7 @@ are instead sanity-bounded in tests/ against their exact counterparts.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..operators import dedup as dd
@@ -860,11 +860,40 @@ def dedup_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     an exact-hash broadcast semi join would be the cheap first pass for
     verbatim contamination (this fixture has no verbatim dupes, so the
     overlap form is the operative check).
+
+    Identical-content collapse (adaptive, same probe as the dedup
+    family): containment |T∩B|/|T| is a pure function of the two
+    shingle SETS, so identical train sets inherit their rep's result
+    (membership expansion), and duplicate bench sets contribute nothing
+    to the max (drop them outright — bench ids never reach the output).
+    On the 64× replication probe the copies² candidate blowup in the
+    train⋈bench join was the last super-linear engine stage
+    (full-sweep growth 11.9× for 4× data → collapse makes it the
+    distinct-content join).
     """
-    d = _docs(spark, sf_dir)
+    return contamination_check(_docs(spark, sf_dir))
+
+
+def contamination_check(d: DataFrame, collapse_identical="auto") -> DataFrame:
+    """Body of ``dedup_contamination``, parameterized for the collapse
+    equivalence test (both branches are byte-identical; see the query
+    docstring for the argument)."""
     sh = dd._shingled(d, "doc_id", "text", 3).filter(F.size("sh") > 0)
     bench = sh.filter(F.col("doc") % 10 == 0)
     train = sh.filter(F.col("doc") % 10 != 0)
+    t_memb = None
+    if dd._should_collapse(d, "text", collapse_identical):
+        wset = Window.partitionBy(F.array_sort("sh"))
+        tm = train.withColumn("rep", F.min("doc").over(wset)).cache()
+        t_memb = tm.select("doc", "rep")
+        train = tm.filter(F.col("doc") == F.col("rep")).select(
+            "doc", "n_sh", "sh"
+        )
+        bench = (
+            bench.withColumn("rep", F.min("doc").over(wset))
+            .filter(F.col("doc") == F.col("rep"))
+            .select("doc", "n_sh", "sh")
+        )
     t_ex = train.select(
         F.col("doc").alias("t_doc"), "n_sh", F.explode("sh").alias("g")
     )
@@ -891,7 +920,7 @@ def dedup_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("common"))
         .filter(F.col("common") >= 0.5 * F.col("n_sh"))
     )
-    return (
+    out = (
         common.groupBy(F.col("t_doc").alias("doc_id"), "n_sh")
         .agg(
             (F.max("common").cast("double") / F.col("n_sh")).alias(
@@ -901,6 +930,13 @@ def dedup_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", "max_containment")
         .distinct()
     )
+    if t_memb is not None:
+        # expand rep results to every identical-content train member
+        out = (
+            t_memb.join(out, t_memb.rep == out.doc_id)
+            .select(F.col("doc").alias("doc_id"), "max_containment")
+        )
+    return out
 
 
 @query(

@@ -80,3 +80,30 @@ def test_stratified_sample_proportions(spark):
         FF.count("*").alias("n")
     ).collect()}
     assert got == again
+
+
+def test_contamination_collapse_equivalence(spark):
+    """dedup_contamination's identical-content collapse branch (train
+    membership expansion + bench set dedup) is byte-identical to the
+    plain inverted-index join on a copy-heavy corpus where copies land
+    on BOTH sides of the %10 train/bench split."""
+    from pyspark.sql import functions as F
+
+    from durable_functions_cosmosdb_etl_spark.plans.llm_ops import (
+        contamination_check,
+    )
+
+    base = [
+        "the quick brown fox jumps over the lazy dog again and again",
+        "a completely different document about spark physical planning",
+        "say the quick brown fox jumps over",
+    ]
+    # ids i + 100c: copies of one text hit several residues mod 10
+    rows = [(i + 100 * c + 7 * i, t) for i, t in enumerate(base) for c in range(8)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    a = contamination_check(docs, collapse_identical=False)
+    b = contamination_check(docs, collapse_identical=True)
+    ra = sorted((r.doc_id, round(r.max_containment, 9)) for r in a.collect())
+    rb = sorted((r.doc_id, round(r.max_containment, 9)) for r in b.collect())
+    assert ra == rb
+    assert len(ra) > 0
