@@ -2,6 +2,7 @@
 
 from __future__ import annotations
 
+import pytest
 from pyspark.sql import functions as F
 
 from durable_functions_cosmosdb_etl_spark.operators import dedup as dd
@@ -515,3 +516,88 @@ def test_should_collapse_probe_decision(spark):
     assert dd._should_collapse(copies, "text", False) is False
     empty = spark.createDataFrame([], "doc_id long, text string")
     assert dd._should_collapse(empty, "text", "auto") is False
+
+
+def test_minhash_shingleless_docs_survive_ansi(spark):
+    """Two shingle-less docs (empty/whitespace/short/null text) get
+    identical all-zero minhash signatures, band-collide, and the exact
+    verify is 0/0 — a DIVIDE_BY_ZERO job kill under ANSI (Spark 4
+    default) in the UNCOLLAPSED branch before the n_sh >= 1 filter was
+    mirrored there. Both branches must drop them and agree."""
+    docs = spark.createDataFrame(
+        [
+            (1, ""),
+            (2, "   "),
+            (3, None),
+            (4, "xy"),
+            (5, "real text with enough words to shingle just fine here"),
+            (6, "real text with enough words to shingle just fine here"),
+        ],
+        "doc_id long, text string",
+    )
+    for collapse in (False, True):
+        out = dd.minhash_lsh_pairs(
+            docs, threshold=0.5, collapse_identical=collapse
+        )
+        rows = sorted((r.doc_a, r.doc_b) for r in out.collect())
+        assert rows == [(5, 6)], f"collapse={collapse}: {rows}"
+
+
+_FAMILY = [
+    ("jaccard_pairs", "text"),
+    ("jaccard_components", "text"),
+    ("minhash_lsh_pairs", "text"),
+    ("simhash_pairs_portable", "text"),
+    ("simhash_pairs", "text"),
+    ("substring_pairs", "text"),
+    ("cosine_pairs_lsh", "vec"),
+    ("semantic_dedup", "vec"),
+]
+
+
+@pytest.mark.parametrize("op_name,kind", _FAMILY, ids=[n for n, _ in _FAMILY])
+def test_auto_probe_consulted_by_every_family_member(
+    spark, monkeypatch, op_name, kind
+):
+    """EVERY member of the collapse family must resolve the literal
+    string "auto" through ``_should_collapse`` — never treat it as a
+    truthy value. Regression guard for the round-4 defect where
+    ``semantic_dedup`` had ``if collapse_identical:`` and therefore
+    ALWAYS collapsed (an unconditional vector-keyed window shuffle on
+    copy-light corpora). On an all-distinct corpus the probe must
+    resolve to False, i.e. the no-collapse plan is chosen."""
+    from durable_functions_cosmosdb_etl_spark.operators import similarity as sim
+
+    calls = []
+    real = dd._should_collapse
+
+    def recorder(df, col, setting):
+        decision = real(df, col, setting)
+        calls.append((col, setting, decision))
+        return decision
+
+    monkeypatch.setattr(dd, "_should_collapse", recorder)
+
+    if kind == "text":
+        corpus = spark.createDataFrame(
+            [(i, f"entirely unique text body number {i} with words") for i in range(60)],
+            "doc_id long, text string",
+        )
+        op = getattr(dd, op_name)
+        out = op(corpus, collapse_identical="auto")
+    else:
+        corpus = spark.createDataFrame(
+            [(i, [float(i), float(i * 2 + 1), 1.0]) for i in range(60)],
+            "vec_id long, embedding array<float>",
+        )
+        op = getattr(sim, op_name)
+        if op_name == "cosine_pairs_lsh":
+            out = op(corpus, threshold=0.99, collapse_identical="auto")
+        else:
+            out = op(corpus, n_clusters=4, collapse_identical="auto")
+    out.count()  # force plan build + execution
+    auto_calls = [c for c in calls if c[1] == "auto"]
+    assert auto_calls, f"{op_name} never consulted _should_collapse for 'auto'"
+    assert all(c[2] is False for c in auto_calls), (
+        f"{op_name}: probe chose collapse on an all-distinct corpus: {auto_calls}"
+    )
