@@ -61,10 +61,48 @@ HEADLINE_EXT = [
 
 N_RUNS = 3  # median-of-3 so noise blips are distinguishable from regressions
 
+# Scratch dirs whose presence is known to pollute bench numbers
+# (page-cache pressure from multi-GB probe builds once flipped an AQE
+# join-strategy threshold and measured text_tfidf 4x slower — see the
+# round-4 scale-probe notes). The bench refuses to pretend the machine
+# is clean: it warns on stderr and self-documents the state in the JSON.
+_PROBE_DIRS = ["/tmp/scale_probe", "/tmp/stream_probe", "/tmp/logtable_probe"]
+
+
+def _machine_state() -> dict:
+    import shutil
+
+    present = {}
+    for d in _PROBE_DIRS:
+        if os.path.isdir(d):
+            size = 0
+            for root, _dirs, files in os.walk(d):
+                for f in files:
+                    try:
+                        size += os.path.getsize(os.path.join(root, f))
+                    except OSError:
+                        pass
+            present[d] = size
+    state = {
+        "probe_dirs_present": bool(present),
+        "probe_dirs": {d: round(s / 1e9, 2) for d, s in present.items()},
+    }
+    if present:
+        total_gb = sum(present.values()) / 1e9
+        print(
+            f"bench.py: WARNING — stale probe data present "
+            f"({total_gb:.1f} GB in {sorted(present)}); numbers may be "
+            f"inflated by page-cache pressure. Delete before a "
+            f"comparison run.",
+            file=sys.stderr,
+        )
+    return state
+
 
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = float(os.path.basename(sf_dir.rstrip("/")).replace("sf", "") or "0.1")
+    machine_state = _machine_state()
     spark = get_spark("bench")
     spark.sparkContext.setLogLevel("ERROR")
     from durable_functions_cosmosdb_etl_spark.plans import registry
@@ -105,6 +143,7 @@ def main() -> None:
                 "headline_set": HEADLINE,
                 "extended_set": HEADLINE_EXT,
                 "total_extended_sec": round(sum(timings.values()), 3),
+                "machine_state": machine_state,
             }
         )
     )

@@ -222,6 +222,45 @@ def fit_ivf_centroids(
         (F.abs(F.xxhash64(F.col(id_col))) % 100 < pct)
         | F.lit(pct >= 100)
     )
+    return _fit_codebook(
+        corpus, fit_set, pct, n_centroids, id_col, vec_col,
+        min_fit_rows, n_iters, init,
+    )
+
+
+# Session-lifetime memo of the small-corpus floor probe, keyed on
+# (plan semanticHash, required row count) — same discipline as
+# dedup._COLLAPSE_MEMO: repeated invocations of a registered query pay
+# the eager limit().count() job once, not once per call. A hash
+# collision can only mispick the SAMPLE SIZE regime (fit on sample vs
+# full corpus), never an answer downstream of the fitted codebook.
+_FIT_SIZE_MEMO: dict = {}
+
+
+def _corpus_reaches(corpus: DataFrame, need: int) -> bool:
+    try:
+        memo_key = (corpus.semanticHash(), need)
+    except Exception:  # pragma: no cover — non-classic DataFrame impls
+        memo_key = None
+    if memo_key is not None and memo_key in _FIT_SIZE_MEMO:
+        return _FIT_SIZE_MEMO[memo_key]
+    reaches = corpus.limit(need).count() >= need
+    if memo_key is not None:
+        _FIT_SIZE_MEMO[memo_key] = reaches
+    return reaches
+
+
+def _fit_codebook(
+    corpus: DataFrame,
+    fit_set: DataFrame,
+    pct: int,
+    n_centroids: int,
+    id_col: str,
+    vec_col: str,
+    min_fit_rows: int,
+    n_iters: int,
+    init: str,
+) -> DataFrame:
     # Small-corpus guard, enforced on the SAMPLE size: the sample must
     # itself retain ≥ min_fit_rows × n_centroids rows, i.e. the corpus
     # must reach floor/fit_fraction before sampling kicks in. Gating on
@@ -231,7 +270,7 @@ def fit_ivf_centroids(
     # metadata-cheap scan compared to the posexplode it gates.
     floor = min_fit_rows * n_centroids
     need = -(-floor * 100 // pct)  # ceil: corpus size at which pct% ≥ floor
-    if pct < 100 and corpus.limit(need).count() < need:
+    if pct < 100 and not _corpus_reaches(corpus, need):
         fit_set = corpus
     if init == "kcenter":
         seeds = _kcenter_seeds(fit_set, n_centroids, id_col, vec_col)
@@ -253,9 +292,13 @@ def fit_ivf_centroids(
     else:
         raise ValueError(f"unknown init: {init!r}")
     for _ in range(max(1, n_iters)):
-        assigned = assign_to_centroids(fit_set, centroids, id_col, vec_col)
+        # keep_all: the vector rides along with its assignment — no
+        # re-join of the fit set on id (one exchange per Lloyd step).
+        assigned = assign_to_centroids(
+            fit_set, centroids, id_col, vec_col, keep_all=True
+        )
         centroids = (
-            assigned.join(fit_set, id_col)
+            assigned
             .select("centroid_id", F.posexplode(vec_col).alias("pos", "val"))
             .groupBy("centroid_id", "pos")
             .agg(F.avg(_d(F.col("val"))).alias("m"))
@@ -280,8 +323,17 @@ def assign_to_centroids(
     centroids: DataFrame,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    keep_all: bool = False,
 ) -> DataFrame:
     """vector → nearest centroid id, computed MAP-SIDE.
+
+    ``keep_all=True`` returns every corpus column plus ``centroid_id``
+    in one map-side pass. Callers that need the vector (or any payload)
+    alongside the assignment must use this instead of joining the
+    default (id, centroid_id) output back to the corpus on id — that
+    join is a FULL-CORPUS exchange of both sides purely to re-attach
+    columns the assignment scan already had in hand; at 100 TB it was
+    the single largest avoidable shuffle in the IVF/SemDeDup plans.
 
     The centroid table (tiny by construction) collapses to a single
     array-of-structs row, broadcast into the corpus scan; the argmax is
@@ -331,10 +383,13 @@ def assign_to_centroids(
             ),
         )
     )
+    out_cols = (
+        [F.col(c) for c in corpus.columns] if keep_all else [F.col(id_col)]
+    )
     return (
         corpus.withColumn("_vnorm", l2_norm(vec))
         .crossJoin(cen_arr)
-        .select(F.col(id_col), (-best["ncid"]).alias("centroid_id"))
+        .select(*out_cols, (-best["ncid"]).alias("centroid_id"))
         # Degenerate codebook contract: with ZERO centroids the argmax
         # over an empty array is NULL for every row — filter those so an
         # empty codebook yields zero assignments (the behavior of the
@@ -367,8 +422,11 @@ def ivf_topk(
     centroids = fit_ivf_centroids(
         corpus, n_centroids, id_col, vec_col, init=init, n_iters=n_iters
     ).cache()
-    corpus_cells = corpus.join(
-        assign_to_centroids(corpus, centroids, id_col, vec_col), id_col
+    # keep_all: assignment + payload in one map-side pass — the previous
+    # corpus.join(assignments, id) re-shuffled the whole corpus just to
+    # re-attach the vector column.
+    corpus_cells = assign_to_centroids(
+        corpus, centroids, id_col, vec_col, keep_all=True
     )
     # top-nprobe cells per query
     cen = F.broadcast(centroids)
@@ -788,13 +846,16 @@ def semantic_dedup(
         work = mem.filter(F.col("id") == F.col("rep")).select("id", "v")
     else:
         work = base
-    assigned = assign_to_centroids(
+    # keep_all: vector + assignment in one map-side pass (no corpus
+    # re-join on id); the only exchange left before the per-cell GEMM is
+    # the groupBy(centroid_id) shuffle, which is inherent to SemDeDup.
+    cells = assign_to_centroids(
         work.select(F.col("id").alias(id_col), F.col("v").alias(vec_col)),
         centroids,
         id_col,
         vec_col,
-    )
-    cells = work.join(assigned.withColumnRenamed(id_col, "id"), "id")
+        keep_all=True,
+    ).select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"), "centroid_id")
 
     out_schema = T.StructType(
         [
