@@ -229,8 +229,87 @@ class PosixCommitProtocol(CommitProtocol):
         return True
 
 
+class ConditionalPutCommitProtocol(CommitProtocol):
+    """Claim via an object-store-style conditional put
+    (S3 ``PUT If-None-Match: *``), emulated faithfully on a directory so
+    the full LogTable test matrix can exercise the non-POSIX seam
+    without a cloud dependency.
+
+    The store model: (1) the client uploads the payload to a
+    store-private staging object (the network transfer), then (2) the
+    store applies one atomic create-iff-absent — internally serialized,
+    and either the complete object appears under ``final`` or nothing
+    does. The emulation maps (2) to a critical section under an
+    advisory ``flock`` on a per-log lock file (the store's internal
+    serialization; auto-released on process death, so a crashed writer
+    can never wedge the table) with ``os.replace`` as the atomic
+    publish. GET-never-sees-partial holds because the only write to
+    ``final`` is the atomic rename of a fully-written staging file.
+
+    ``before_put`` (tests only): callable injected between upload and
+    the store's atomic section — the widest race window a real client
+    has. A crash there leaves a ``*.tmp`` staging orphan (reclaimed by
+    ``vacuum``) and no claim, exactly like an aborted network PUT.
+    """
+
+    def __init__(self, before_put=None) -> None:
+        self.before_put = before_put
+
+    def claim(self, tmp: str, final: str) -> bool:
+        import fcntl
+
+        staged = f"{final}.put.{os.getpid()}.tmp"
+        shutil.copyfile(tmp, staged)
+        if self.before_put is not None:
+            self.before_put()
+        lock_path = os.path.join(os.path.dirname(final), "_store.lock")
+        with open(lock_path, "w") as lk:
+            fcntl.flock(lk, fcntl.LOCK_EX)
+            try:
+                if os.path.exists(final):
+                    os.unlink(staged)
+                    return False
+                os.replace(staged, final)
+                return True
+            finally:
+                fcntl.flock(lk, fcntl.LOCK_UN)
+
+
 def _unit(commit_dir: str, bucket: int) -> str:
     return f"{commit_dir}/__bucket={bucket}"
+
+
+# Ops whose output units are known to have gone through key-merging
+# logic. Anything else — raw ``append`` units, units written by older
+# versions of this module that stamped no op tag at all — may hold
+# duplicate keys and is treated as RAW-tainted until certified.
+_MERGED_OPS = {"create", "upsert", "merge", "delete", "compact",
+               "upsert_delta", "certify"}
+
+
+def _raw_tainted(e: dict) -> bool:
+    """True when this unit may hold duplicate keys.
+
+    The taint is sticky through eager rewrites: an upsert that rewrites
+    a bucket containing append-duplicate rows KEEPS those duplicates in
+    its output (only updated keys are replaced), so the new unit must
+    inherit the marker — otherwise the re-tag to op='upsert' would
+    launder the taint and let ``upsert_deferred``'s merge-on-read
+    resolution silently collapse previously-visible rows. Cleared only
+    by :meth:`LogTable.certify_unique`, which PROVES one-row-per-key.
+    Untagged units (pre-op-tag tables) are untrusted by the same rule.
+    """
+    return bool(e.get("raw")) or e.get("op") not in _MERGED_OPS
+
+
+def _propagate_taint(added: list[dict], read_set: list[dict]) -> None:
+    """Stamp ``raw`` onto new units whose bucket's read set contained a
+    tainted unit (bucket-level precision: buckets never touched by raw
+    appends stay clean)."""
+    tainted_buckets = {e["bucket"] for e in read_set if _raw_tainted(e)}
+    for u in added:
+        if u["bucket"] in tainted_buckets:
+            u["raw"] = True
 
 
 class LogTable:
@@ -613,6 +692,7 @@ class LogTable:
         else:
             merged = up
         added = self._write_commit_dir(merged, v)
+        _propagate_taint(added, replaced)
         return self._commit(op, added, replaced, v)
 
     def upsert_deferred(
@@ -645,17 +725,24 @@ class LogTable:
         unit only in buckets with no live delta (pruning any row of a
         dirty bucket could change which row the window keeps).
 
-        Raises on tables carrying raw :meth:`append` units: append
-        makes no one-row-per-key promise, and resolution would silently
-        collapse its duplicate keys.
+        Raises on tables carrying RAW-tainted units (see
+        :func:`_raw_tainted`): raw :meth:`append` units make no
+        one-row-per-key promise, the taint survives eager rewrites of
+        their buckets (an upsert keeps non-updated duplicate rows while
+        re-tagging the unit — without the sticky marker that rewrite
+        would launder the taint away), and units with no op tag at all
+        (older tables) are untrusted by the same rule. Run
+        :meth:`certify_unique` to prove the invariant and clear the
+        taint.
         """
         base = self.version()
         live = self._live_units(as_of=base if base >= 0 else None)
-        if any(e.get("op") == "append" for e in live.values()):
+        if any(_raw_tainted(e) for e in live.values()):
             raise ValueError(
                 "upsert_deferred requires the one-row-per-key discipline; "
-                "this table holds raw append units — compact or rewrite "
-                "them first"
+                "this table holds raw units (append lineage or untagged) "
+                "whose buckets may carry duplicate keys — run "
+                "certify_unique() (or rewrite the table) first"
             )
         v = base + 1
         up = self._bucketed(updates, dedupe=True, order_col=order_col)
@@ -769,6 +856,7 @@ class LogTable:
                 .withColumn("__bucket", F.col("__b"))
             )
         added = self._write_commit_dir(merged, v)
+        _propagate_taint(added, replaced)
         return self._commit("merge", added, replaced, v)
 
     def delete_keys(self, keys: DataFrame) -> int:
@@ -792,7 +880,47 @@ class LogTable:
                 k.select(F.col(self.key)), self.key, "left_anti"
             ).withColumn("__bucket", F.col("__b"))
             added = self._write_commit_dir(remaining, v)
+        _propagate_taint(added, replaced)
         return self._commit("delete", added, replaced, v)
+
+    def certify_unique(self) -> int | None:
+        """Prove one-row-per-key on RAW-tainted buckets and clear the
+        taint — the sanctioned path from append-lineage to
+        :meth:`upsert_deferred`.
+
+        Scans ONLY the tainted buckets; raises when any key there holds
+        more than one row (the table genuinely violates the invariant —
+        nothing is dropped silently; the caller decides how to repair).
+        When the check passes, the tainted buckets are rewritten
+        byte-equivalent under ``op='certify'`` in one commit — an
+        O(tainted buckets) operation, no-op (returns None) on clean
+        tables.
+        """
+        base = self.version()
+        live = self._live_units(as_of=base if base >= 0 else None)
+        tainted = {e["bucket"] for e in live.values() if _raw_tainted(e)}
+        if not tainted:
+            return None
+        replaced = [e for e in live.values() if e["bucket"] in tainted]
+        cur = self._read_resolved(live, tainted)
+        dup = (
+            cur.groupBy(self.key)
+            .agg(F.count(F.lit(1)).alias("n"))
+            .filter(F.col("n") > 1)
+            .limit(1)
+            .collect()
+        )
+        if dup:
+            raise ValueError(
+                f"certify_unique failed: key {dup[0][self.key]!r} has "
+                f"{dup[0]['n']} rows in raw buckets — repair (delete or "
+                "rewrite) before using upsert_deferred"
+            )
+        v = base + 1
+        added = self._write_commit_dir(
+            cur.withColumn("__bucket", F.col("__b")), v
+        )
+        return self._commit("certify", added, replaced, v)
 
     def compact(self) -> int:
         """Rewrite the whole live set into one commit dir (defragments
@@ -806,6 +934,9 @@ class LogTable:
             added = self._write_commit_dir(
                 cur.withColumn("__bucket", F.col("__b")), v
             )
+        # Compaction changes layout, never content: append-duplicate
+        # rows survive it, so the taint does too.
+        _propagate_taint(added, list(live.values()))
         return self._commit("compact", added, list(live.values()), v)
 
     # -------------------------------------------------------------- reads

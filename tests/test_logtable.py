@@ -704,6 +704,205 @@ def test_upsert_deferred_rejects_append_lineage(spark, tmp_path):
         t.upsert_deferred(_mk(spark, [(2, "b")]))
 
 
+def test_append_taint_survives_eager_rewrite(spark, tmp_path):
+    """Laundering regression: an eager upsert rewrites buckets holding
+    append-duplicate rows into units re-tagged op='upsert' WHILE
+    PRESERVING the duplicates — the raw taint must ride along, or
+    upsert_deferred is accepted and merge-on-read resolution silently
+    drops previously-visible rows from every snapshot."""
+    t = LogTable(spark, str(tmp_path / "t"), key="id", n_buckets=1)
+    t.create(_mk(spark, [(1, "a")]))
+    t.append(_mk(spark, [(1, "dup")]))          # duplicate key 1
+    t.upsert(_mk(spark, [(2, "b")]))            # rewrites the bucket
+    # duplicates survived the rewrite...
+    assert sorted(r["val"] for r in t.snapshot().collect()) == [
+        "a", "b", "dup",
+    ]
+    # ...so deferred upserts must still refuse
+    with pytest.raises(ValueError, match="raw"):
+        t.upsert_deferred(_mk(spark, [(3, "c")]))
+    before = _rows(t.snapshot())
+    # compact doesn't launder either
+    t.compact()
+    with pytest.raises(ValueError, match="raw"):
+        t.upsert_deferred(_mk(spark, [(3, "c")]))
+    assert _rows(t.snapshot()) == before
+
+
+def test_certify_unique_clears_taint_or_raises(spark, tmp_path):
+    """certify_unique: raises on a genuine duplicate (drops nothing);
+    after the duplicate is repaired it rewrites the tainted buckets
+    byte-equivalent and upsert_deferred is accepted again."""
+    # n_buckets=1: the surviving keys share the raw unit's bucket, so
+    # the taint persists through the repair rewrites until certified
+    t = LogTable(spark, str(tmp_path / "t"), key="id", n_buckets=1)
+    t.create(_mk(spark, [(1, "a"), (2, "b")]))
+    t.append(_mk(spark, [(1, "dup")]))
+    with pytest.raises(ValueError, match="certify_unique failed"):
+        t.certify_unique()
+    # repair: delete the duplicated key entirely, then re-insert one row
+    t.delete_keys(spark.createDataFrame([(1,)], "id long"))
+    t.upsert(_mk(spark, [(1, "a9")]))
+    before = _rows(t.snapshot())
+    v = t.certify_unique()
+    assert v == t.version()
+    assert _rows(t.snapshot()) == before       # content unchanged
+    t.upsert_deferred(_mk(spark, [(3, "c")]))  # accepted now
+    assert _rows(t.snapshot()) == sorted(before + [(3, "c")])
+    assert t.certify_unique() is None          # clean table → no-op
+
+
+def test_untagged_units_are_untrusted(spark, tmp_path):
+    """Units written by older module versions carry no op tag; the
+    deferred-upsert guard must treat them as raw, not assume they were
+    merged."""
+    import json as _json
+
+    p = str(tmp_path / "t")
+    t = LogTable(spark, p, key="id", n_buckets=2)
+    t.create(_mk(spark, [(1, "a"), (2, "b")]))
+    # simulate the legacy log: strip op tags from every unit entry
+    log = os.path.join(p, "_log", f"{0:020d}.json")
+    with open(log) as f:
+        e = _json.load(f)
+    for u in e["added"]:
+        u.pop("op", None)
+    os.unlink(log)
+    with open(log, "w") as f:
+        _json.dump(e, f)
+    t2 = LogTable(spark, p, key="id", n_buckets=2)
+    with pytest.raises(ValueError, match="raw"):
+        t2.upsert_deferred(_mk(spark, [(3, "c")]))
+    t2.certify_unique()                        # proves the invariant
+    t2.upsert_deferred(_mk(spark, [(3, "c")]))
+    assert _rows(t2.snapshot()) == [(1, "a"), (2, "b"), (3, "c")]
+
+
+# ------------------------------------------- conditional-put protocol
+
+
+def _protocols():
+    from durable_functions_cosmosdb_etl_spark.sinks.logtable import (
+        ConditionalPutCommitProtocol,
+        PosixCommitProtocol,
+    )
+
+    return [
+        pytest.param(PosixCommitProtocol, id="posix-link"),
+        pytest.param(ConditionalPutCommitProtocol, id="conditional-put"),
+    ]
+
+
+@pytest.mark.parametrize("proto", _protocols())
+def test_protocol_roundtrip(spark, tmp_path, proto):
+    """create/upsert/delete/snapshot/time-travel all behave identically
+    over both commit protocols."""
+    t = LogTable(spark, str(tmp_path / "t"), key="id", n_buckets=4,
+                 protocol=proto())
+    t.create(_mk(spark, [(1, "a"), (2, "b")]))
+    t.upsert(_mk(spark, [(2, "B"), (3, "c")]))
+    t.delete_keys(spark.createDataFrame([(1,)], "id long"))
+    assert _rows(t.snapshot()) == [(2, "B"), (3, "c")]
+    assert _rows(t.snapshot(0)) == [(1, "a"), (2, "b")]
+
+
+@pytest.mark.parametrize("proto", _protocols())
+def test_protocol_concurrent_commit_detected(spark, tmp_path, proto):
+    """A rival landing base+1 between our base-read and our claim is a
+    ConcurrentCommitError under BOTH protocols; the table is untouched."""
+    p = str(tmp_path / "t")
+    t = LogTable(spark, p, key="id", n_buckets=4, protocol=proto())
+    t.create(_mk(spark, [(1, "a")]))
+    rogue = os.path.join(p, "_log", f"{1:020d}.json")
+    with open(rogue, "w") as f:
+        f.write('{"version": 1, "op": "append", "added": [], "removed": []}')
+    with pytest.raises(ConcurrentCommitError):
+        t._commit("upsert", [], [], v=1)
+    assert _rows(t.snapshot(0)) == [(1, "a")]
+
+
+def test_conditional_put_race_loser_aborts_cleanly(spark, tmp_path):
+    """Injected race in the conditional-put window: a rival writer's
+    object lands between our upload and the store's atomic section. Our
+    put must lose (If-None-Match), the rival's content must survive
+    intact, and our staging object is a vacuumable orphan."""
+    from durable_functions_cosmosdb_etl_spark.sinks.logtable import (
+        ConditionalPutCommitProtocol,
+    )
+
+    p = str(tmp_path / "t")
+    rogue = os.path.join(p, "_log", f"{1:020d}.json")
+
+    def rival_lands():
+        if not os.path.exists(rogue):
+            with open(rogue, "w") as f:
+                f.write(
+                    '{"version": 1, "op": "append", '
+                    '"added": [], "removed": []}'
+                )
+
+    t = LogTable(
+        spark, p, key="id", n_buckets=4,
+        protocol=ConditionalPutCommitProtocol(),
+    )
+    t.create(_mk(spark, [(1, "a")]))
+    t.protocol.before_put = rival_lands
+    with pytest.raises(ConcurrentCommitError):
+        t.upsert(_mk(spark, [(2, "b")]))
+    # rival's commit content is intact (not clobbered by the loser)
+    with open(rogue) as f:
+        assert '"op": "append"' in f.read()
+    # loser's data dir is an unreferenced orphan; vacuum reclaims it
+    t.protocol.before_put = None
+    deleted = t.vacuum(retain_versions=0)
+    assert "data/c1" in deleted
+    v = t.upsert(_mk(spark, [(2, "b")]))  # recovers on top of the rival
+    assert v == 2
+    assert _rows(t.snapshot()) == [(1, "a"), (2, "b")]
+
+
+def test_conditional_put_crash_mid_upload_leaves_no_claim(spark, tmp_path):
+    """A writer dying between upload and the store's atomic section
+    leaves a staging orphan and NO version claim — a fresh writer
+    proceeds at the same version (no wedge; flock dies with the
+    process) and vacuum reclaims the staging object."""
+    from durable_functions_cosmosdb_etl_spark.sinks.logtable import (
+        ConditionalPutCommitProtocol,
+    )
+
+    class Die(RuntimeError):
+        pass
+
+    def crash():
+        raise Die()
+
+    p = str(tmp_path / "t")
+    t = LogTable(
+        spark, p, key="id", n_buckets=4,
+        protocol=ConditionalPutCommitProtocol(),
+    )
+    t.create(_mk(spark, [(1, "a")]))
+    t.protocol.before_put = crash
+    with pytest.raises(Die):
+        t.upsert(_mk(spark, [(2, "b")]))
+    t2 = LogTable(
+        spark, p, key="id", n_buckets=4,
+        protocol=ConditionalPutCommitProtocol(),
+    )
+    assert t2.version() == 0               # no claim landed
+    assert _rows(t2.snapshot()) == [(1, "a")]
+    staged = [
+        n for n in os.listdir(os.path.join(p, "_log"))
+        if ".put." in n and n.endswith(".tmp")
+    ]
+    assert staged                          # upload orphan present
+    deleted = t2.vacuum(retain_versions=0)
+    assert any(".put." in d for d in deleted)
+    v = t2.upsert(_mk(spark, [(2, "b")]))  # same version, unobstructed
+    assert v == 1
+    assert _rows(t2.snapshot()) == [(1, "a"), (2, "b")]
+
+
 def test_append_rejects_live_deltas(spark, tmp_path):
     """Mirror guard of the append-lineage check: appending onto live
     delta units would let resolution collapse the appended rows."""
