@@ -385,13 +385,30 @@ class LogTable:
 
     # ---------------------------------------------------------------- log
 
-    def _log_entries(self) -> Iterator[dict]:
+    def _log_entries(
+        self, after: int = -1, upto: int | None = None
+    ) -> Iterator[dict]:
+        """Commit entries with ``after < version <= upto``, oldest first.
+
+        The version range is decided from the zero-padded FILENAME, so
+        out-of-range entries are never opened or parsed — this is what
+        makes checkpointed replay genuinely O(commits since checkpoint)
+        rather than O(history) with a post-parse skip (the logtable
+        probe caught the latter: replay cost was flat with vs without a
+        checkpoint until this filter moved before the open).
+        """
         log_dir = os.path.join(self.path, _LOG_DIR)
         for name in sorted(os.listdir(log_dir)):
             # skip _checkpoint.*, _meta.json, *.tmp
-            if name.endswith(".json") and not name.startswith("_"):
-                with open(os.path.join(log_dir, name)) as f:
-                    yield json.load(f)
+            if not (name.endswith(".json") and not name.startswith("_")):
+                continue
+            v = int(name[:-5])
+            if v <= after:
+                continue
+            if upto is not None and v > upto:
+                break
+            with open(os.path.join(log_dir, name)) as f:
+                yield json.load(f)
 
     def _latest_checkpoint(self) -> dict | None:
         """Newest ``_checkpoint.{v}.json``, or None. The checkpoint holds
@@ -462,11 +479,7 @@ class LogTable:
         if cp is not None and (as_of is None or as_of >= cp["version"]):
             live = {u["unit"]: u for u in cp["live"]}
             start_after = cp["version"]
-        for e in self._log_entries():
-            if e["version"] <= start_after:
-                continue
-            if as_of is not None and e["version"] > as_of:
-                break
+        for e in self._log_entries(after=start_after, upto=as_of):
             for u in e.get("removed", []):
                 live.pop(u["unit"], None)
             for u in e.get("added", []):
@@ -1032,10 +1045,9 @@ class LogTable:
         to_version = self.version() if to_version is None else to_version
         hi = self._live_units(as_of=to_version)
         touched: set[int] | None = set()
-        for e in self._log_entries():
-            if from_version < e["version"] <= to_version:
-                for u in e.get("added", []) + e.get("removed", []):
-                    touched.add(u["bucket"])
+        for e in self._log_entries(after=from_version, upto=to_version):
+            for u in e.get("added", []) + e.get("removed", []):
+                touched.add(u["bucket"])
         old = self._resolve(self._read_units(lo, touched), lo, touched)
         new = self._resolve(self._read_units(hi, touched), hi, touched)
         key = self.key

@@ -41,6 +41,7 @@ def run_incremental_transform(
     available_now: bool | None = None,
     processing_time: str | None = None,
     sink: str = "batch_dirs",
+    maintenance_every: int | None = None,
 ):
     """Consume staged SampleItem files incrementally; transform; upsert.
 
@@ -76,8 +77,22 @@ def run_incremental_transform(
       ``upsert_deferred`` appends each batch as delta units (commit
       cost = the batch, regardless of table size; the eager MERGE's
       per-batch bucket rewrite was the measured streaming bottleneck,
-      SCALE.md §2b), readers resolve latest-per-key lazily, and
-      ``compact()`` on the maintenance cadence folds deltas back.
+      SCALE.md §2b — measured 2.5× over eager at full key spread),
+      readers resolve latest-per-key lazily, and ``compact()`` folds
+      deltas back. **This is the recommended sink for write-heavy
+      feeds** (high-frequency batches against a large stored table);
+      use eager ``logtable`` only when every reader must see a
+      merge-free base table at all times.
+
+    ``maintenance_every=N`` (logtable sinks only): every N micro-batches
+    the processor runs ``compact()`` (folds delta units into base,
+    reclaiming the read-time resolution window) followed by
+    ``checkpoint_log()`` (bounds log replay to O(commits since
+    checkpoint) — one compact+deferred cycle adds 2 commits per batch,
+    so an unbounded feed otherwise grows open cost linearly with age).
+    This is the in-loop form of the maintenance cadence; a separate
+    maintenance job calling compact/checkpoint_log/vacuum under the
+    writer lease is equivalent.
     """
     if available_now is None:
         available_now = processing_time is None
@@ -103,6 +118,8 @@ def run_incremental_transform(
 
         table = LogTable(spark, out_dir, key="id")
 
+    n_batches = [0]
+
     def process(batch_df, batch_id: int) -> None:
         out = transform_items(batch_df, batch_id=str(batch_id), clock=clock)
         if table is not None:
@@ -112,6 +129,10 @@ def run_incremental_transform(
                 table.upsert_deferred(out)
             else:
                 table.upsert(out)
+            n_batches[0] += 1
+            if maintenance_every and n_batches[0] % maintenance_every == 0:
+                table.compact()
+                table.checkpoint_log()
         else:
             upsert_batch(out, out_dir, batch_id)
 

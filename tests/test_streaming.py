@@ -131,6 +131,40 @@ def test_incremental_transform_logtable_sink(spark, tmp_path):
     assert t.snapshot(1).count() == 12
 
 
+def test_incremental_transform_deferred_with_maintenance(spark, tmp_path):
+    """sink="logtable_deferred" + maintenance_every: the write-heavy
+    default — each batch lands as cheap delta units; every N batches the
+    in-loop maintenance compacts deltas into base and checkpoints the
+    log. End state: correct latest-per-key content, no live delta
+    units, a log checkpoint present."""
+    import os as _os
+
+    from durable_functions_cosmosdb_etl_spark.sinks.logtable import LogTable
+
+    staging = str(tmp_path / "staging")
+    out = str(tmp_path / "out")
+    _stage_files(spark, staging, n_files=4, rows_per=5)
+    run_incremental_transform(
+        spark, staging, out, str(tmp_path / "ckpt"), clock=CLOCK,
+        sink="logtable_deferred", maintenance_every=2,
+    )
+    t = LogTable(spark, out, key="id")
+    snap = t.snapshot()
+    assert snap.count() == 20
+    assert snap.groupBy("id").count().filter("count > 1").count() == 0
+    # maintenance folded every delta away (4 batches / every 2 → the
+    # last cycle ended in a compact)
+    live = t._live_units()
+    assert not any(e.get("delta") for e in live.values())
+    # and a log checkpoint bounds future replay
+    cps = [
+        n
+        for n in _os.listdir(_os.path.join(out, "_log"))
+        if n.startswith("_checkpoint.")
+    ]
+    assert cps
+
+
 def test_checkpoint_resume_no_reprocessing(spark, tmp_path):
     staging = str(tmp_path / "staging")
     out = str(tmp_path / "out")
