@@ -278,6 +278,58 @@ def test_null_embeddings_dropped_not_crashed(spark):
     assert tk.filter("query_id = 0 OR neighbor_id = 0").count() == 0
 
 
+def test_assign_scorer_arrow_bit_identical_to_expr(spark, sf_dir):
+    """The Arrow scorer must agree with the interpreted expression
+    scorer row for row — including zero-norm vectors (NULL-sim tier),
+    exact ties (lowest centroid id), and a NaN-producing row. The dots
+    use the same sequential fold (cumsum, not GEMM), so this holds
+    bitwise, not just approximately."""
+    from durable_functions_cosmosdb_etl_spark.operators.similarity import (
+        assign_to_centroids,
+    )
+
+    edge = spark.createDataFrame(
+        [
+            (0, [0.0, 0.0, 0.0]),            # zero norm → NULL tier
+            (1, [1.0, 0.0, 0.0]),
+            (2, [2.0, 0.0, 0.0]),            # exact tie with centroid 1 dup
+            (3, [0.3, 0.3, 0.9]),
+            (4, [float("nan"), 1.0, 0.0]),   # NaN sim tier
+            (5, [1e-300, 1e-300, 1e-300]),   # denormal-range norms
+        ],
+        "vec_id long, embedding array<float>",
+    )
+    cen = spark.createDataFrame(
+        [
+            (1, [1.0, 0.0, 0.0]),
+            (2, [1.0, 0.0, 0.0]),            # duplicate centroid → tie
+            (3, [0.0, 0.0, 1.0]),
+            (4, [0.0, 0.0, 0.0]),            # zero-norm centroid
+        ],
+        "centroid_id int, centroid array<float>",
+    )
+    emb = load_table(spark, sf_dir, "embeddings")
+    emb_cen = spark.createDataFrame(
+        [
+            (i + 1, r["embedding"])
+            for i, r in enumerate(emb.orderBy("vec_id").limit(8).collect())
+        ],
+        "centroid_id int, centroid array<float>",
+    )
+    for corpus, cb in [(edge, cen), (emb, emb_cen)]:
+        a = {
+            r["vec_id"]: r["centroid_id"]
+            for r in assign_to_centroids(corpus, cb, scorer="arrow").collect()
+        }
+        e = {
+            r["vec_id"]: r["centroid_id"]
+            for r in assign_to_centroids(corpus, cb, scorer="expr").collect()
+        }
+        assert a == e
+    with pytest.raises(ValueError, match="unknown scorer"):
+        assign_to_centroids(edge, cen, scorer="gemm")
+
+
 def test_assign_to_centroids_empty_codebook_yields_zero_rows(spark):
     """Degenerate-codebook contract: an empty centroid table assigns
     nothing (not a corpus of NULL centroid ids)."""
@@ -291,6 +343,7 @@ def test_assign_to_centroids_empty_codebook_yields_zero_rows(spark):
     )
     empty = spark.createDataFrame([], "centroid_id int, centroid array<float>")
     assert assign_to_centroids(corpus, empty).count() == 0
+    assert assign_to_centroids(corpus, empty, scorer="expr").count() == 0
 
 
 def test_semantic_dedup_collapse_identical_equivalence(spark):

@@ -61,14 +61,19 @@ def main() -> None:
         ).repartition(args.files).write.mode("overwrite").parquet(staging)
 
     configs = [
-        # (label, max_files_per_trigger, sink)
-        ("batch_dirs_1file", 1, "batch_dirs"),
-        ("batch_dirs_all", None, "batch_dirs"),
-        ("logtable_1file", 1, "logtable"),
-        ("logtable_all", None, "logtable"),
-        ("logtable_deferred_1file", 1, "logtable_deferred"),
+        # (label, max_files_per_trigger, sink, maintenance_every)
+        ("batch_dirs_1file", 1, "batch_dirs", None),
+        ("batch_dirs_all", None, "batch_dirs", None),
+        ("logtable_1file", 1, "logtable", None),
+        ("logtable_all", None, "logtable", None),
+        ("logtable_deferred_1file", 1, "logtable_deferred", None),
+        # write-heavy default, END-TO-END: deferred ingest with the
+        # in-loop maintenance cadence (compact + log checkpoint every 4
+        # micro-batches) — prices the full deferred+compact cycle, not
+        # just the cheap ingest half
+        ("logtable_deferred_compact4", 1, "logtable_deferred", 4),
     ]
-    for label, mfpt, sink in configs:
+    for label, mfpt, sink, maint in configs:
         out = f"{WORK}/out_{label}"
         ckpt = f"{WORK}/ckpt_{label}"
         shutil.rmtree(out, ignore_errors=True)
@@ -81,6 +86,7 @@ def main() -> None:
             ckpt,
             max_files_per_trigger=mfpt,
             sink=sink,
+            maintenance_every=maint,
         )
         dt = time.perf_counter() - t0
         n_batches = args.files if mfpt == 1 else 1
