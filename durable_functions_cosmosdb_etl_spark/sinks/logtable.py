@@ -896,6 +896,29 @@ class LogTable:
         _propagate_taint(added, replaced)
         return self._commit("delete", added, replaced, v)
 
+    def delta_fraction(self) -> float:
+        """Fraction of live rows sitting in DELTA units — the standing
+        merge-on-read debt. Computed entirely from the logged footer
+        row counts (driver arithmetic over the replayed log; no scan,
+        no Spark job). This is the quantity a maintenance cadence
+        should trigger compaction on: the 1M-doc stream probe showed
+        compact-every-K-batches re-pays the write amplification the
+        deferral saved once the table outgrows the batch (SCALE.md
+        §2b) — compacting when the debt is a meaningful FRACTION of
+        the table scales correctly instead."""
+        live = self._live_units()
+        total = sum(e.get("rows") or 0 for e in live.values())
+        if not total:
+            return 0.0
+        return (
+            sum(
+                e.get("rows") or 0
+                for e in live.values()
+                if e.get("delta")
+            )
+            / total
+        )
+
     def certify_unique(self) -> int | None:
         """Prove one-row-per-key on RAW-tainted buckets and clear the
         taint — the sanctioned path from append-lineage to

@@ -42,6 +42,7 @@ def run_incremental_transform(
     processing_time: str | None = None,
     sink: str = "batch_dirs",
     maintenance_every: int | None = None,
+    compact_min_delta: float = 0.25,
 ):
     """Consume staged SampleItem files incrementally; transform; upsert.
 
@@ -85,14 +86,20 @@ def run_incremental_transform(
       merge-free base table at all times.
 
     ``maintenance_every=N`` (logtable sinks only): every N micro-batches
-    the processor runs ``compact()`` (folds delta units into base,
-    reclaiming the read-time resolution window) followed by
-    ``checkpoint_log()`` (bounds log replay to O(commits since
-    checkpoint) — one compact+deferred cycle adds 2 commits per batch,
-    so an unbounded feed otherwise grows open cost linearly with age).
-    This is the in-loop form of the maintenance cadence; a separate
-    maintenance job calling compact/checkpoint_log/vacuum under the
-    writer lease is equivalent.
+    the processor runs maintenance — ``checkpoint_log()`` always
+    (bounds log replay to O(commits since checkpoint); an unbounded
+    feed otherwise grows open cost linearly with age), and
+    ``compact()`` only when the standing merge-on-read debt
+    (``delta_fraction()``, driver arithmetic over logged footer stats)
+    has reached ``compact_min_delta`` of the live rows. The
+    delta-mass gate is what makes the cadence scale: compacting on a
+    fixed batch count re-pays the whole-table write amplification the
+    deferral saved once the table outgrows the batch (measured at 1M
+    docs, SCALE.md §2b), while a fraction trigger compacts less often
+    exactly as the table grows. ``compact_min_delta=0`` restores
+    unconditional compaction. A separate maintenance job calling
+    compact/checkpoint_log/vacuum under the writer lease is the
+    off-hot-path equivalent.
     """
     if available_now is None:
         available_now = processing_time is None
@@ -131,7 +138,8 @@ def run_incremental_transform(
                 table.upsert(out)
             n_batches[0] += 1
             if maintenance_every and n_batches[0] % maintenance_every == 0:
-                table.compact()
+                if table.delta_fraction() >= compact_min_delta:
+                    table.compact()
                 table.checkpoint_log()
         else:
             upsert_batch(out, out_dir, batch_id)

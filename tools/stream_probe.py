@@ -68,10 +68,11 @@ def main() -> None:
         ("logtable_all", None, "logtable", None),
         ("logtable_deferred_1file", 1, "logtable_deferred", None),
         # write-heavy default, END-TO-END: deferred ingest with the
-        # in-loop maintenance cadence (compact + log checkpoint every 4
-        # micro-batches) — prices the full deferred+compact cycle, not
-        # just the cheap ingest half
-        ("logtable_deferred_compact4", 1, "logtable_deferred", 4),
+        # in-loop maintenance cadence (every 4 micro-batches: log
+        # checkpoint always, compact gated on delta_fraction >= 0.25)
+        # — prices the full deferred+maintain cycle, not just the
+        # cheap ingest half
+        ("logtable_deferred_maint4", 1, "logtable_deferred", 4),
     ]
     for label, mfpt, sink, maint in configs:
         out = f"{WORK}/out_{label}"
