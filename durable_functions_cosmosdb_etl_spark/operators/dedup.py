@@ -1508,20 +1508,26 @@ def substring_pairs(
     grams hash-distribute uniformly so no skew salting is needed.
     Output: (doc_a, doc_b, n_shared) with doc_a < doc_b.
 
-    ``collapse_identical`` (default): docs with the same sampled-gram
-    MULTISET collapse to one representative before the gram join —
+    ``collapse_identical`` (default): TWO-LEVEL collapse, the same
+    shape as :func:`minhash_lsh_pairs` — level 0 folds byte-identical
+    texts to their min-id doc BEFORE the fingerprint UDF (the 1024×
+    replication probe OOMed an 8 GB heap running the UDF plus the
+    array-keyed window over all 5.12M copies; after this fold those
+    stages see only distinct content), level 1 groups text-reps with
+    the same sampled-gram MULTISET before the gram join —
     n_shared(u, v) = Σ_g cnt_u(g)·cnt_v(g) depends only on the two
     multisets, so cross-group pairs inherit the rep pair's count and
     within-group pairs carry the rep's self-count Σ_g cnt(g)² (computed
     linearly per rep). Exact-copy cliques otherwise multiply the gram
     join's candidate volume by c² — the same collapse argument as
-    :func:`jaccard_pairs`.
+    :func:`jaccard_pairs`. Membership composes doc → text-rep →
+    multiset-rep with unchanged labels (each rep is a group minimum).
     """
-    raw = df.select(
-        F.col(id_col).alias("doc"),
-        _substr_fp_udf(k, p)(F.col(text_col)).alias("gs"),
-    )
     if not _should_collapse(df, text_col, collapse_identical):
+        raw = df.select(
+            F.col(id_col).alias("doc"),
+            _substr_fp_udf(k, p)(F.col(text_col)).alias("gs"),
+        )
         fps = raw.select("doc", F.explode("gs").alias("g")).cache()
         a, b = fps.alias("a"), fps.alias("b")
         return (
@@ -1533,6 +1539,10 @@ def substring_pairs(
             .groupBy(F.col("a.doc").alias("doc_a"), F.col("b.doc").alias("doc_b"))
             .agg(F.count(F.lit(1)).alias("n_shared"))
         )
+    memb0, reps0 = _text_collapsed(df, id_col, text_col)
+    raw = reps0.select(
+        "doc", _substr_fp_udf(k, p)(F.col("__text")).alias("gs")
+    )
     # docs with no sampled grams can never pair — and dropping them keeps
     # the all-empty group out of the window
     raw = raw.filter(F.size("gs") >= 1)
@@ -1542,7 +1552,10 @@ def substring_pairs(
         .select("doc", "rep", "gs")
         .cache()
     )
-    memb = mem.select("doc", "rep")
+    memb = (
+        memb0.join(mem.select(F.col("doc").alias("rep0"), "rep"), "rep0")
+        .select("doc", "rep")
+    )
     fps = (
         mem.filter(F.col("doc") == F.col("rep"))
         .select("doc", F.explode("gs").alias("g"))

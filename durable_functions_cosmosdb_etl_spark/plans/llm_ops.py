@@ -878,22 +878,48 @@ def contamination_check(d: DataFrame, collapse_identical="auto") -> DataFrame:
     """Body of ``dedup_contamination``, parameterized for the collapse
     equivalence test (both branches are byte-identical; see the query
     docstring for the argument)."""
-    sh = dd._shingled(d, "doc_id", "text", 3).filter(F.size("sh") > 0)
-    bench = sh.filter(F.col("doc") % 10 == 0)
-    train = sh.filter(F.col("doc") % 10 != 0)
     t_memb = None
     if dd._should_collapse(d, "text", collapse_identical):
+        # Two-level collapse, applied PER SIDE (a text present in both
+        # splits must keep both roles): byte-identical texts fold to
+        # their min-id doc BEFORE the shingle UDF — the 1024×
+        # replication probe OOMed an 8 GB heap shingling all 5.12M
+        # copies and windowing their (wide) shingle arrays; after the
+        # fold both stages see only distinct content — then identical
+        # shingle SETS fold among the text-reps. Each rep is a group
+        # minimum, so the composed rep is the side-global min doc:
+        # labels and pairs match the single-level collapse exactly.
         wset = Window.partitionBy(F.array_sort("sh"))
-        tm = train.withColumn("rep", F.min("doc").over(wset)).cache()
-        t_memb = tm.select("doc", "rep")
+        t_memb0, t_reps0 = dd._text_collapsed(
+            d.filter(F.col("doc_id") % 10 != 0), "doc_id", "text"
+        )
+        b_reps0 = dd._text_collapsed(
+            d.filter(F.col("doc_id") % 10 == 0), "doc_id", "text"
+        )[1]
+        train_sh = dd._shingled(t_reps0, "doc", "__text", 3).filter(
+            F.size("sh") > 0
+        )
+        bench_sh = dd._shingled(b_reps0, "doc", "__text", 3).filter(
+            F.size("sh") > 0
+        )
+        tm = train_sh.withColumn("rep", F.min("doc").over(wset)).cache()
+        t_memb = (
+            t_memb0.join(
+                tm.select(F.col("doc").alias("rep0"), "rep"), "rep0"
+            ).select("doc", "rep")
+        )
         train = tm.filter(F.col("doc") == F.col("rep")).select(
             "doc", "n_sh", "sh"
         )
         bench = (
-            bench.withColumn("rep", F.min("doc").over(wset))
+            bench_sh.withColumn("rep", F.min("doc").over(wset))
             .filter(F.col("doc") == F.col("rep"))
             .select("doc", "n_sh", "sh")
         )
+    else:
+        sh = dd._shingled(d, "doc_id", "text", 3).filter(F.size("sh") > 0)
+        bench = sh.filter(F.col("doc") % 10 == 0)
+        train = sh.filter(F.col("doc") % 10 != 0)
     t_ex = train.select(
         F.col("doc").alias("t_doc"), "n_sh", F.explode("sh").alias("g")
     )

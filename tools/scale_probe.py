@@ -51,12 +51,18 @@ FACT_KEYS = {
 
 def build_scaled(spark, mult: int) -> str:
     out = f"{WORK}/x{mult}"
-    if os.path.exists(out):
-        return out
     os.makedirs(out, exist_ok=True)
-    for name in TABLES:
-        src = load_table(spark, BASE, name)
+    # SPARK_GRAFT_TABLES=documents,embeddings builds only what a probe
+    # set reads (the LLM-op probes never touch the 13 GB ×1024
+    # lineitem); existence is checked per TABLE so a partial build is
+    # completed, not skipped, on the next run.
+    only = os.environ.get("SPARK_GRAFT_TABLES")
+    names = only.split(",") if only else TABLES
+    for name in names:
         dst = f"{out}/{name}.parquet"
+        if os.path.exists(dst):
+            continue
+        src = load_table(spark, BASE, name)
         if name in FACT_KEYS and mult > 1:
             keys = FACT_KEYS[name]
             offs = {k: src.agg(F.max(k)).first()[0] + 1 for k in keys}
