@@ -78,6 +78,86 @@ def _topk_prereduce(k: int, schema):
     return run
 
 
+def _broadcast_score_topk(q_rows, k, sim_floor, probe_sets=None):
+    """mapInPandas factory: score EVERY (collected, bounded) query
+    against each corpus Arrow batch and reduce to the batch-local
+    top-k per query, in one Python pass.
+
+    Replaces the JVM pair enumeration (crossJoin/probe join +
+    interpreted-HOF cosine + separate prereduce) with: corpus crosses
+    the Arrow boundary ONCE (no |queries|× row amplification), sims are
+    sequential-fold cumsum dots — bit-identical to the ``cosine()``
+    expression (same IEEE add order; BLAS GEMM would reorder) — and
+    each batch emits at most |queries|·k rows. Ordering/filter
+    semantics replicate Spark exactly: NaN sims sort as the LARGEST
+    double (sort key +inf; the emitted value stays NaN) and pass a
+    ``sim >= floor`` filter the way Spark's NaN-largest comparison
+    does; ties break on ascending neighbor id.
+
+    ``probe_sets``: optional {query_id: set(centroid_id)} — rows of a
+    batch outside a query's probed cells are masked out before scoring
+    (the IVF pruning, applied vectorized per query).
+    """
+    import numpy as np
+
+    qids = [r[0] for r in q_rows]
+    qmat = np.stack([np.asarray(r[1], dtype=np.float64) for r in q_rows])
+    d = qmat.shape[1]
+    qn = (
+        np.sqrt(np.cumsum(qmat * qmat, axis=1)[:, -1])
+        if d
+        else np.zeros(len(qids))
+    )
+
+    def run(batches):
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            nids = pdf["neighbor_id"].to_numpy()
+            cm = np.stack(
+                [np.asarray(v, dtype=np.float64) for v in pdf["c_vec"]]
+            )
+            cn = (
+                np.sqrt(np.cumsum(cm * cm, axis=1)[:, -1])
+                if d
+                else np.zeros(len(pdf))
+            )
+            cell = (
+                pdf["centroid_id"].to_numpy()
+                if probe_sets is not None
+                else None
+            )
+            out_q, out_n, out_s = [], [], []
+            for qi, qid in enumerate(qids):
+                if probe_sets is not None:
+                    mask = np.isin(cell, list(probe_sets[qid]))
+                    if not mask.any():
+                        continue
+                    sub_c, sub_n, sub_cn = cm[mask], nids[mask], cn[mask]
+                else:
+                    sub_c, sub_n, sub_cn = cm, nids, cn
+                dots = (
+                    np.cumsum(qmat[qi] * sub_c, axis=1)[:, -1]
+                    if d
+                    else np.zeros(len(sub_n))
+                )
+                with np.errstate(divide="ignore", invalid="ignore"):
+                    sims = dots / (qn[qi] * sub_cn)
+                if sim_floor is not None:
+                    keep = (sims >= sim_floor) | np.isnan(sims)
+                    sims, sub_n = sims[keep], sub_n[keep]
+                key = np.where(np.isnan(sims), np.inf, sims)
+                order = np.lexsort((sub_n, -key))[:k]
+                out_q.extend([qid] * len(order))
+                out_n.extend(sub_n[order])
+                out_s.extend(sims[order])
+            yield pd.DataFrame(
+                {"query_id": out_q, "neighbor_id": out_n, "sim": out_s}
+            )
+
+    return run
+
+
 def brute_force_topk(
     corpus: DataFrame,
     queries: DataFrame,
@@ -86,6 +166,7 @@ def brute_force_topk(
     vec_col: str = "embedding",
     sim_floor: float | None = None,
     prereduce: bool = True,
+    scorer: str = "arrow",
 ) -> DataFrame:
     """Exact cosine top-k: broadcast queries × corpus scan × local top-k
     pre-reduce × window top-k.
@@ -93,34 +174,60 @@ def brute_force_topk(
     Output: query_id, neighbor_id, sim, rank. The corpus is never
     shuffled for scoring. Without the pre-reduce, the rank window's
     exchange carries |queries| × |corpus| rows — the 100× scale killer.
-    With ``prereduce`` (default), an Arrow-batched local top-k runs
-    BEFORE the exchange, so the window only sees
-    O(partitions × |queries| × k) rows; the reduction is exact (global
-    top-k ⊆ union of per-batch top-ks) and the scoring stays JVM-side.
     ``sim_floor`` additionally drops scored rows below a caller-known
     bound (e.g. a dedup threshold) before the reduction — changes
     results only if the floor exceeds a true k-th similarity, so it is
     opt-in.
+
+    ``scorer="arrow"`` (default, requires ``prereduce``): the bounded
+    query set (the broadcast assumption, now a driver collect of the
+    same size) is scored against each corpus Arrow batch inside ONE
+    ``mapInPandas`` pass that also does the local top-k
+    (:func:`_broadcast_score_topk`) — the corpus crosses the Python
+    boundary once instead of the JVM enumerating |queries|×|corpus|
+    pair rows through an interpreted-HOF cosine and Arrow-shipping
+    them all into the prereduce; sims are bit-identical (sequential
+    cumsum fold). ``scorer="expr"`` keeps the pure-JVM pair plan;
+    ``prereduce=False`` implies it.
     """
-    q = F.broadcast(
-        queries.filter(F.col(vec_col).isNotNull()).select(
-            F.col(id_col).alias("query_id"), F.col(vec_col).alias("q_vec")
-        )
+    qdf = queries.filter(F.col(vec_col).isNotNull()).select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("q_vec")
     )
     c = corpus.filter(F.col(vec_col).isNotNull()).select(
         F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("c_vec")
     )
-    scored = q.crossJoin(c).select(
-        "query_id",
-        "neighbor_id",
-        cosine(F.col("q_vec"), F.col("c_vec")).alias("sim"),
-    )
-    if sim_floor is not None:
-        scored = scored.filter(F.col("sim") >= sim_floor)
-    if prereduce:
-        scored = scored.mapInPandas(
-            _topk_prereduce(k, scored.schema), schema=scored.schema
+    if scorer not in ("arrow", "expr"):
+        raise ValueError(f"unknown scorer: {scorer!r}")
+    if scorer == "arrow" and prereduce:
+        q_rows = [
+            (r["query_id"], r["q_vec"]) for r in qdf.collect()
+        ]
+        out_schema = T.StructType(
+            [
+                T.StructField("query_id", qdf.schema["query_id"].dataType),
+                T.StructField("neighbor_id", c.schema["neighbor_id"].dataType),
+                T.StructField("sim", T.DoubleType()),
+            ]
         )
+        if not q_rows:
+            scored = corpus.sparkSession.createDataFrame([], out_schema)
+        else:
+            scored = c.mapInPandas(
+                _broadcast_score_topk(q_rows, k, sim_floor),
+                schema=out_schema,
+            )
+    else:
+        scored = F.broadcast(qdf).crossJoin(c).select(
+            "query_id",
+            "neighbor_id",
+            cosine(F.col("q_vec"), F.col("c_vec")).alias("sim"),
+        )
+        if sim_floor is not None:
+            scored = scored.filter(F.col("sim") >= sim_floor)
+        if prereduce:
+            scored = scored.mapInPandas(
+                _topk_prereduce(k, scored.schema), schema=scored.schema
+            )
     w = Window.partitionBy("query_id").orderBy(
         F.col("sim").desc(), F.col("neighbor_id")
     )
@@ -519,6 +626,7 @@ def ivf_topk(
     vec_col: str = "embedding",
     init: str = "lowest_id",
     n_iters: int = 1,
+    scorer: str = "arrow",
 ) -> DataFrame:
     """Approximate top-k: probe only the nprobe nearest centroid cells.
 
@@ -528,6 +636,16 @@ def ivf_topk(
     ``init``/``n_iters`` pass through to the codebook fit — the
     registered oracle query keeps the defaults; production serving wants
     ``init="kcenter"`` and more Lloyd steps.
+
+    ``scorer="arrow"`` (default): probe selection runs on the
+    driver-collected codebook (tiny) with the same sequential-fold
+    cosine and (csim desc, centroid_id) ordering as the expression
+    window, and rescoring+local-top-k fuse into ONE ``mapInPandas``
+    over the assigned corpus (:func:`_broadcast_score_topk`, with each
+    query masked to its probed cells) — no per-candidate interpreted
+    cosine, no probe broadcast join, no pair rows over the Arrow
+    boundary. Bit-identical output (same fold, same orderings);
+    ``scorer="expr"`` keeps the pure-JVM probe-join plan.
     """
     centroids = fit_ivf_centroids(
         corpus, n_centroids, id_col, vec_col, init=init, n_iters=n_iters
@@ -538,41 +656,102 @@ def ivf_topk(
     corpus_cells = assign_to_centroids(
         corpus, centroids, id_col, vec_col, keep_all=True
     )
-    # top-nprobe cells per query
-    cen = F.broadcast(centroids)
     q = queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("q_vec"))
-    qc = q.crossJoin(cen).select(
-        "query_id",
-        "q_vec",
-        "centroid_id",
-        cosine(F.col("q_vec"), F.col("centroid")).alias("csim"),
-    )
-    wq = Window.partitionBy("query_id").orderBy(
-        F.col("csim").desc(), F.col("centroid_id")
-    )
-    probes = (
-        qc.withColumn("rn", F.row_number().over(wq))
-        .filter(F.col("rn") <= nprobe)
-        .select("query_id", "q_vec", "centroid_id")
-    )
-    scored = (
-        F.broadcast(probes)
-        .join(corpus_cells, "centroid_id")
-        .select(
-            "query_id",
-            F.col(id_col).alias("neighbor_id"),
-            cosine(F.col("q_vec"), F.col(vec_col)).alias("sim"),
+    if scorer not in ("arrow", "expr"):
+        raise ValueError(f"unknown scorer: {scorer!r}")
+    if scorer == "arrow":
+        import numpy as np
+
+        cen_rows = sorted(
+            centroids.collect(), key=lambda r: r["centroid_id"]
         )
-    )
-    # Same exact local top-k pre-reduce as brute_force_topk: the rank
-    # window's exchange then carries O(partitions × |Q| × k) rows
-    # instead of every (query, probed-cell candidate) pair — candidates
-    # per query are corpus × nprobe/n_centroids, i.e. they grow with the
-    # corpus. Measured ~7% slower at sf0.1 (Arrow round-trip on tiny
-    # candidate sets); the exchange bound is what matters at 100 TB.
-    scored = scored.mapInPandas(
-        _topk_prereduce(k, scored.schema), schema=scored.schema
-    )
+        q_rows = [
+            (r["query_id"], r["q_vec"])
+            for r in q.filter(F.col("q_vec").isNotNull()).collect()
+        ]
+        out_schema = T.StructType(
+            [
+                T.StructField("query_id", q.schema["query_id"].dataType),
+                T.StructField(
+                    "neighbor_id", corpus.schema[id_col].dataType
+                ),
+                T.StructField("sim", T.DoubleType()),
+            ]
+        )
+        if not q_rows or not cen_rows:
+            scored = corpus.sparkSession.createDataFrame([], out_schema)
+        else:
+            cen_mat = np.stack(
+                [
+                    np.asarray(r["centroid"], dtype=np.float64)
+                    for r in cen_rows
+                ]
+            )
+            cids = np.asarray(
+                [r["centroid_id"] for r in cen_rows], dtype=np.int64
+            )
+            d = cen_mat.shape[1]
+            cnorm = (
+                np.sqrt(np.cumsum(cen_mat * cen_mat, axis=1)[:, -1])
+                if d
+                else np.zeros(len(cids))
+            )
+            probe_sets = {}
+            for qid, qv in q_rows:
+                qv64 = np.asarray(qv, dtype=np.float64)
+                dots = (
+                    np.cumsum(qv64 * cen_mat, axis=1)[:, -1]
+                    if d
+                    else np.zeros(len(cids))
+                )
+                qn = (
+                    np.sqrt(np.cumsum(qv64 * qv64)[-1]) if d else 0.0
+                )
+                with np.errstate(divide="ignore", invalid="ignore"):
+                    csim = dots / (qn * cnorm)
+                key = np.where(np.isnan(csim), np.inf, csim)
+                order = np.lexsort((cids, -key))[:nprobe]
+                probe_sets[qid] = set(int(c) for c in cids[order])
+            scored = corpus_cells.select(
+                F.col(id_col).alias("neighbor_id"),
+                F.col(vec_col).alias("c_vec"),
+                "centroid_id",
+            ).mapInPandas(
+                _broadcast_score_topk(q_rows, k, None, probe_sets),
+                schema=out_schema,
+            )
+    else:
+        # top-nprobe cells per query, expression form
+        cen = F.broadcast(centroids)
+        qc = q.crossJoin(cen).select(
+            "query_id",
+            "q_vec",
+            "centroid_id",
+            cosine(F.col("q_vec"), F.col("centroid")).alias("csim"),
+        )
+        wq = Window.partitionBy("query_id").orderBy(
+            F.col("csim").desc(), F.col("centroid_id")
+        )
+        probes = (
+            qc.withColumn("rn", F.row_number().over(wq))
+            .filter(F.col("rn") <= nprobe)
+            .select("query_id", "q_vec", "centroid_id")
+        )
+        scored = (
+            F.broadcast(probes)
+            .join(corpus_cells, "centroid_id")
+            .select(
+                "query_id",
+                F.col(id_col).alias("neighbor_id"),
+                cosine(F.col("q_vec"), F.col(vec_col)).alias("sim"),
+            )
+        )
+        # Same exact local top-k pre-reduce as brute_force_topk: the rank
+        # window's exchange then carries O(partitions × |Q| × k) rows
+        # instead of every (query, probed-cell candidate) pair.
+        scored = scored.mapInPandas(
+            _topk_prereduce(k, scored.schema), schema=scored.schema
+        )
     w = Window.partitionBy("query_id").orderBy(F.col("sim").desc(), F.col("neighbor_id"))
     return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
 

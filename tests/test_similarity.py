@@ -330,6 +330,54 @@ def test_assign_scorer_arrow_bit_identical_to_expr(spark, sf_dir):
         assign_to_centroids(edge, cen, scorer="gemm")
 
 
+def test_topk_arrow_scorer_bit_identical_to_expr(spark, sf_dir):
+    """brute_force_topk and ivf_topk with the fused Arrow scorer must
+    return exactly the expression plan's rows — ids, ranks AND raw sim
+    doubles (sequential-fold bit-identity), including the sim_floor
+    path."""
+    em = load_table(spark, sf_dir, "embeddings")
+    corpus, queries = em.filter("vec_id >= 5"), em.filter("vec_id < 5")
+
+    def rows(df):
+        return sorted(
+            (r["query_id"], r["rank"], r["neighbor_id"], r["sim"])
+            for r in df.collect()
+        )
+
+    assert rows(
+        sim.brute_force_topk(corpus, queries, k=10, scorer="arrow")
+    ) == rows(sim.brute_force_topk(corpus, queries, k=10, scorer="expr"))
+    assert rows(
+        sim.brute_force_topk(
+            corpus, queries, k=10, sim_floor=0.8, scorer="arrow"
+        )
+    ) == rows(
+        sim.brute_force_topk(
+            corpus, queries, k=10, sim_floor=0.8, scorer="expr"
+        )
+    )
+    assert rows(
+        sim.ivf_topk(
+            corpus, queries, k=10, n_centroids=10, nprobe=3, scorer="arrow"
+        )
+    ) == rows(
+        sim.ivf_topk(
+            corpus, queries, k=10, n_centroids=10, nprobe=3, scorer="expr"
+        )
+    )
+    with pytest.raises(ValueError, match="unknown scorer"):
+        sim.brute_force_topk(corpus, queries, scorer="gemm")
+    with pytest.raises(ValueError, match="unknown scorer"):
+        sim.ivf_topk(corpus, queries, scorer="gemm")
+    # degenerate: empty query set yields an empty, well-typed result
+    assert (
+        sim.brute_force_topk(
+            corpus, queries.filter("vec_id < 0"), k=5
+        ).count()
+        == 0
+    )
+
+
 def test_assign_to_centroids_empty_codebook_yields_zero_rows(spark):
     """Degenerate-codebook contract: an empty centroid table assigns
     nothing (not a corpus of NULL centroid ids)."""
