@@ -72,12 +72,19 @@ def quality_features(text: Column) -> dict[str, Column]:
     non_space = F.length(F.replace(text, F.lit(" "), F.lit(""))).cast("long")
     alpha = F.length(F.regexp_replace(text, "[^A-Za-z]", "")).cast("long")
     stop_hits = marker_score(text, "en")
+    # try_divide: an EMPTY text has n_chars = 0, and a plain division
+    # is a job-killing DIVIDE_BY_ZERO under ANSI mode (Spark 4 default)
+    # — the same failure class as the minhash 0/0 verify. Null ratios
+    # for degenerate docs, matched by NULLIF on the DuckDB oracle side
+    # (DuckDB would otherwise yield IEEE inf, not an error). n_words
+    # cannot currently be 0 (split('') yields ['']), but the guard
+    # costs nothing and survives a tokenizer change.
     return {
         "n_words": n_words,
         "n_chars": n_chars,
-        "avg_word_len": non_space.cast("double") / n_words,
-        "stop_ratio": stop_hits.cast("double") / n_words,
-        "alpha_ratio": alpha.cast("double") / n_chars,
+        "avg_word_len": F.try_divide(non_space.cast("double"), n_words),
+        "stop_ratio": F.try_divide(stop_hits.cast("double"), n_words),
+        "alpha_ratio": F.try_divide(alpha.cast("double"), n_chars),
     }
 
 

@@ -116,11 +116,11 @@ def text_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
                  '\b(the|and|of|to|is|in)\b')) AS BIGINT)              AS stop_hits
         FROM documents)
     SELECT doc_id, n_words, n_chars,
-           CAST(non_space AS DOUBLE) / n_words  AS avg_word_len,
-           CAST(stop_hits AS DOUBLE) / n_words  AS stop_ratio,
-           CAST(alpha AS DOUBLE) / n_chars      AS alpha_ratio,
-           (CAST(stop_hits AS DOUBLE) / n_words) * 0.5
-             + (CAST(alpha AS DOUBLE) / n_chars) * 0.5
+           CAST(non_space AS DOUBLE) / NULLIF(n_words, 0)  AS avg_word_len,
+           CAST(stop_hits AS DOUBLE) / NULLIF(n_words, 0)  AS stop_ratio,
+           CAST(alpha AS DOUBLE) / NULLIF(n_chars, 0)      AS alpha_ratio,
+           (CAST(stop_hits AS DOUBLE) / NULLIF(n_words, 0)) * 0.5
+             + (CAST(alpha AS DOUBLE) / NULLIF(n_chars, 0)) * 0.5
              + least(CAST(n_words AS DOUBLE) / 100.0, 1.0) * 0.5 AS quality
     FROM f
     """,
@@ -258,11 +258,11 @@ def text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
                 WHEN s_de >= s_zh THEN 'de'
                 ELSE 'zh' END                        AS pred_lang,
            n_words, n_chars,
-           CAST(non_space AS DOUBLE) / n_words       AS avg_word_len,
-           CAST(s_en AS DOUBLE) / n_words            AS stop_ratio,
-           CAST(alpha AS DOUBLE) / n_chars           AS alpha_ratio,
-           (CAST(s_en AS DOUBLE) / n_words) * 0.5
-             + (CAST(alpha AS DOUBLE) / n_chars) * 0.5
+           CAST(non_space AS DOUBLE) / NULLIF(n_words, 0)  AS avg_word_len,
+           CAST(s_en AS DOUBLE) / NULLIF(n_words, 0)       AS stop_ratio,
+           CAST(alpha AS DOUBLE) / NULLIF(n_chars, 0)      AS alpha_ratio,
+           (CAST(s_en AS DOUBLE) / NULLIF(n_words, 0)) * 0.5
+             + (CAST(alpha AS DOUBLE) / NULLIF(n_chars, 0)) * 0.5
              + least(CAST(n_words AS DOUBLE) / 100.0, 1.0) * 0.5 AS quality,
            CAST(list_sum(list_transform(string_split_regex(trim(text), '\s+'),
                 (x, i) -> i * (100 * length(x) + ascii(x))))

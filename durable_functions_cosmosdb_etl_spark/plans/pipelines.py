@@ -425,8 +425,8 @@ def pipeline_chunk_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM documents),
     q AS (
         SELECT doc_id,
-               CAST(round(((CAST(s_en AS DOUBLE) / n_words) * 0.5
-                 + (CAST(alpha AS DOUBLE) / n_chars) * 0.5
+               CAST(round(((CAST(s_en AS DOUBLE) / NULLIF(n_words, 0)) * 0.5
+                 + (CAST(alpha AS DOUBLE) / NULLIF(n_chars, 0)) * 0.5
                  + least(CAST(n_words AS DOUBLE) / 100.0, 1.0) * 0.5)
                  * 1000000) AS BIGINT) / 1000000.0 AS quality
         FROM f)

@@ -54,6 +54,34 @@ def test_quality_score_ranges(spark, sf_dir):
     assert stats[0] >= 0.0 and stats[1] <= 1.5
 
 
+def test_quality_features_empty_text_survives_ansi(spark):
+    """An empty-text doc has n_chars = 0; the alpha_ratio division must
+    yield NULL (try_divide), not a job-killing ANSI DIVIDE_BY_ZERO —
+    the same failure class as the minhash 0/0 verify. Degenerate docs
+    get null ratios and filter out of quality gates like any null."""
+    docs = spark.createDataFrame(
+        [(1, ""), (2, None), (3, "real text here")],
+        "doc_id long, text string",
+    )
+    f = tx.quality_features(F.col("text"))
+    rows = {
+        r["doc_id"]: r
+        for r in docs.select(
+            "doc_id", f["alpha_ratio"].alias("ar"), f["stop_ratio"].alias("sr")
+        ).collect()
+    }
+    assert rows[1]["ar"] is None          # 0-char doc: null, no crash
+    assert rows[2]["ar"] is None          # null text propagates
+    assert rows[3]["ar"] is not None
+    # quality_score composes the null through (null ⇒ filtered by gates)
+    q = docs.select(
+        "doc_id", tx.quality_score(F.col("text")).alias("q")
+    ).collect()
+    assert {r["doc_id"]: r["q"] is None for r in q} == {
+        1: True, 2: True, 3: False,
+    }
+
+
 def test_stratified_sample_proportions(spark):
     """sampleBy draws ≈ the requested fraction per stratum (±40% rel at
     sf0.01 counts)."""
