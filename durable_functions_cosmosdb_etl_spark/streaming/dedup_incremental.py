@@ -100,9 +100,17 @@ def _write_partition(df: DataFrame, path: str) -> None:
 
 
 def _jaccard(sh_a, sh_b):  # noqa: ANN001 - Column exprs
-    return F.size(F.array_intersect(sh_a, sh_b)).cast("double") / F.size(
-        F.array_union(sh_a, sh_b)
-    ).cast("double")
+    # try_divide: two shingle-less docs have a 0-size union, and the
+    # plain division is a job-killing DIVIDE_BY_ZERO under ANSI mode
+    # (Spark 4 default) — same class as the batch minhash verify. A
+    # null jaccard fails the >= threshold filter, so such pairs drop
+    # (the doc carries no near-dup evidence). New batches also exclude
+    # shingle-less docs from banding below, but a pre-existing index
+    # may still hold their all-zero-signature band rows.
+    return F.try_divide(
+        F.size(F.array_intersect(sh_a, sh_b)).cast("double"),
+        F.size(F.array_union(sh_a, sh_b)).cast("double"),
+    )
 
 
 def dedup_batch_against_index(
@@ -134,7 +142,18 @@ def dedup_batch_against_index(
 
     sigs = dd.minhash_signatures(batch, id_col, text_col, n).cache()
     shingles = sigs.select("doc", "sh", "n_sh")
-    bands = _bands_of(sigs).cache()
+    # Shingle-less docs (empty/short text) never band: their all-zero
+    # signatures would collide with EACH OTHER (c² candidates whose
+    # exact verify is 0/0 — see _jaccard) while carrying no near-dup
+    # evidence. They are accepted unconditionally below, exactly the
+    # verdict the (null-jaccard) verify would reach, without the
+    # candidate blowup or index pollution.
+    bands = _bands_of(sigs.filter(F.col("n_sh") >= 1)).cache()
+    # coalesce: null-text docs have null n_sh and must land here, not
+    # vanish from both branches
+    shingleless_ids = sigs.filter(
+        F.coalesce(F.col("n_sh"), F.lit(0)) < 1
+    ).select("doc")
 
     # (2) in-batch dedup: batch-local LSH candidates (bands carry only
     # ids — shingles join in once, not 16× per band row), exact verify,
@@ -212,7 +231,9 @@ def dedup_batch_against_index(
         )
         survivor_bands = survivor_bands.join(index_dupes, "doc", "left_anti")
 
-    accepted_ids = survivor_bands.select("doc").distinct()
+    accepted_ids = (
+        survivor_bands.select("doc").distinct().unionByName(shingleless_ids)
+    )
     accepted_rows = batch.join(
         accepted_ids.withColumnRenamed("doc", id_col), id_col
     )

@@ -116,6 +116,41 @@ def test_incremental_dedup_across_batches(spark, tmp_path):
     assert {r.doc_id for r in accepted.collect()} == {0, 1, 2, 11}
 
 
+def test_incremental_dedup_shingleless_docs_survive_ansi(spark, tmp_path):
+    """Empty/whitespace/null/short texts produce NO shingles; under
+    ANSI their all-zero-signature band collisions made the exact verify
+    0/0 (job kill). They must be accepted unconditionally (no near-dup
+    evidence), never band-collide, and real near-dup detection must be
+    unaffected in the same batch."""
+    from durable_functions_cosmosdb_etl_spark.streaming.dedup_incremental import (
+        dedup_batch_against_index,
+    )
+
+    idx = str(tmp_path / "index")
+    b1 = spark.createDataFrame(
+        [
+            (0, ""),
+            (1, "   "),
+            (2, None),
+            (3, "xy"),
+            (4, "the quick brown fox jumps over the lazy dog again today"),
+        ],
+        "doc_id long, text string",
+    )
+    acc1 = dedup_batch_against_index(spark, b1, idx)
+    assert {r.doc_id for r in acc1.collect()} == {0, 1, 2, 3, 4}
+    b2 = spark.createDataFrame(
+        [
+            (10, ""),   # shingle-less again: accepted, no 0/0 verify
+            (11, "the quick brown fox jumps over the lazy dog again"),
+        ],
+        "doc_id long, text string",
+    )
+    acc2 = dedup_batch_against_index(spark, b2, idx)
+    # 11 is a near-dup of indexed doc 4 → rejected; 10 accepted
+    assert {r.doc_id for r in acc2.collect()} == {10}
+
+
 def test_streaming_dedup_ingest_end_to_end(spark, tmp_path):
     """foreachBatch wrapper: files arrive as micro-batches; the accepted
     table ends with exactly the cross-batch-unique docs."""
