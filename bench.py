@@ -57,6 +57,10 @@ HEADLINE_EXT = [
     # completeness banding in dedup_minhash, so the oracle-point vs
     # production-point costs both have trend lines
     "dedup_minhash_prod",
+    # round 5: the same oracle-point/production-point split for IVF —
+    # kcenter seeding + 3 Lloyd steps beside similarity_ivf's
+    # oracle-replicated lowest-id + 1-step fit
+    "similarity_ivf_prod",
 ]
 
 N_RUNS = 3  # median-of-3 so noise blips are distinguishable from regressions

@@ -250,6 +250,12 @@ def _kcenter_seeds(
     driver holds only the ≤ n_centroids chosen vectors (same bounded-
     collect class as the lease/bucket lists). O(k · |fit_set|) total.
     """
+    import numpy as np
+
+    # The greedy loop makes k-1 sequential passes over the fit set; a
+    # cached 2-column projection turns passes 2..k into in-memory scans
+    # (columnar, spillable) instead of k parquet scans + filters.
+    fit_set = fit_set.select(id_col, vec_col).cache()
     first = (
         fit_set.orderBy(id_col).limit(1).select(id_col, vec_col).collect()
     )
@@ -257,29 +263,37 @@ def _kcenter_seeds(
         return []
     seeds = [first[0]]
     for _ in range(n_centroids - 1):
-        lits = F.array(
-            *[
-                F.struct(
-                    F.lit(list(r[vec_col]))
-                    .cast("array<float>")
-                    .alias("centroid")
-                )
-                for r in seeds
-            ]
+        # Arrow-batched max-sim-to-seeds (same sequential cumsum fold
+        # as the assignment scorer — bit-identical sims to the previous
+        # interpreted array_max expression, which cost ~0.4 s PER SEED
+        # STEP at sf0.1 because HOF lambdas never enter codegen; k-1
+        # sequential steps made kcenter fitting the dominant cost of
+        # the production IVF point).
+        seed_mat = np.stack(
+            [np.asarray(r[vec_col], dtype=np.float64) for r in seeds]
         )
-        vec = F.col(vec_col)
-        max_sim = F.array_max(
-            F.transform(
-                lits,
-                lambda c: dot(vec, c["centroid"])
-                / (F.col("_vnorm") * l2_norm(c["centroid"])),
-            )
-        )
+        sn = np.sqrt(np.cumsum(seed_mat * seed_mat, axis=1)[:, -1])
+
+        @F.pandas_udf(T.DoubleType())
+        def max_sim(vec: pd.Series) -> pd.Series:
+            if len(vec) == 0:
+                return pd.Series([], dtype=float)
+            mat = np.stack([np.asarray(v, dtype=np.float64) for v in vec])
+            vn = np.sqrt(np.cumsum(mat * mat, axis=1)[:, -1])
+            prods = mat[:, None, :] * seed_mat[None, :, :]
+            dots = np.cumsum(prods, axis=2)[:, :, -1]
+            with np.errstate(divide="ignore", invalid="ignore"):
+                sims = dots / (vn[:, None] * sn[None, :])
+            # array_max semantics: NaN is the largest double; return the
+            # actual value (NaN included) of the max entry
+            key = np.where(np.isnan(sims), np.inf, sims)
+            idx = key.argmax(axis=1)
+            return pd.Series(sims[np.arange(len(mat)), idx])
+
         chosen_ids = {r[id_col] for r in seeds}
         nxt = (
             fit_set.filter(~F.col(id_col).isin(chosen_ids))
-            .withColumn("_vnorm", l2_norm(vec))
-            .select(id_col, vec_col, max_sim.alias("_ms"))
+            .select(id_col, vec_col, max_sim(F.col(vec_col)).alias("_ms"))
             .orderBy(F.col("_ms").asc_nulls_last(), F.col(id_col))
             .limit(1)
             .collect()
@@ -398,7 +412,20 @@ def _fit_codebook(
         )
     else:
         raise ValueError(f"unknown init: {init!r}")
-    for _ in range(max(1, n_iters)):
+    for it in range(max(1, n_iters)):
+        if it > 0:
+            # Materialize between Lloyd steps: the codebook is k tiny
+            # rows, but left lazy each iteration's assignment re-executes
+            # EVERY prior step's full posexplode aggregate (the chain is
+            # quadratic in n_iters — measured as the bulk of an 8 s
+            # similarity_ivf_prod at sf0.1). collect → createDataFrame
+            # round-trips float32 values exactly (binary32 ⊂ binary64),
+            # so the n_iters=1 oracle path is untouched and multi-step
+            # fits pay each aggregate once.
+            centroids = fit_set.sparkSession.createDataFrame(
+                [(r["centroid_id"], r["centroid"]) for r in centroids.collect()],
+                "centroid_id int, centroid array<float>",
+            )
         # keep_all: the vector rides along with its assignment — no
         # re-join of the fit set on id (one exchange per Lloyd step).
         assigned = assign_to_centroids(

@@ -1310,6 +1310,38 @@ def similarity_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query("similarity_ivf_prod", extra=True)  # kcenter fit → rows-only
+def similarity_ivf_prod(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The PRODUCTION IVF operating point: deterministic greedy
+    farthest-point seeding (``init="kcenter"``) plus 3 Lloyd refinement
+    steps — the codebook a deployment actually fits, vs the
+    oracle-equivalent ``similarity_ivf``'s lowest-id seeds + 1 step
+    (kept there because the DuckDB replica expresses exactly that
+    pipeline). Registered so the bench carries BOTH trend lines, the
+    same split as dedup_minhash / dedup_minhash_prod. Not oracle-backed
+    by construction (greedy k-center + iterated Lloyd are not
+    SQL-replicated); recall vs brute force is pytest-gated instead
+    (tests/test_similarity.py kcenter test)."""
+    em = _emb(spark, sf_dir)
+    out = sim.ivf_topk(
+        em.filter(F.col("vec_id") >= 5),
+        em.filter(F.col("vec_id") < 5),
+        k=10,
+        n_centroids=10,
+        nprobe=3,
+        init="kcenter",
+        n_iters=3,
+    )
+    return out.select(
+        "query_id",
+        "neighbor_id",
+        (F.round(F.col("sim") * 1000000, 0).cast("long") / F.lit(1000000.0)).alias(
+            "sim"
+        ),
+        "rank",
+    )
+
+
 @query("similarity_brp_lsh", extra=True)  # approximate → rows-only
 def similarity_brp_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """BucketedRandomProjectionLSH approximate top-10 — pyspark.ml's

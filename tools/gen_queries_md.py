@@ -66,6 +66,7 @@ COVERED_BY: dict[str, str] = {
     "set_intersect": "set_ops",
     "set_union": "set_ops",
     "similarity_brp_lsh": "similarity_ivf",
+    "similarity_ivf_prod": "similarity_ivf",
     "sort_limit": "topk_per_group",
     "sql_cte_window": "sql_front_door",
     "sql_recursive": "sql_front_door",
