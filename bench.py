@@ -87,9 +87,20 @@ def _machine_state() -> dict:
                     except OSError:
                         pass
             present[d] = size
+    try:
+        load1, load5, load15 = os.getloadavg()
+    except OSError:  # pragma: no cover
+        load1 = load5 = load15 = None
     state = {
         "probe_dirs_present": bool(present),
         "probe_dirs": {d: round(s / 1e9, 2) for d, s in present.items()},
+        # Host load BEFORE the run: this box has shown loadavg 3-6 with
+        # zero local processes (noisy neighbor), inflating every query
+        # ~25% with wide spreads. Compare rounds only when loads match.
+        "loadavg": [
+            round(x, 2) if x is not None else None
+            for x in (load1, load5, load15)
+        ],
     }
     if present:
         total_gb = sum(present.values()) / 1e9
