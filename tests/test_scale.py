@@ -148,6 +148,39 @@ def test_centroid_assignment_has_no_exchange(spark):
     assert assigned.select("vec_id").distinct().count() == 200
 
 
+def test_fused_topk_scorer_plan_shape(spark):
+    """The fused Arrow scorer (brute_force_topk / ivf_topk default)
+    must keep the scale-critical plan properties: the corpus is scored
+    and batch-reduced in ONE Python stage with NO exchange before the
+    final (tiny) rank window, and no join/cartesian enumerates
+    query×corpus pair rows on the JVM side."""
+    from durable_functions_cosmosdb_etl_spark.operators.similarity import (
+        brute_force_topk,
+        ivf_topk,
+    )
+
+    em = spark.range(0, 500).select(
+        F.col("id").alias("vec_id"),
+        F.array(
+            (F.col("id") % 7).cast("float"),
+            (F.col("id") % 11).cast("float"),
+            (F.col("id") % 13).cast("float"),
+        ).alias("embedding"),
+    )
+    corpus, queries = em.filter("vec_id >= 5"), em.filter("vec_id < 5")
+    for df in (
+        brute_force_topk(corpus, queries, k=5),
+        ivf_topk(corpus, queries, k=5, n_centroids=4, nprobe=2),
+    ):
+        plan = _plan(df)
+        assert "CartesianProduct" not in plan
+        assert "NestedLoopJoin" not in plan
+        assert "SortMergeJoin" not in plan
+        # exactly one Arrow pass does score+reduce; the only exchange
+        # after it feeds the final rank window over ≤ |Q|·k rows/batch
+        assert plan.count("MapInPandas") == 1
+
+
 def test_partition_pruning_reaches_scan(spark, tmp_path):
     """write.partitionBy + filter on the partition column → the scan
     lists only matching directories (PartitionFilters, not a full scan)."""
