@@ -276,6 +276,34 @@ def test_log_checkpoint_equivalent_and_time_travel(spark, tmp_path):
     assert t.version() == 2
 
 
+def test_checkpointed_replay_never_opens_old_entries(spark, tmp_path):
+    """The replay bound is real, not a post-parse skip: after
+    checkpoint_log(), snapshot construction must not even OPEN
+    pre-checkpoint log files — proven by corrupting one and opening the
+    latest snapshot anyway. Time travel BELOW the checkpoint replays
+    from scratch and must now fail loudly on the corrupt entry."""
+    import json as _json
+
+    p = str(tmp_path / "t")
+    t = LogTable(spark, p, key="id", n_buckets=2)
+    t.create(_mk(spark, [(1, "a")]))         # v0
+    t.upsert(_mk(spark, [(2, "b")]))         # v1
+    t.upsert(_mk(spark, [(3, "c")]))         # v2
+    cp = t.checkpoint_log()
+    assert cp == 2
+    t.upsert(_mk(spark, [(4, "d")]))         # v3, after the checkpoint
+    v1 = os.path.join(p, "_log", f"{1:020d}.json")
+    with open(v1, "w") as f:
+        f.write('{"version": 1, "op": "upsert", "ad')  # truncated JSON
+    t2 = LogTable(spark, p, key="id", n_buckets=2)
+    # latest and post-checkpoint reads replay only entries > checkpoint
+    assert _rows(t2.snapshot()) == [(1, "a"), (2, "b"), (3, "c"), (4, "d")]
+    assert _rows(t2.snapshot(2)) == [(1, "a"), (2, "b"), (3, "c")]
+    # pre-checkpoint time travel must walk the full log → hits v1
+    with pytest.raises(_json.JSONDecodeError):
+        t2.snapshot(1)
+
+
 def test_history_ops(spark, tmp_path):
     t = LogTable(spark, str(tmp_path / "t"), key="id", n_buckets=4)
     t.create(_mk(spark, [(1, "a")]))
