@@ -173,3 +173,58 @@ def test_jaccard_collapse_equivalence_random(spark, picks, seed):
     ea = sorted((r.doc, r.component) for r in expanded.collect())
     ca = sorted((r.doc, r.component) for r in comp.collect())
     assert ea == ca
+
+
+_LT_OP = st.tuples(
+    st.sampled_from(["upsert", "deferred", "delete", "compact", "checkpoint"]),
+    st.lists(
+        st.tuples(st.integers(0, 6), st.text(alphabet="xy", min_size=1, max_size=2)),
+        min_size=1,
+        max_size=3,
+        unique_by=lambda kv: kv[0],
+    ),
+)
+
+
+@given(st.lists(_LT_OP, min_size=1, max_size=5))
+@settings(max_examples=6, deadline=None)
+def test_logtable_random_op_sequences_match_dict_model(spark, ops):
+    """Model-based LogTable check: any interleaving of eager upserts,
+    deferred upserts, deletes, compactions, and log checkpoints must
+    leave the snapshot equal to a plain dict replay of the same ops —
+    merge-on-read, maintenance, and checkpointed replay are invisible
+    to readers. (Batches carry unique keys, so eager and deferred
+    semantics coincide deterministically; append is excluded because it
+    deliberately breaks one-row-per-key and is guarded separately.)"""
+    import tempfile
+
+    from durable_functions_cosmosdb_etl_spark.sinks.logtable import LogTable
+
+    path = tempfile.mkdtemp(prefix="lt_prop_")
+    t = LogTable(spark, path, key="id", n_buckets=2)
+    model = {0: "z"}
+    t.create(spark.createDataFrame([(0, "z")], "id long, val string"))
+    for kind, kvs in ops:
+        if kind in ("upsert", "deferred"):
+            df = spark.createDataFrame(kvs, "id long, val string")
+            (t.upsert if kind == "upsert" else t.upsert_deferred)(df)
+            model.update(dict(kvs))
+        elif kind == "delete":
+            ks = [k for k, _ in kvs]
+            t.delete_keys(
+                spark.createDataFrame([(k,) for k in ks], "id long")
+            )
+            for k in ks:
+                model.pop(k, None)
+        elif kind == "compact":
+            t.compact()
+        else:
+            t.checkpoint_log()
+    if model:
+        got = {r["id"]: r["val"] for r in t.snapshot().collect()}
+        assert got == model
+    else:
+        import pytest as _pytest
+
+        with _pytest.raises(ValueError, match="no data"):
+            t.snapshot()
