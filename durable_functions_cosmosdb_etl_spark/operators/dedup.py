@@ -942,6 +942,18 @@ def connected_components(
         # materializes the cache, so both the fast-path collect and the
         # distributed rounds read bounded in-memory blocks, never the
         # generator plan twice.
+        #
+        # Cache lifetime is two-tier, deliberately: on the SMALL-graph
+        # path the cache is kept for the session — that is where the
+        # cross-invocation reuse lives, and the retained blocks are
+        # bounded by local_threshold rows (~3 MB of longs) per distinct
+        # plan, with distinct plans bounded by the registered-query
+        # count. On the BIG-graph path the blocks are unbounded, so e0
+        # is unpersisted as soon as the iterative rounds have taken
+        # their own (localCheckpoint) copy — a large evicted-and-
+        # recomputed cache under memory pressure is exactly the failure
+        # the checkpoint already guards against. Default storage is
+        # MEMORY_AND_DISK_DESER, so pressure spills before it evicts.
         e0 = pairs.select(
             F.col(a_col).cast(common_t).alias("u"),
             F.col(b_col).cast(common_t).alias("v"),
@@ -982,14 +994,37 @@ def connected_components(
                 ]
             )
             return spark.createDataFrame(out, schema)
-        # big graph: hand the checkpointed edges to the distributed
-        # rounds (their canonicalize+distinct reads the checkpoint, not
-        # the upstream generator)
+        # big graph: hand the cached edges to the distributed rounds
+        # (their canonicalize/symmetrize localCheckpoint reads the
+        # cached blocks, not the upstream generator), then release the
+        # unbounded cache — the rounds run eagerly inside each branch,
+        # so by the time either returns, the checkpoints hold their own
+        # copy and nothing downstream reads e0 again.
         pairs = e0.select(F.col("u").alias(a_col), F.col("v").alias(b_col))
+        try:
+            if algorithm == "star":
+                return _cc_star(
+                    pairs, nodes, a_col, b_col, node_col, max_iters, stats
+                )
+            return _cc_minlabel(
+                pairs, nodes, a_col, b_col, node_col, max_iters, stats
+            )
+        finally:
+            e0.unpersist()
     if algorithm == "star":
         return _cc_star(pairs, nodes, a_col, b_col, node_col, max_iters, stats)
-    if algorithm != "minlabel":
-        raise ValueError(f"unknown algorithm: {algorithm!r}")
+    return _cc_minlabel(pairs, nodes, a_col, b_col, node_col, max_iters, stats)
+
+
+def _cc_minlabel(
+    pairs: DataFrame,
+    nodes: DataFrame | None,
+    a_col: str,
+    b_col: str,
+    node_col: str,
+    max_iters: int,
+    stats: dict | None,
+) -> DataFrame:
     # Symmetric edge list; labels start as self. localCheckpoint, not
     # .cache(): each round's plan references ``labels`` TWICE (directly
     # and via neighbor_min), so un-severed lineage doubles per round —

@@ -46,7 +46,17 @@ def l2_norm(a: Column) -> Column:
 
 
 def cosine(a: Column, b: Column) -> Column:
-    return dot(a, b) / (l2_norm(a) * l2_norm(b))
+    """Cosine similarity with NULL (not an error, not NaN) for a
+    zero-norm operand: ``try_divide`` makes the zero-denominator case
+    NULL — the reference semantics every scorer in this module aligns
+    to — and keeps the expression ANSI-safe (plain division raises
+    DIVIDE_BY_ZERO under Spark 4's ANSI default, the same failure
+    class fixed in minhash/text ratios/assignment). NULL sims sort
+    BELOW every real double under ``sim DESC`` and fail ``sim >=
+    floor``; NaN (from NaN vector components with nonzero norms)
+    stays Spark's largest double.
+    """
+    return F.try_divide(dot(a, b), l2_norm(a) * l2_norm(b))
 
 
 def _topk_prereduce(k: int, schema):
@@ -141,8 +151,19 @@ def _broadcast_score_topk(q_rows, k, sim_floor, probe_sets=None):
                     if d
                     else np.zeros(len(sub_n))
                 )
+                denom = qn[qi] * sub_cn
                 with np.errstate(divide="ignore", invalid="ignore"):
-                    sims = dots / (qn[qi] * sub_cn)
+                    sims = dots / denom
+                # try_divide tier: a zero denominator (zero-norm query
+                # or corpus vector) is NULL in the expression path and
+                # filtered there before the top-k — drop it here too,
+                # so a degenerate vector can never outrank real
+                # neighbors (0/0 = NaN previously took sort key +inf
+                # and rank 1 for EVERY query). Component-NaN sims with
+                # a nonzero denominator keep Spark's NaN-largest
+                # ordering below.
+                valid = denom != 0.0
+                sims, sub_n = sims[valid], sub_n[valid]
                 if sim_floor is not None:
                     keep = (sims >= sim_floor) | np.isnan(sims)
                     sims, sub_n = sims[keep], sub_n[keep]
@@ -222,6 +243,13 @@ def brute_force_topk(
             "neighbor_id",
             cosine(F.col("q_vec"), F.col("c_vec")).alias("sim"),
         )
+        # NULL sims (try_divide, zero-norm operand) are dropped before
+        # the pre-reduce: pandas float64 cannot distinguish NULL from
+        # NaN, and Spark sorts them at OPPOSITE ends of sim DESC — an
+        # unfiltered NULL would be NaN-first in the local top-k but
+        # NULLS-LAST in the global window. Also the arrow scorer's
+        # contract: degenerate vectors yield no neighbor rows.
+        scored = scored.filter(F.col("sim").isNotNull())
         if sim_floor is not None:
             scored = scored.filter(F.col("sim") >= sim_floor)
         if prereduce:
@@ -282,13 +310,26 @@ def _kcenter_seeds(
             vn = np.sqrt(np.cumsum(mat * mat, axis=1)[:, -1])
             prods = mat[:, None, :] * seed_mat[None, :, :]
             dots = np.cumsum(prods, axis=2)[:, :, -1]
+            denom = vn[:, None] * sn[None, :]
             with np.errstate(divide="ignore", invalid="ignore"):
-                sims = dots / (vn[:, None] * sn[None, :])
-            # array_max semantics: NaN is the largest double; return the
-            # actual value (NaN included) of the max entry
-            key = np.where(np.isnan(sims), np.inf, sims)
+                sims = dots / denom
+            # array_max-over-try_divide semantics (aligned with
+            # cosine()): zero-denominator entries are the NULL tier and
+            # are SKIPPED by the max — previously one zero-norm SEED
+            # made 0/0 = NaN the +inf sort key of EVERY row, poisoning
+            # the whole fit's ordering. NaN from vector components
+            # (nonzero denom) stays the largest double. A row whose
+            # entries are all-NULL (zero-norm candidate) returns NaN —
+            # NaN and NULL are adjacent last tiers under _ms ASC
+            # (NaN-largest, then NULLS LAST), and this fit heuristic
+            # has no expression twin to be bit-equal to.
+            null = denom == 0.0
+            key = np.where(
+                null, -np.inf, np.where(np.isnan(sims), np.inf, sims)
+            )
             idx = key.argmax(axis=1)
-            return pd.Series(sims[np.arange(len(mat)), idx])
+            out = sims[np.arange(len(mat)), idx]
+            return pd.Series(np.where(null.all(axis=1), np.nan, out))
 
         chosen_ids = {r[id_col] for r in seeds}
         nxt = (
@@ -301,6 +342,11 @@ def _kcenter_seeds(
         if not nxt:
             break
         seeds.append(nxt[0])
+    # The seeds are plain collected rows — nothing downstream reads the
+    # cached projection, so release it instead of letting per-fit cached
+    # blocks accumulate for the session (repeated-fit reuse is handled
+    # one level up by the codebook memo, not by this cache).
+    fit_set.unpersist()
     return seeds
 
 
@@ -355,6 +401,14 @@ def fit_ivf_centroids(
 # the eager limit().count() job once, not once per call. A hash
 # collision can only mispick the SAMPLE SIZE regime (fit on sample vs
 # full corpus), never an answer downstream of the fitted codebook.
+#
+# Staleness (accepted trade, mirrors _COLLAPSE_MEMO): the plan hash
+# keys the QUERY, not the data — if the same plan's underlying files
+# grow mid-session (new parquet landing under a re-read path), the
+# regime decision stays frozen at the first call's answer. That can
+# only delay the switch to sampling (one oversized fit), never corrupt
+# a result; sessions that ingest while querying should key on a
+# snapshot-stable input (e.g. a LogTable version) when one exists.
 _FIT_SIZE_MEMO: dict = {}
 
 
@@ -734,10 +788,20 @@ def ivf_topk(
                 qn = (
                     np.sqrt(np.cumsum(qv64 * qv64)[-1]) if d else 0.0
                 )
+                denom = qn * cnorm
                 with np.errstate(divide="ignore", invalid="ignore"):
-                    csim = dots / (qn * cnorm)
-                key = np.where(np.isnan(csim), np.inf, csim)
-                order = np.lexsort((cids, -key))[:nprobe]
+                    csim = dots / denom
+                # try_divide tiers, replicating the expression window's
+                # (csim DESC NULLS LAST, centroid_id ASC): NULL csim
+                # (zero-norm query or centroid) sorts AFTER every real
+                # value — previously 0/0 = NaN took sort key +inf and a
+                # zero-norm centroid was probed FIRST; NaN from vector
+                # components (nonzero denom) stays the largest double.
+                null = denom == 0.0
+                key = np.where(
+                    null, 0.0, np.where(np.isnan(csim), np.inf, csim)
+                )
+                order = np.lexsort((cids, -key, null))[:nprobe]
                 probe_sets[qid] = set(int(c) for c in cids[order])
             scored = corpus_cells.select(
                 F.col(id_col).alias("neighbor_id"),
@@ -772,6 +836,10 @@ def ivf_topk(
                 F.col(id_col).alias("neighbor_id"),
                 cosine(F.col("q_vec"), F.col(vec_col)).alias("sim"),
             )
+            # NULL sims dropped before the pre-reduce — same
+            # NULL-vs-NaN pandas conflation argument as
+            # brute_force_topk; matches the arrow scorer's denom mask.
+            .filter(F.col("sim").isNotNull())
         )
         # Same exact local top-k pre-reduce as brute_force_topk: the rank
         # window's exchange then carries O(partitions × |Q| × k) rows
@@ -1255,8 +1323,12 @@ def cosine_pairs(
         .select(
             F.col("a.id").alias("vec_id_a"),
             F.col("b.id").alias("vec_id_b"),
-            (
-                dot(F.col("a.v"), F.col("b.v")) / (F.col("a.nrm") * F.col("b.nrm"))
+            # try_divide: zero-norm vectors pair with nothing (NULL sim
+            # fails the threshold) instead of raising DIVIDE_BY_ZERO
+            # under ANSI — same semantics as cosine() and the LSH path.
+            F.try_divide(
+                dot(F.col("a.v"), F.col("b.v")),
+                F.col("a.nrm") * F.col("b.nrm"),
             ).alias("sim"),
         )
         .filter(F.col("sim") >= threshold)

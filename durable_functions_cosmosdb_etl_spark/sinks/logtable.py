@@ -259,7 +259,15 @@ class ConditionalPutCommitProtocol(CommitProtocol):
         import fcntl
 
         staged = f"{final}.put.{os.getpid()}.tmp"
-        shutil.copyfile(tmp, staged)
+        # fsync the staged payload BEFORE the atomic publish: without
+        # it, a crash after the claim could leave a claimed version
+        # whose entry content is not yet durable — the POSIX protocol
+        # fsyncs the payload in _commit before os.link, and a real
+        # object store's PUT only acknowledges durable content.
+        with open(tmp, "rb") as src, open(staged, "wb") as dst:
+            shutil.copyfileobj(src, dst)
+            dst.flush()
+            os.fsync(dst.fileno())
         if self.before_put is not None:
             self.before_put()
         lock_path = os.path.join(os.path.dirname(final), "_store.lock")
@@ -270,6 +278,15 @@ class ConditionalPutCommitProtocol(CommitProtocol):
                     os.unlink(staged)
                     return False
                 os.replace(staged, final)
+                # fsync the log DIRECTORY so the rename itself (the
+                # claim) survives a crash — rename durability needs a
+                # dir fsync on POSIX, matching the store model's
+                # "create-iff-absent is durable when acknowledged".
+                dfd = os.open(os.path.dirname(final), os.O_RDONLY)
+                try:
+                    os.fsync(dfd)
+                finally:
+                    os.close(dfd)
                 return True
             finally:
                 fcntl.flock(lk, fcntl.LOCK_UN)
