@@ -106,6 +106,62 @@ def main() -> None:
             flush=True,
         )
 
+    # --- LogTable→LogTable change-feed hop (EP2 over the engine's own
+    # storage tier, streaming/changefeed.py): consume the deferred
+    # ingest's table A through changes() into a derived table B —
+    # bootstrap drain, then an incremental mutation batch. Prices the
+    # feed join + downstream upsert per batch.
+    from durable_functions_cosmosdb_etl_spark.sinks.logtable import (  # noqa: E402
+        LogTable,
+    )
+    from durable_functions_cosmosdb_etl_spark.streaming.changefeed import (  # noqa: E402
+        run_changefeed_transform,
+    )
+    from pyspark.sql import functions as F  # noqa: E402
+
+    src = LogTable(spark, f"{WORK}/out_logtable_1file", key="id")
+    dst_dir = f"{WORK}/out_changefeed"
+    cur = f"{WORK}/changefeed_cursor.json"
+    shutil.rmtree(dst_dir, ignore_errors=True)
+    for p in (cur,):
+        if os.path.exists(p):
+            os.remove(p)
+    dst = LogTable(spark, dst_dir, key="id")
+    t0 = time.perf_counter()
+    st = run_changefeed_transform(
+        spark, src, dst, cur,
+        transform=lambda df: df.withColumn(
+            "name", F.upper(F.col("name"))
+        ) if "name" in df.columns else df,
+    )
+    dt0 = time.perf_counter() - t0
+    # incremental hop: mutate ~1% of keys in A, drain the delta
+    sample = src.snapshot().limit(max(1, args.docs // 100))
+    src.upsert(sample.withColumn("processed", F.lit(True)))
+    t1 = time.perf_counter()
+    st2 = run_changefeed_transform(
+        spark, src, dst, cur,
+        transform=lambda df: df.withColumn(
+            "name", F.upper(F.col("name"))
+        ) if "name" in df.columns else df,
+    )
+    dt1 = time.perf_counter() - t1
+    print(
+        json.dumps(
+            {
+                "config": "changefeed_logtable_to_logtable",
+                "docs": args.docs,
+                "bootstrap_wall_sec": round(dt0, 3),
+                "bootstrap_docs_per_sec": int(
+                    max(st["rows_upserted"], 1) / dt0
+                ),
+                "incremental_rows": st2["rows_upserted"],
+                "incremental_wall_sec": round(dt1, 3),
+            }
+        ),
+        flush=True,
+    )
+
 
 if __name__ == "__main__":
     main()
