@@ -449,11 +449,15 @@ def pipeline_curriculum(spark: SparkSession, sf_dir: str) -> DataFrame:
     BEFORE ranking so both engines rank identical keys.
 
     The global ORDER BY window is the honest cost: a total order needs
-    a range-partitioned sort (Spark plans exactly that). At 100 TB you
-    keep the decile/phase columns (computable from a sampled quantile
-    cut instead of ntile) and drop curriculum_pos, which no trainer
-    actually needs globally — noted in-line, kept here for oracle
-    comparability.
+    a range-partitioned sort (Spark plans exactly that), and Spark
+    warns "Moving all data to a single partition" on every run. This
+    EXACT form is kept as the oracle point (ntile is directly
+    SQL-comparable); the 100 TB path is
+    :func:`pipeline_curriculum_scalable` below — quantile-cut deciles
+    from a mergeable sketch, no global window, no curriculum_pos
+    (which no trainer needs globally). Equivalence between the two
+    forms' decile/phase labels is pytest-gated on the fixtures
+    (tests/test_registry.py).
     """
     from pyspark.sql import Window
 
@@ -476,6 +480,71 @@ def pipeline_curriculum(spark: SparkSession, sf_dir: str) -> DataFrame:
         .when(decile >= 9, "anneal")
         .otherwise("main")
         .alias("phase"),
+    )
+
+
+@query("pipeline_curriculum_scalable", extra=True)
+def pipeline_curriculum_scalable(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Curriculum phases at 100 TB: quantile-CUT deciles, no global
+    window.
+
+    The exact form above needs a total order (single-partition window —
+    the one unpartitioned window in the repo NOT over a bounded input,
+    SCALE.md §1). This is the documented scale alternative, now
+    implemented: the 9 decile boundaries come from ONE
+    ``approx_percentile`` aggregate — a Greenwald-Khanna mergeable
+    sketch, so the pass is map-side combinable with bounded memory per
+    task and a 9-value result, in place of a corpus-wide
+    range-partitioned sort. The 1-row boundary array is broadcast and
+    each doc's decile is a 9-comparison scan of it: decile(x) = 10 −
+    #{boundaries STRICTLY < x} (boundaries ascend, decile 1 = top
+    quality; the strict comparison puts each boundary element itself in
+    the same bucket ntile gives it — with ``<=`` every boundary doc
+    shifts one decile up, measured as exactly 9 label mismatches per
+    fixture).
+    ``curriculum_pos`` is deliberately absent — a global training
+    position is the one column that inherently costs a total order,
+    and shard-local order suffices for real loaders.
+
+    Semantics vs the exact form: a VALUE cut, not a row-count split —
+    docs tying a boundary value land in one decile together instead of
+    being split by doc_id to even out counts. At accuracy=10000 the
+    sketch is exact for the fixture sizes, so labels match the ntile
+    form except on boundary ties; the equivalence is pytest-gated
+    (tests/test_registry.py). Registered rows-only by construction:
+    DuckDB's approx quantile is a different sketch (t-digest), so no
+    cross-engine hash oracle can exist for an approximate cut.
+    """
+    from ..operators import text as tx
+
+    d = load_table(spark, sf_dir, "documents")
+    quality6 = (
+        F.round(tx.quality_score(F.col("text")) * 1000000, 0).cast("long")
+        / F.lit(1000000.0)
+    )
+    q = d.select("doc_id", quality6.alias("quality"))
+    cuts = q.agg(
+        F.percentile_approx(
+            "quality", [i / 10.0 for i in range(1, 10)], 10000
+        ).alias("bs")
+    )
+    decile = (
+        F.lit(10)
+        - F.size(F.filter("bs", lambda b: b < F.col("quality")))
+    ).cast("int")
+    return (
+        q.crossJoin(F.broadcast(cuts))
+        .select(
+            "doc_id",
+            "quality",
+            decile.alias("decile"),
+        )
+        .withColumn(
+            "phase",
+            F.when(F.col("decile") <= 2, "warmup")
+            .when(F.col("decile") >= 9, "anneal")
+            .otherwise("main"),
+        )
     )
 
 

@@ -49,3 +49,28 @@ def test_extras_all_mapped_to_primary_coverage():
 
     assert set(COVERED_BY) == set(R.EXTRA_QUERIES)
     assert set(COVERED_BY.values()) <= set(R.QUERIES)
+
+
+def test_curriculum_scalable_matches_exact_form(spark, sf_dir):
+    """The quantile-cut curriculum (no global window) must label every
+    fixture doc identically to the exact ntile form — the strict-<
+    boundary comparison puts each boundary element in its ntile bucket
+    (with <= all 9 boundary docs shift one decile up). Divergence is
+    only possible on boundary-VALUE ties, absent from the fixtures."""
+    import __spark_entry__  # noqa: F401 — populate the registries
+
+    from durable_functions_cosmosdb_etl_spark.plans import registry as R
+
+    exact = {
+        r["doc_id"]: (r["decile"], r["phase"])
+        for r in R.EXTRA_QUERIES["pipeline_curriculum"](spark, sf_dir).collect()
+    }
+    scalable_df = R.EXTRA_QUERIES["pipeline_curriculum_scalable"](spark, sf_dir)
+    scal = {
+        r["doc_id"]: (r["decile"], r["phase"]) for r in scalable_df.collect()
+    }
+    assert scal == exact
+    # scale-path plan shape: NO window operator anywhere (the exact
+    # form's single-partition sort is the thing this variant removes)
+    plan = scalable_df._jdf.queryExecution().executedPlan().toString()
+    assert "Window" not in plan

@@ -54,6 +54,7 @@ COVERED_BY: dict[str, str] = {
     "pipeline_chunk_overlap": "udtf_chunk",
     "pipeline_dedup_full": "dedup_components",
     "pipeline_curriculum": "pipeline_llm_prep",
+    "pipeline_curriculum_scalable": "pipeline_llm_prep",
     "pipeline_shard": "pipeline_pack",
     "profile_table": "agg_stats",
     "retention_cohorts": "window_fns",
