@@ -65,6 +65,27 @@ HEADLINE_EXT = [
 
 N_RUNS = 3  # median-of-3 so noise blips are distinguishable from regressions
 
+# --- Qualification rule (round 6, VERDICT r5 #4) -------------------------
+# This host shows loadavg 3-9 with zero local processes (noisy
+# neighbor), inflating queries ~25% with wide spreads. The bench
+# therefore QUALIFIES its own numbers instead of leaving comparability
+# to the reader:
+#   - a query whose relative spread (max-min)/median exceeds
+#     RESPREAD_THRESHOLD after the initial runs gets up to MAX_RETRIES
+#     extra timed runs (median/spread recomputed over all of them) —
+#     bounded retries squeeze transient blips out of the medians;
+#   - queries STILL over the threshold are listed in
+#     "unstable_queries": their round-over-round deltas are only
+#     meaningful if the spread intervals are disjoint (see BASELINE.md
+#     comparison convention);
+#   - the whole run carries "load_qualified": false when loadavg(1)
+#     exceeded LOAD_QUALIFIED_MAX before or after the run — a
+#     disqualified run can still show per-query agreement, but its
+#     absolute numbers must not be used to call a regression.
+RESPREAD_THRESHOLD = 0.35
+MAX_RETRIES = 2
+LOAD_QUALIFIED_MAX = 2.0
+
 # Scratch dirs whose presence is known to pollute bench numbers
 # (page-cache pressure from multi-GB probe builds once flipped an AQE
 # join-strategy threshold and measured text_tfidf 4x slower — see the
@@ -132,17 +153,53 @@ def main() -> None:
     # otherwise dominate the sub-second queries. Per query we report the
     # MEDIAN of the timed runs ("queries"), with min/max in "spread".
     runs: dict[str, list[float]] = {n: [] for n in names}
+
+    def timed_run(name: str) -> float:
+        t0 = time.perf_counter()
+        qs[name](spark, sf_dir).write.mode("overwrite").format("noop").save()
+        return round(time.perf_counter() - t0, 3)
+
     for measured in [False] + [True] * N_RUNS:
         for name in names:
-            t0 = time.perf_counter()
-            qs[name](spark, sf_dir).write.mode("overwrite").format(
-                "noop"
-            ).save()
+            dt = timed_run(name)
             if measured:
-                runs[name].append(round(time.perf_counter() - t0, 3))
+                runs[name].append(dt)
+
+    def rel_spread(ts: list[float]) -> float:
+        med = sorted(ts)[len(ts) // 2]
+        return (max(ts) - min(ts)) / med if med else 0.0
+
+    # Qualification: bounded re-runs for wide-spread queries, then name
+    # whatever stays unstable (see the rule block above).
+    requalified: list[str] = []
+    for name in names:
+        tries = 0
+        while rel_spread(runs[name]) > RESPREAD_THRESHOLD and tries < MAX_RETRIES:
+            runs[name].append(timed_run(name))
+            tries += 1
+        if tries:
+            requalified.append(name)
+    unstable = [n for n in names if rel_spread(runs[n]) > RESPREAD_THRESHOLD]
 
     timings = {n: sorted(ts)[len(ts) // 2] for n, ts in runs.items()}
     total = round(sum(timings[n] for n in HEADLINE), 3)
+    try:
+        loadavg_post = [round(x, 2) for x in os.getloadavg()]
+    except OSError:  # pragma: no cover
+        loadavg_post = [None, None, None]
+    # Gate on the PRE-run baseline only: post-run loadavg(1) is
+    # dominated by our own local[32] execution and would self-flag
+    # every run; it is recorded for context, not gated.
+    pre1 = machine_state["loadavg"][0]
+    load_qualified = pre1 is not None and pre1 <= LOAD_QUALIFIED_MAX
+    if not load_qualified:
+        print(
+            f"bench.py: WARNING — load_qualified=false "
+            f"(loadavg pre={pre1} post={loadavg_post[0]}, "
+            f"threshold {LOAD_QUALIFIED_MAX}); absolute numbers are NOT "
+            f"comparable across rounds, only per-query agreement.",
+            file=sys.stderr,
+        )
     print(
         json.dumps(
             {
@@ -159,6 +216,13 @@ def main() -> None:
                 "extended_set": HEADLINE_EXT,
                 "total_extended_sec": round(sum(timings.values()), 3),
                 "machine_state": machine_state,
+                "qualification": {
+                    "respread_threshold": RESPREAD_THRESHOLD,
+                    "requalified_queries": requalified,
+                    "unstable_queries": unstable,
+                    "load_qualified": load_qualified,
+                    "loadavg_post": loadavg_post,
+                },
             }
         )
     )

@@ -16,6 +16,11 @@ no text ops beyond string interpolation, EtlProcess.cs:233-236):
 
 from __future__ import annotations
 
+# Module-level so pandas_udf can resolve the (stringified, PEP 563)
+# ``pd.Series`` type hints of the model-backend wrapper against this
+# module's globals; the expression hot path below never touches it.
+import pandas as pd
+
 from pyspark.sql import Column
 from pyspark.sql import functions as F
 
@@ -63,6 +68,109 @@ def lang_id(text: Column) -> Column:
         .when(s["de"] >= s["zh"], "de")
         .otherwise("zh")
     )
+
+
+# --- pluggable language-ID seam (mirrors multimodal.get_decoder) --------
+
+# Per-worker model caches: named backends load their model LAZILY inside
+# the UDF (once per Python worker), so the heavy model object never
+# rides in the task closure and never needs to pickle.
+_LANG_MODEL_CACHE: dict = {}
+
+
+def _fasttext_predict(texts: list) -> list:
+    import os
+
+    if "fasttext" not in _LANG_MODEL_CACHE:
+        import fasttext
+
+        path = os.environ["FASTTEXT_LID_MODEL"]
+        _LANG_MODEL_CACHE["fasttext"] = fasttext.load_model(path)
+    model = _LANG_MODEL_CACHE["fasttext"]
+    labels, _scores = model.predict([t.replace("\n", " ") for t in texts])
+    return [
+        (ls[0].replace("__label__", "") if ls else None) for ls in labels
+    ]
+
+
+def _lingua_predict(texts: list) -> list:
+    if "lingua" not in _LANG_MODEL_CACHE:
+        from lingua import LanguageDetectorBuilder
+
+        _LANG_MODEL_CACHE["lingua"] = (
+            LanguageDetectorBuilder.from_all_languages().build()
+        )
+    det = _LANG_MODEL_CACHE["lingua"]
+    out = []
+    for t in texts:
+        lang = det.detect_language_of(t)
+        out.append(lang.iso_code_639_1.name.lower() if lang else None)
+    return out
+
+
+def _batched_lang_udf(predict):
+    """Wrap a ``list[str] -> list[str|None]`` predictor as a Column →
+    Column function via an Arrow-batched pandas UDF (never per-row)."""
+    from pyspark.sql import types as T
+
+    @F.pandas_udf(T.StringType())
+    def ident(texts: pd.Series) -> pd.Series:
+        if len(texts) == 0:
+            return pd.Series([], dtype=object)
+        return pd.Series(predict(texts.fillna("").tolist()), dtype=object)
+
+    return lambda col: ident(col)
+
+
+def get_lang_identifier(identifier="marker"):
+    """Resolve the language-ID implementation → a Column → Column fn.
+
+    - ``"marker"`` (default) — the deterministic stopword-marker
+      heuristic above (pure JVM expression, whole-stage codegen; what
+      every oracle-backed query pins — those are unchanged by this
+      seam).
+    - ``"fasttext"`` — fastText lid model (``FASTTEXT_LID_MODEL`` env
+      var names the .bin); ImportError/KeyError fails fast ON THE
+      DRIVER, the model itself loads lazily once per Python worker.
+    - ``"lingua"`` — lingua-py detector, same lazy-per-worker load.
+    - ``"auto"`` — best available model backend (fasttext, then
+      lingua), else the marker heuristic — the ``get_decoder`` pattern
+      (operators/multimodal.py): real library when the environment has
+      one, deterministic fallback when it doesn't.
+    - a callable ``list[str] -> list[str|None]`` passes through
+      (bring-your-own model), wrapped in the same Arrow-batched UDF.
+
+    The marker path stays the oracle/default because a MODEL's labels
+    are neither SQL-replicable nor stable across library versions; a
+    real curation pipeline flips to ``"auto"`` at the call site and
+    keeps the identical plan shape (one projected column, no shuffle).
+    """
+    if callable(identifier):
+        return _batched_lang_udf(identifier)
+    if identifier == "marker":
+        return lang_id
+    if identifier == "fasttext":
+        import os
+
+        import fasttext  # noqa: F401  (fail fast with the real ImportError)
+
+        if "FASTTEXT_LID_MODEL" not in os.environ:
+            raise KeyError(
+                "FASTTEXT_LID_MODEL must name the lid model .bin"
+            )
+        return _batched_lang_udf(_fasttext_predict)
+    if identifier == "lingua":
+        import lingua  # noqa: F401
+
+        return _batched_lang_udf(_lingua_predict)
+    if identifier == "auto":
+        for name, resolve in (("fasttext", "fasttext"), ("lingua", "lingua")):
+            try:
+                return get_lang_identifier(resolve)
+            except (ImportError, KeyError):
+                continue
+        return lang_id
+    raise ValueError(f"unknown identifier: {identifier!r}")
 
 
 def quality_features(text: Column) -> dict[str, Column]:

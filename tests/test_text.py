@@ -135,3 +135,85 @@ def test_contamination_collapse_equivalence(spark):
     rb = sorted((r.doc_id, round(r.max_containment, 9)) for r in b.collect())
     assert ra == rb
     assert len(ra) > 0
+
+
+def test_lang_identifier_seam(spark):
+    """get_lang_identifier mirrors multimodal.get_decoder: marker is the
+    deterministic default (the expression itself, oracle paths pinned),
+    a callable is bring-your-own (Arrow-batched), auto degrades to the
+    marker heuristic when no model library exists, unknown raises."""
+    import pytest as _pytest
+
+    docs = spark.createDataFrame(
+        [
+            (1, "the cat and the dog of the house"),
+            (2, "el perro y la casa de los gatos"),
+            (3, None),
+        ],
+        "doc_id long, text string",
+    )
+    # marker: the seam returns the expression function itself
+    marker = tx.get_lang_identifier("marker")
+    assert marker is tx.lang_id
+    got = {
+        r["doc_id"]: r["lang"]
+        for r in docs.select(
+            "doc_id", marker(F.col("text")).alias("lang")
+        ).collect()
+    }
+    assert got[1] == "en" and got[2] == "es"
+    # callable pass-through: wrapped in a pandas UDF, applied batched
+    fake = tx.get_lang_identifier(
+        lambda texts: [f"xx{len(t) % 2}" for t in texts]
+    )
+    got = {
+        r["doc_id"]: r["lang"]
+        for r in docs.select(
+            "doc_id", fake(F.col("text")).alias("lang")
+        ).collect()
+    }
+    assert set(got.values()) <= {"xx0", "xx1"} and len(got) == 3
+    with _pytest.raises(ValueError, match="unknown identifier"):
+        tx.get_lang_identifier("babel")
+
+
+def test_lang_identifier_auto_fallback():
+    """In an environment without fasttext/lingua, auto resolves to the
+    marker heuristic (the get_decoder degradation contract)."""
+    import importlib.util
+
+    import pytest as _pytest
+
+    has_model_lib = any(
+        importlib.util.find_spec(m) is not None
+        for m in ("fasttext", "lingua")
+    )
+    if has_model_lib:
+        _pytest.skip("a model library is installed; fallback not reachable")
+    assert tx.get_lang_identifier("auto") is tx.lang_id
+
+
+def test_lang_identifier_lingua_real():
+    """Real lingua path — runs only where lingua-py is installed."""
+    import importlib.util
+
+    import pytest as _pytest
+
+    if importlib.util.find_spec("lingua") is None:
+        _pytest.skip("lingua not installed in this environment")
+    ident = tx.get_lang_identifier("lingua")
+    assert callable(ident)
+
+
+def test_lang_identifier_fasttext_requires_model_env(monkeypatch):
+    """fasttext backend fails fast on the driver when the model path env
+    is unset — only when the library itself is importable."""
+    import importlib.util
+
+    import pytest as _pytest
+
+    if importlib.util.find_spec("fasttext") is None:
+        _pytest.skip("fasttext not installed in this environment")
+    monkeypatch.delenv("FASTTEXT_LID_MODEL", raising=False)
+    with _pytest.raises(KeyError, match="FASTTEXT_LID_MODEL"):
+        tx.get_lang_identifier("fasttext")
