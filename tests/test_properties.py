@@ -186,16 +186,26 @@ _LT_OP = st.tuples(
 )
 
 
-@given(st.lists(_LT_OP, min_size=1, max_size=5))
+@given(st.lists(_LT_OP, min_size=1, max_size=5), st.integers(0, 3))
 @settings(max_examples=6, deadline=None)
-def test_logtable_random_op_sequences_match_dict_model(spark, ops):
+def test_logtable_random_op_sequences_match_dict_model(spark, ops, retain):
     """Model-based LogTable check: any interleaving of eager upserts,
     deferred upserts, deletes, compactions, and log checkpoints must
     leave the snapshot equal to a plain dict replay of the same ops —
     merge-on-read, maintenance, and checkpointed replay are invisible
     to readers. (Batches carry unique keys, so eager and deferred
     semantics coincide deterministically; append is excluded because it
-    deliberately breaks one-row-per-key and is guarded separately.)"""
+    deliberately breaks one-row-per-key and is guarded separately.)
+
+    Then the RETENTION property (VERDICT r5 #7): after
+    ``vacuum(retain)`` followed by ``checkpoint_log()``, time travel to
+    EVERY version inside the retention window still opens and matches
+    the model's state at that version; any version that still opens
+    (inside the window or not — vacuum only deletes unreferenced units,
+    so older versions whose units survived remain readable) must ALSO
+    match its model state — a vacuumed version may fail loudly, never
+    answer wrong; and versions whose model state is empty raise the
+    documented "no data"."""
     import tempfile
 
     from durable_functions_cosmosdb_etl_spark.sinks.logtable import LogTable
@@ -204,6 +214,7 @@ def test_logtable_random_op_sequences_match_dict_model(spark, ops):
     t = LogTable(spark, path, key="id", n_buckets=2)
     model = {0: "z"}
     t.create(spark.createDataFrame([(0, "z")], "id long, val string"))
+    states = {t.version(): dict(model)}  # model state per committed version
     for kind, kvs in ops:
         if kind in ("upsert", "deferred"):
             df = spark.createDataFrame(kvs, "id long, val string")
@@ -220,11 +231,36 @@ def test_logtable_random_op_sequences_match_dict_model(spark, ops):
             t.compact()
         else:
             t.checkpoint_log()
+        states[t.version()] = dict(model)
+    import pytest as _pytest
+
     if model:
         got = {r["id"]: r["val"] for r in t.snapshot().collect()}
         assert got == model
     else:
-        import pytest as _pytest
-
         with _pytest.raises(ValueError, match="no data"):
             t.snapshot()
+
+    # --- vacuum + checkpoint, then audit every version's time travel
+    t.vacuum(retain_versions=retain)
+    t.checkpoint_log()
+    latest = t.version()
+    horizon = latest - retain
+    for v, st_v in states.items():
+        if not st_v:
+            with _pytest.raises(ValueError, match="no data"):
+                t.snapshot(version=v)
+            continue
+        try:
+            got = {r["id"]: r["val"] for r in t.snapshot(version=v).collect()}
+        except ValueError:
+            raise  # "version does not exist" would be a log corruption
+        except Exception:
+            # failed loudly: only legal for versions OUTSIDE the
+            # retention window whose units were actually vacuumed
+            assert v < horizon, (
+                f"version {v} is inside the retention window "
+                f"[{horizon}, {latest}] but failed to open"
+            )
+            continue
+        assert got == st_v, f"time travel to v{v} answered wrong after vacuum"
