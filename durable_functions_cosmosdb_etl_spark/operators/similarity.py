@@ -99,10 +99,11 @@ def _broadcast_score_topk(q_rows, k, sim_floor, probe_sets=None):
     sequential-fold cumsum dots — bit-identical to the ``cosine()``
     expression (same IEEE add order; BLAS GEMM would reorder) — and
     each batch emits at most |queries|·k rows. Ordering/filter
-    semantics replicate Spark exactly: NaN sims sort as the LARGEST
-    double (sort key +inf; the emitted value stays NaN) and pass a
-    ``sim >= floor`` filter the way Spark's NaN-largest comparison
-    does; ties break on ascending neighbor id.
+    semantics replicate the expression plan exactly: pairs whose
+    cosine is not a real number (zero denominator → try_divide NULL,
+    or NaN operands) emit no row at all (the undefined-similarity
+    contract, mirrored by an ``isNotNull & ~isnan`` filter in the expr
+    paths); ties break on ascending neighbor id.
 
     ``probe_sets``: optional {query_id: set(centroid_id)} — rows of a
     batch outside a query's probed cells are masked out before scoring
@@ -154,21 +155,22 @@ def _broadcast_score_topk(q_rows, k, sim_floor, probe_sets=None):
                 denom = qn[qi] * sub_cn
                 with np.errstate(divide="ignore", invalid="ignore"):
                     sims = dots / denom
-                # try_divide tier: a zero denominator (zero-norm query
-                # or corpus vector) is NULL in the expression path and
-                # filtered there before the top-k — drop it here too,
-                # so a degenerate vector can never outrank real
-                # neighbors (0/0 = NaN previously took sort key +inf
-                # and rank 1 for EVERY query). Component-NaN sims with
-                # a nonzero denominator keep Spark's NaN-largest
-                # ordering below.
-                valid = denom != 0.0
+                # Undefined-similarity contract (uniform across every
+                # scorer and prereduce mode): a pair whose cosine is
+                # not a real number — zero denominator (try_divide →
+                # NULL in the expression form) OR NaN operands — emits
+                # NO neighbor row. Previously 0/0 = NaN took sort key
+                # +inf and rank 1 for EVERY query; and component-NaN
+                # sims became NULL crossing the Arrow boundary
+                # (pyarrow nan_as_null), ranking last here but first
+                # in the pure-JVM no-prereduce plan — a hybrid
+                # ordering. Dropping both tiers makes all paths agree.
+                valid = (denom != 0.0) & ~np.isnan(sims)
                 sims, sub_n = sims[valid], sub_n[valid]
                 if sim_floor is not None:
-                    keep = (sims >= sim_floor) | np.isnan(sims)
+                    keep = sims >= sim_floor
                     sims, sub_n = sims[keep], sub_n[keep]
-                key = np.where(np.isnan(sims), np.inf, sims)
-                order = np.lexsort((sub_n, -key))[:k]
+                order = np.lexsort((sub_n, -sims))[:k]
                 out_q.extend([qid] * len(order))
                 out_n.extend(sub_n[order])
                 out_s.extend(sims[order])
@@ -243,13 +245,16 @@ def brute_force_topk(
             "neighbor_id",
             cosine(F.col("q_vec"), F.col("c_vec")).alias("sim"),
         )
-        # NULL sims (try_divide, zero-norm operand) are dropped before
-        # the pre-reduce: pandas float64 cannot distinguish NULL from
-        # NaN, and Spark sorts them at OPPOSITE ends of sim DESC — an
-        # unfiltered NULL would be NaN-first in the local top-k but
-        # NULLS-LAST in the global window. Also the arrow scorer's
-        # contract: degenerate vectors yield no neighbor rows.
-        scored = scored.filter(F.col("sim").isNotNull())
+        # Undefined-similarity contract: NULL sims (try_divide,
+        # zero-norm operand) AND NaN sims (NaN operands) are dropped
+        # before the pre-reduce — pandas float64 cannot distinguish
+        # NULL from NaN, Spark sorts them at OPPOSITE ends of sim
+        # DESC, and NaN flips to NULL crossing the Arrow boundary
+        # (pyarrow nan_as_null); only real-valued sims rank, in every
+        # scorer and prereduce mode alike.
+        scored = scored.filter(
+            F.col("sim").isNotNull() & ~F.isnan("sim")
+        )
         if sim_floor is not None:
             scored = scored.filter(F.col("sim") >= sim_floor)
         if prereduce:
@@ -872,10 +877,10 @@ def ivf_topk(
                 F.col(id_col).alias("neighbor_id"),
                 cosine(F.col("q_vec"), F.col(vec_col)).alias("sim"),
             )
-            # NULL sims dropped before the pre-reduce — same
-            # NULL-vs-NaN pandas conflation argument as
-            # brute_force_topk; matches the arrow scorer's denom mask.
-            .filter(F.col("sim").isNotNull())
+            # Undefined-similarity contract — same argument as
+            # brute_force_topk: NULL and NaN sims both emit no
+            # neighbor row, matching the arrow scorer's mask.
+            .filter(F.col("sim").isNotNull() & ~F.isnan("sim"))
         )
         # Same exact local top-k pre-reduce as brute_force_topk: the rank
         # window's exchange then carries O(partitions × |Q| × k) rows

@@ -137,6 +137,13 @@ def run_changefeed_transform(
         raise ValueError(f"unknown sink mode: {sink!r}")
     if max_versions_per_batch is not None and max_versions_per_batch < 1:
         raise ValueError("max_versions_per_batch must be >= 1")
+    if source.key != target.key:
+        # Deletes propagate BY KEY COLUMN NAME; a differently-keyed
+        # target would bucket them under the wrong mapping. A renaming
+        # transform cannot fix this (deletes bypass the transform).
+        raise ValueError(
+            f"source key {source.key!r} != target key {target.key!r}"
+        )
     key = source.key
     stats = {
         "batches": 0,
@@ -205,7 +212,13 @@ def run_changefeed_transform(
             stats["rows_deleted"] += n_dels
             n_batches += 1
             stats["batches"] = n_batches
-            if maintenance_every and n_batches % maintenance_every == 0:
+            if (
+                maintenance_every
+                and n_batches % maintenance_every == 0
+                and target.version() >= 0
+                # guard: a drained interval can be all no-ops (e.g. a
+                # compact-only window), leaving the target still empty
+            ):
                 if target.delta_fraction() >= compact_min_delta:
                     target.compact()
                 target.checkpoint_log()

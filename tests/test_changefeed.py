@@ -202,3 +202,12 @@ def test_changefeed_validation_and_cursor_io(spark, tmp_path):
     # an empty source drains immediately
     stats = run_changefeed_transform(spark, a, b, str(tmp_path / "c2.json"))
     assert stats["batches"] == 0
+
+
+def test_changefeed_key_mismatch_rejected(spark, tmp_path):
+    a = LogTable(spark, str(tmp_path / "a"), key="id")
+    b = LogTable(spark, str(tmp_path / "b"), key="doc_id")
+    with pytest.raises(ValueError, match="source key"):
+        run_changefeed_transform(
+            spark, a, b, str(tmp_path / "c.json")
+        )

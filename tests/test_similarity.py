@@ -378,19 +378,22 @@ def test_topk_arrow_scorer_bit_identical_to_expr(spark, sf_dir):
     )
 
 
-def test_topk_zero_norm_null_tier(spark):
-    """Zero-norm vectors are the NULL-sim tier (try_divide) and must
-    never rank: previously 0/0 = NaN in the arrow scorer took sort key
-    +inf, so a degenerate corpus vector ranked #1 for EVERY query and
-    passed sim_floor. Both scorers must agree — and agree with the
-    semantics that NULL sims yield no neighbor row at all."""
+def test_topk_undefined_sim_contract(spark):
+    """Undefined-similarity contract: a pair whose cosine is not a real
+    number — zero-norm operand (try_divide NULL) or NaN operands —
+    emits NO neighbor row, identically in both scorers, both prereduce
+    modes, and IVF. Previously 0/0 = NaN in the arrow scorer took sort
+    key +inf, so a degenerate corpus vector ranked #1 for EVERY query
+    and passed sim_floor; and component-NaN sims flipped to NULL
+    crossing the Arrow boundary, ranking last in pandas-backed plans
+    but first in the pure-JVM one."""
     corpus = spark.createDataFrame(
         [
-            (10, [0.0, 0.0, 0.0]),           # zero norm → NULL tier
+            (10, [0.0, 0.0, 0.0]),           # zero norm → NULL sim
             (11, [1.0, 0.0, 0.0]),
             (12, [0.9, 0.1, 0.0]),
             (13, [0.0, 1.0, 0.0]),
-            (14, [float("nan"), 1.0, 0.0]),  # NaN tier (nonzero norm)
+            (14, [float("nan"), 1.0, 0.0]),  # NaN operands → NaN sim
         ],
         "vec_id long, embedding array<float>",
     )
@@ -405,39 +408,30 @@ def test_topk_zero_norm_null_tier(spark):
             for r in df.collect()
         )
 
+    variants = [
+        dict(scorer="arrow"),
+        dict(scorer="expr"),
+        dict(scorer="expr", prereduce=False),
+    ]
     for floor in (None, 0.5):
-        a = rows(
-            sim.brute_force_topk(
-                corpus, queries, k=3, sim_floor=floor, scorer="arrow"
+        results = [
+            rows(
+                sim.brute_force_topk(
+                    corpus, queries, k=3, sim_floor=floor, **kw
+                )
             )
-        )
-        e = rows(
-            sim.brute_force_topk(
-                corpus, queries, k=3, sim_floor=floor, scorer="expr"
-            )
-        )
-        assert a == e, f"sim_floor={floor}"
-        # the zero-norm corpus vector never appears for any query
-        assert all(r[2] != 10 for r in a)
-        # the zero-norm query's only surviving pair is the NaN-NORM
-        # corpus vector (denominator 0 × NaN = NaN ≠ 0 → NaN tier,
-        # not NULL tier — try_divide only NULLs a ZERO divisor);
-        # every zero-denominator pair is gone. NaN-tier sims survive
-        # the local top-k as Spark's largest double but come back
-        # NULL across the Arrow boundary (pyarrow nan_as_null), so
-        # they rank LAST in the global window — identically in both
-        # scorers.
-        q1 = [r for r in a if r[0] == 1]
-        assert [(r[2], r[3]) for r in q1] == [(14, None)]
-        assert a[0][:3] == (0, 1, 11)
-        # the NaN-tier row ranks below every real sim for query 0 —
-        # NOT rank 1, which is what the 0/0 bug produced. With no
-        # floor it is cut by k=3; at floor=0.5 it passes (NaN >=
-        # floor, Spark semantics) while the 0.0-sim row drops.
-        expect = [11, 12, 13] if floor is None else [11, 12, 14]
+            for kw in variants
+        ]
+        assert results[0] == results[1] == results[2], f"sim_floor={floor}"
+        a = results[0]
+        # neither degenerate corpus vector ever appears; the zero-norm
+        # query gets no rows at all
+        assert all(r[2] not in (10, 14) for r in a)
+        assert all(r[0] != 1 for r in a)
+        expect = [11, 12, 13] if floor is None else [11, 12]
         assert [r[2] for r in a if r[0] == 0] == expect
     # ivf: a zero-norm CENTROID must not be probed first, and the two
-    # scorers' probe selection + rescore must agree
+    # scorers' probe selection + rescore must agree under the contract
     ia = rows(
         sim.ivf_topk(corpus, queries, k=3, n_centroids=3, nprobe=2,
                      scorer="arrow")
@@ -447,8 +441,7 @@ def test_topk_zero_norm_null_tier(spark):
                      scorer="expr")
     )
     assert ia == ie
-    assert all(r[2] != 10 for r in ia)
-    assert all(r[2] == 14 for r in ia if r[0] == 1)
+    assert all(r[2] not in (10, 14) and r[0] != 1 for r in ia)
 
 
 def test_assign_to_centroids_empty_codebook_yields_zero_rows(spark):
