@@ -324,10 +324,11 @@ def _kcenter_seeds(
             # made 0/0 = NaN the +inf sort key of EVERY row, poisoning
             # the whole fit's ordering. NaN from vector components
             # (nonzero denom) stays the largest double. A row whose
-            # entries are all-NULL (zero-norm candidate) returns NaN —
-            # NaN and NULL are adjacent last tiers under _ms ASC
-            # (NaN-largest, then NULLS LAST), and this fit heuristic
-            # has no expression twin to be bit-equal to.
+            # entries are all-NULL (zero-norm candidate) returns NaN,
+            # which lands in Spark as NULL (pyarrow nan_as_null) and
+            # sorts dead last under _ms ASC NULLS LAST — zero-norm
+            # candidates are picked only as a last resort; this fit
+            # heuristic has no expression twin to be bit-equal to.
             null = denom == 0.0
             key = np.where(
                 null, -np.inf, np.where(np.isnan(sims), np.inf, sims)

@@ -211,3 +211,27 @@ def test_changefeed_key_mismatch_rejected(spark, tmp_path):
         run_changefeed_transform(
             spark, a, b, str(tmp_path / "c.json")
         )
+
+
+def test_changefeed_across_schema_evolution(spark, tmp_path):
+    """A medallion hop must survive the source gaining a column
+    mid-stream: changes() unions the two snapshots' schemas across the
+    boundary (missing side = NULL), and the consumer propagates the
+    widened rows into the target."""
+    a = _mk(spark, tmp_path, "a")
+    b = _mk(spark, tmp_path, "b")
+    cur = str(tmp_path / "cursor.json")
+    a.create(spark.createDataFrame([(1, "x"), (2, "y")], "id long, val string"))
+    run_changefeed_transform(spark, a, b, cur)
+    # source evolves: new column arrives with an update batch
+    a.upsert(
+        spark.createDataFrame(
+            [(2, "z", 7), (3, "w", 9)], "id long, val string, score long"
+        )
+    )
+    run_changefeed_transform(spark, a, b, cur)
+    got = {
+        r["id"]: (r["val"], r["score"])
+        for r in b.snapshot().collect()
+    }
+    assert got == {1: ("x", None), 2: ("z", 7), 3: ("w", 9)}

@@ -264,3 +264,54 @@ def test_logtable_random_op_sequences_match_dict_model(spark, ops, retain):
             )
             continue
         assert got == st_v, f"time travel to v{v} answered wrong after vacuum"
+
+
+@given(st.lists(_LT_OP, min_size=1, max_size=4), st.integers(1, 3))
+@settings(max_examples=4, deadline=None)
+def test_changefeed_replication_matches_dict_model(spark, ops, cap):
+    """End-to-end change-feed property: replicating a source LogTable
+    through run_changefeed_transform (drained mid-sequence after every
+    other op AND at the end, with a random micro-batch version cap)
+    leaves the target equal to the dict-model replay of the same ops —
+    the consumer's bootstrap/incremental/delete paths compose to the
+    source's net state regardless of where the drains land."""
+    import tempfile
+
+    import pytest as _pytest
+
+    from durable_functions_cosmosdb_etl_spark.sinks.logtable import LogTable
+    from durable_functions_cosmosdb_etl_spark.streaming.changefeed import (
+        run_changefeed_transform,
+    )
+
+    work = tempfile.mkdtemp(prefix="cf_prop_")
+    a = LogTable(spark, f"{work}/a", key="id", n_buckets=2)
+    b = LogTable(spark, f"{work}/b", key="id", n_buckets=2)
+    cur = f"{work}/cursor.json"
+    model = {0: "z"}
+    a.create(spark.createDataFrame([(0, "z")], "id long, val string"))
+    for i, (kind, kvs) in enumerate(ops):
+        if kind in ("upsert", "deferred"):
+            df = spark.createDataFrame(kvs, "id long, val string")
+            (a.upsert if kind == "upsert" else a.upsert_deferred)(df)
+            model.update(dict(kvs))
+        elif kind == "delete":
+            ks = [k for k, _ in kvs]
+            a.delete_keys(spark.createDataFrame([(k,) for k in ks], "id long"))
+            for k in ks:
+                model.pop(k, None)
+        elif kind == "compact":
+            a.compact()
+        else:
+            a.checkpoint_log()
+        if i % 2 == 1:
+            run_changefeed_transform(
+                spark, a, b, cur, max_versions_per_batch=cap
+            )
+    run_changefeed_transform(spark, a, b, cur, max_versions_per_batch=cap)
+    if model:
+        got = {r["id"]: r["val"] for r in b.snapshot().collect()}
+        assert got == model
+    else:
+        with _pytest.raises(ValueError, match="no data"):
+            b.snapshot()
