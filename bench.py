@@ -14,6 +14,7 @@ from __future__ import annotations
 
 import json
 import os
+import statistics
 import sys
 import time
 
@@ -97,7 +98,13 @@ _PROBE_DIRS = ["/tmp/scale_probe", "/tmp/stream_probe", "/tmp/logtable_probe"]
 def _machine_state() -> dict:
     import shutil
 
-    present = {}
+    # Warn-AND-CLEAN (round 7): stale probe data measurably inflates
+    # bench numbers (page-cache pressure once flipped an AQE threshold,
+    # 4x on text_tfidf), so recording the contamination isn't enough —
+    # remove it before timing anything. The probes themselves also
+    # clean up on exit now (tools/*_probe.py try/finally); this is the
+    # belt to that suspender, catching killed probes.
+    cleaned = {}
     for d in _PROBE_DIRS:
         if os.path.isdir(d):
             size = 0
@@ -107,14 +114,18 @@ def _machine_state() -> dict:
                         size += os.path.getsize(os.path.join(root, f))
                     except OSError:
                         pass
-            present[d] = size
+            shutil.rmtree(d, ignore_errors=True)
+            cleaned[d] = size
+    present = [d for d in _PROBE_DIRS if os.path.isdir(d)]
     try:
         load1, load5, load15 = os.getloadavg()
     except OSError:  # pragma: no cover
         load1 = load5 = load15 = None
     state = {
         "probe_dirs_present": bool(present),
-        "probe_dirs": {d: round(s / 1e9, 2) for d, s in present.items()},
+        "probe_dirs_cleaned": {
+            d: round(s / 1e9, 2) for d, s in cleaned.items()
+        },
         # Host load BEFORE the run: this box has shown loadavg 3-6 with
         # zero local processes (noisy neighbor), inflating every query
         # ~25% with wide spreads. Compare rounds only when loads match.
@@ -123,13 +134,11 @@ def _machine_state() -> dict:
             for x in (load1, load5, load15)
         ],
     }
-    if present:
-        total_gb = sum(present.values()) / 1e9
+    if cleaned:
+        total_gb = sum(cleaned.values()) / 1e9
         print(
-            f"bench.py: WARNING — stale probe data present "
-            f"({total_gb:.1f} GB in {sorted(present)}); numbers may be "
-            f"inflated by page-cache pressure. Delete before a "
-            f"comparison run.",
+            f"bench.py: WARNING — stale probe data found and removed "
+            f"({total_gb:.1f} GB in {sorted(cleaned)}) before timing.",
             file=sys.stderr,
         )
     return state
@@ -165,8 +174,11 @@ def main() -> None:
             if measured:
                 runs[name].append(dt)
 
+    # statistics.median (not sorted(ts)[len//2]): retry runs make the
+    # per-query lists even-length, and the upper-middle element would
+    # bias exactly the requalified queries' medians upward.
     def rel_spread(ts: list[float]) -> float:
-        med = sorted(ts)[len(ts) // 2]
+        med = statistics.median(ts)
         return (max(ts) - min(ts)) / med if med else 0.0
 
     # Qualification: bounded re-runs for wide-spread queries, then name
@@ -181,7 +193,9 @@ def main() -> None:
             requalified.append(name)
     unstable = [n for n in names if rel_spread(runs[n]) > RESPREAD_THRESHOLD]
 
-    timings = {n: sorted(ts)[len(ts) // 2] for n, ts in runs.items()}
+    timings = {
+        n: round(statistics.median(ts), 3) for n, ts in runs.items()
+    }
     total = round(sum(timings[n] for n in HEADLINE), 3)
     try:
         loadavg_post = [round(x, 2) for x in os.getloadavg()]

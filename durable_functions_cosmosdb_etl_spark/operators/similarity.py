@@ -20,6 +20,8 @@ North-star addition (no vector ops exist in the reference). Two paths:
 
 from __future__ import annotations
 
+import os
+
 import pandas as pd
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
@@ -283,12 +285,24 @@ def _kcenter_seeds(
     driver holds only the ≤ n_centroids chosen vectors (same bounded-
     collect class as the lease/bucket lists). O(k · |fit_set|) total.
     """
-    import numpy as np
-
     # The greedy loop makes k-1 sequential passes over the fit set; a
     # cached 2-column projection turns passes 2..k into in-memory scans
     # (columnar, spillable) instead of k parquet scans + filters.
     fit_set = fit_set.select(id_col, vec_col).cache()
+    # try/finally: EVERY exit path (empty fit set, exhausted candidates,
+    # an error mid-step) must release the cached projection — the early
+    # `return []` previously skipped the unpersist and leaked it.
+    try:
+        return _kcenter_seed_loop(fit_set, n_centroids, id_col, vec_col)
+    finally:
+        fit_set.unpersist()
+
+
+def _kcenter_seed_loop(
+    fit_set: DataFrame, n_centroids: int, id_col: str, vec_col: str
+) -> list:
+    import numpy as np
+
     first = (
         fit_set.orderBy(id_col).limit(1).select(id_col, vec_col).collect()
     )
@@ -349,10 +363,7 @@ def _kcenter_seeds(
             break
         seeds.append(nxt[0])
     # The seeds are plain collected rows — nothing downstream reads the
-    # cached projection, so release it instead of letting per-fit cached
-    # blocks accumulate for the session (repeated-fit reuse is handled
-    # one level up by the codebook memo, not by this cache).
-    fit_set.unpersist()
+    # cached projection; the caller's finally releases it on every path.
     return seeds
 
 
@@ -391,27 +402,35 @@ def fit_ivf_centroids(
     """
     pct = max(1, min(100, int(round(fit_fraction * 100))))
     corpus = corpus.filter(F.col(vec_col).isNotNull())
-    # Codebook memo, keyed on (plan semanticHash, every fit parameter):
-    # fitting is deterministic given (data, params), so the k collected
-    # rows ARE the codebook — repeated invocations of a registered
-    # query (bench warm runs, a serving session) rebuild the tiny
-    # DataFrame from the memo instead of re-running the (k + n_iters)
-    # job-barrier fit each call. This is the fit/serving split VERDICT
-    # r5 asked for: the bench's warm runs now measure SERVING (the
-    # trend that matters); fit cost is paid once and priced in SCALE.md
-    # §2. collect → createDataFrame round-trips float32 exactly
-    # (binary32 ⊂ binary64), so the memoized codebook is bit-identical
-    # to the freshly-fitted one — oracle paths unaffected. Staleness:
-    # same accepted trade as _FIT_SIZE_MEMO/_COLLAPSE_MEMO (plan-keyed,
-    # frozen if the underlying files grow mid-session).
-    try:
-        memo_key = (
-            corpus.semanticHash(), n_centroids, id_col, vec_col,
-            pct, min_fit_rows, n_iters, init,
-        )
-    except Exception:  # pragma: no cover — non-classic DataFrame impls
-        memo_key = None
-    schema = "centroid_id int, centroid array<float>"
+    # Codebook memo, keyed on (plan semanticHash, DATA fingerprint,
+    # every fit parameter): fitting is deterministic given (data,
+    # params), so the k collected rows ARE the codebook — repeated
+    # invocations of a registered query (bench warm runs, a serving
+    # session) rebuild the tiny DataFrame from the memo instead of
+    # re-running the (k + n_iters) job-barrier fit each call. This is
+    # the fit/serving split VERDICT r5 asked for: the bench's warm runs
+    # now measure SERVING (the trend that matters); fit cost is paid
+    # once and priced in SCALE.md §2. collect → createDataFrame
+    # round-trips float32 exactly (binary32 ⊂ binary64), so the
+    # memoized codebook is bit-identical to the freshly-fitted one —
+    # oracle paths unaffected.
+    #
+    # Staleness here is NOT the same accepted trade as _FIT_SIZE_MEMO:
+    # a stale size-probe merely mispicks the sampling regime, but a
+    # stale/collided codebook silently substitutes wrong centroids into
+    # QUERY RESULTS. So the key folds in a fingerprint of the plan's
+    # input files ((path, size, mtime) via DataFrame.inputFiles — the
+    # same mechanism a LogTable version would key, since its snapshot
+    # IS a file listing): new files landing, rewritten files, or a
+    # different table under an identical plan shape all change the key
+    # and force a re-fit. Plans with no file inputs (in-memory test
+    # frames) fall back to semanticHash-only keying, and
+    # :func:`invalidate_fit_memos` is the explicit escape hatch.
+    memo_key = _codebook_memo_key(
+        corpus, n_centroids, id_col, vec_col,
+        pct, min_fit_rows, n_iters, init,
+    )
+    schema = _CODEBOOK_SCHEMA
     if memo_key is not None and memo_key in _CODEBOOK_MEMO:
         return corpus.sparkSession.createDataFrame(
             _CODEBOOK_MEMO[memo_key], schema
@@ -449,9 +468,186 @@ def fit_ivf_centroids(
 # snapshot-stable input (e.g. a LogTable version) when one exists.
 _FIT_SIZE_MEMO: dict = {}
 
-# Fitted codebooks (k tiny rows each), same keying/staleness discipline
-# — see fit_ivf_centroids.
+# Fitted codebooks (k tiny rows each). Keyed on (plan semanticHash,
+# input-file fingerprint, fit params) — see fit_ivf_centroids for why
+# this memo needs the stronger data-aware key (_FIT_SIZE_MEMO's
+# plan-only staleness argument does NOT transfer: a stale codebook
+# corrupts query results, not just a sampling-regime choice).
 _CODEBOOK_MEMO: dict = {}
+
+_CODEBOOK_SCHEMA = "centroid_id int, centroid array<float>"
+
+
+def _codebook_memo_key(
+    corpus: DataFrame,
+    n_centroids: int,
+    id_col: str,
+    vec_col: str,
+    pct: int,
+    min_fit_rows: int,
+    n_iters: int,
+    init: str,
+):
+    """Shared key builder for the in-session memo AND the persisted
+    codebook's staleness check — one keying discipline, two tiers."""
+    try:
+        return (
+            corpus.semanticHash(), _data_fingerprint(corpus),
+            n_centroids, id_col, vec_col,
+            pct, min_fit_rows, n_iters, init,
+        )
+    except Exception:  # pragma: no cover — non-classic DataFrame impls
+        return None
+
+
+def fit_or_load_ivf_centroids(
+    corpus: DataFrame,
+    codebook_path: str,
+    n_centroids: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    fit_fraction: float = 0.25,
+    min_fit_rows: int = 200,
+    n_iters: int = 1,
+    init: str = "lowest_id",
+) -> DataFrame:
+    """Cross-SESSION fit/serving split (VERDICT r6 #7): the in-session
+    memo makes serving cheap until the process restarts; this persists
+    the fitted codebook so the fit is paid once per CORPUS, not once
+    per session. Resolution order:
+
+    1. in-session memo hit → no I/O at all;
+    2. persisted codebook whose recorded (fit params, corpus
+       fingerprint) both match → load the tiny parquet, seed the memo;
+    3. otherwise fit, persist, seed the memo.
+
+    The parquet round-trips float32 bit-exactly (same binary32 values,
+    no re-derivation), so a loaded codebook yields IDENTICAL serving
+    top-k to the fresh fit — test-asserted. Staleness uses the same
+    input-file fingerprint as the memo: corpora whose plans expose no
+    file listing (in-memory frames) are fit-only (nothing persisted —
+    a load could never prove freshness). Layout under
+    ``codebook_path``: ``centroids.parquet/`` + ``meta.json`` (written
+    last, atomically: a crash mid-persist leaves no meta → refit).
+    """
+    pct = max(1, min(100, int(round(fit_fraction * 100))))
+    live = corpus.filter(F.col(vec_col).isNotNull())
+    memo_key = _codebook_memo_key(
+        live, n_centroids, id_col, vec_col,
+        pct, min_fit_rows, n_iters, init,
+    )
+    spark = corpus.sparkSession
+    params = {
+        "n_centroids": n_centroids, "id_col": id_col, "vec_col": vec_col,
+        "pct": pct, "min_fit_rows": min_fit_rows, "n_iters": n_iters,
+        "init": init,
+    }
+    fingerprint = _data_fingerprint(live)
+    meta_path = os.path.join(codebook_path, "meta.json")
+    data_path = os.path.join(codebook_path, "centroids.parquet")
+    if memo_key is not None and memo_key in _CODEBOOK_MEMO:
+        cb = spark.createDataFrame(
+            _CODEBOOK_MEMO[memo_key], _CODEBOOK_SCHEMA
+        )
+        # A memo hit may predate this call (the fit ran through
+        # fit_ivf_centroids directly) — still make it durable, or the
+        # "paid once per corpus" promise dies with the session.
+        if fingerprint is not None and not _persisted_matches(
+            meta_path, params, fingerprint
+        ):
+            _persist_codebook(cb, data_path, meta_path, params, fingerprint)
+        return cb
+    if fingerprint is not None and _persisted_matches(
+        meta_path, params, fingerprint
+    ):
+        rows = [
+            (r["centroid_id"], list(r["centroid"]))
+            for r in spark.read.parquet(data_path).collect()
+        ]
+        if memo_key is not None:
+            _CODEBOOK_MEMO[memo_key] = rows
+        return spark.createDataFrame(rows, _CODEBOOK_SCHEMA)
+    cb = fit_ivf_centroids(
+        corpus, n_centroids=n_centroids, id_col=id_col, vec_col=vec_col,
+        fit_fraction=fit_fraction, min_fit_rows=min_fit_rows,
+        n_iters=n_iters, init=init,
+    )
+    if fingerprint is not None:
+        _persist_codebook(cb, data_path, meta_path, params, fingerprint)
+    return cb
+
+
+def _persisted_matches(meta_path: str, params: dict, fingerprint) -> bool:
+    import json as _json
+
+    if not os.path.exists(meta_path):
+        return False
+    try:
+        with open(meta_path) as f:
+            meta = _json.load(f)
+    except (OSError, ValueError):
+        return False
+    return (
+        meta.get("params") == params
+        and meta.get("fingerprint") == fingerprint
+    )
+
+
+def _persist_codebook(
+    cb: DataFrame, data_path: str, meta_path: str, params: dict, fingerprint
+) -> None:
+    """Data first, meta last (atomic tmp+fsync+rename): a crash
+    mid-persist leaves no meta → next session refits. k tiny rows."""
+    import json as _json
+
+    cb.write.mode("overwrite").parquet(data_path)
+    tmp = f"{meta_path}.{os.getpid()}.tmp"
+    with open(tmp, "w") as f:
+        _json.dump({"params": params, "fingerprint": fingerprint}, f)
+        f.flush()
+        os.fsync(f.fileno())
+    os.replace(tmp, meta_path)
+
+
+def _data_fingerprint(df: DataFrame, max_stats: int = 10_000):
+    """Best-effort fingerprint of a plan's input data: the sorted file
+    listing with (size, mtime_ns) for local files. Driver metadata only
+    — ``inputFiles()`` is the already-listed scan inventory, and the
+    per-file ``stat`` is capped at ``max_stats`` (beyond that the name
+    listing alone still catches files added/removed, the common
+    mid-session change). Returns None for plans with no file inputs.
+    """
+    from urllib.parse import urlparse
+
+    try:
+        files = sorted(df.inputFiles())
+    except Exception:  # pragma: no cover — non-classic DataFrame impls
+        return None
+    if not files:
+        return None
+    parts = []
+    for i, f in enumerate(files):
+        size = mtime = None
+        if i < max_stats:
+            u = urlparse(f)
+            if u.scheme in ("file", ""):
+                try:
+                    st = os.stat(u.path or f)
+                    size, mtime = st.st_size, st.st_mtime_ns
+                except OSError:
+                    pass
+        parts.append((f, size, mtime))
+    return hash(tuple(parts))
+
+
+def invalidate_fit_memos() -> None:
+    """Explicit invalidation hook for the session-lifetime fit memos
+    (codebook + size probe). For ingest-while-serving sessions whose
+    inputs mutate in ways the file fingerprint cannot see (e.g. an
+    object store without local stat), call this after ingest to force
+    the next fit/probe to re-run against current data."""
+    _CODEBOOK_MEMO.clear()
+    _FIT_SIZE_MEMO.clear()
 
 
 def _corpus_reaches(corpus: DataFrame, need: int) -> bool:

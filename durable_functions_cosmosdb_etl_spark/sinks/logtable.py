@@ -190,6 +190,35 @@ class TableMetaError(ValueError):
     invariant silently."""
 
 
+class FeedTruncatedError(RuntimeError):
+    """A change-feed interval references data units ``vacuum`` has
+    physically deleted: the consumer's cursor fell behind the retention
+    window, so the diff between its last-seen version and now can no
+    longer be computed from stored data. Raised UP FRONT by
+    :meth:`LogTable.changes` (driver-side existence check on the
+    pruned unit set) instead of a raw missing-file failure deep inside
+    the Spark job. The recovery is a re-bootstrap — reset the cursor
+    and reconcile against the current snapshot, which
+    ``run_changefeed_transform(on_truncated="rebootstrap")``
+    implements. This is the analog of a Cosmos change-feed
+    continuation token expiring past the retention period.
+
+    Deliberately NOT a ValueError: the feed consumer treats specific
+    ValueErrors ("no data", "both versions are empty") as an empty
+    feed, and truncation must never be mistaken for one.
+    """
+
+    def __init__(self, version: int, missing: list[str]):
+        self.version = version
+        self.missing = missing
+        super().__init__(
+            f"change feed truncated by vacuum at version {version}: "
+            f"{len(missing)} referenced data unit(s) no longer exist "
+            f"(e.g. {missing[0]}) — re-bootstrap the consumer (reset "
+            f"its cursor and reconcile against the current snapshot)"
+        )
+
+
 class CommitProtocol:
     """Atomic claim-and-publish of one commit file.
 
@@ -994,6 +1023,28 @@ class LogTable:
 
     # -------------------------------------------------------------- reads
 
+    def missing_units(
+        self,
+        units: dict[str, dict] | None = None,
+        buckets: set[int] | None = None,
+        as_of: int | None = None,
+    ) -> list[str]:
+        """Relative paths of data units the log says are live (at
+        ``as_of``, or in an explicit ``units`` map, optionally
+        restricted to ``buckets``) but that no longer exist on disk —
+        i.e. vacuumed. Empty for any version inside the retention
+        window (vacuum's contract). Driver-side ``stat`` per unit, no
+        Spark jobs; consumers use this to detect feed truncation BEFORE
+        planning a read (see :class:`FeedTruncatedError`)."""
+        if units is None:
+            units = self._live_units(as_of=as_of)
+        return [
+            u
+            for u, e in units.items()
+            if (buckets is None or e["bucket"] in buckets)
+            and not os.path.exists(os.path.join(self.path, u))
+        ]
+
     def snapshot(
         self,
         version: int | None = None,
@@ -1088,6 +1139,16 @@ class LogTable:
         for e in self._log_entries(after=from_version, upto=to_version):
             for u in e.get("added", []) + e.get("removed", []):
                 touched.add(u["bucket"])
+        # Retention guard (VERDICT r6 #1): verify UP FRONT that every
+        # unit this feed will read still physically exists — a cursor
+        # lagging behind vacuum's retention window must surface as a
+        # typed "re-bootstrap" contract, not a missing-file error deep
+        # inside the join's Spark job. O(touched units) driver stat
+        # calls, the same metadata class as the log replay itself.
+        for v, units in ((from_version, lo), (to_version, hi)):
+            missing = self.missing_units(units, touched)
+            if missing:
+                raise FeedTruncatedError(v, missing)
         old = self._resolve(self._read_units(lo, touched), lo, touched)
         new = self._resolve(self._read_units(hi, touched), hi, touched)
         key = self.key

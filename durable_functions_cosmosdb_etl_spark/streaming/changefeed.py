@@ -14,9 +14,11 @@ the same effectively-once contract as the file-source pipeline in
 |--------------------------------------|--------------------------------|
 | CosmosDBTrigger change feed (:183)   | LogTable.changes(cur, upto)    |
 | lease container continuation (:184)  | cursor file (commit version)   |
+| lease container serialization (:185) | lease_path (O3 lease guard)    |
 | MaxItemsPerInvocation=10 (:186)      | max_versions_per_batch         |
 | per-invocation transform (:194-205)  | caller's transform(df)         |
 | upsert on /id (:188-206)             | target.upsert / upsert_deferred|
+| continuation-token expiry            | FeedTruncatedError/on_truncated|
 
 Why a driver-side drain loop and not ``readStream``: the source of
 truth for "what changed" is the commit LOG, a driver-readable metadata
@@ -59,7 +61,61 @@ from collections.abc import Callable
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..sinks.logtable import LogTable
+from ..operators.lease import (
+    DEFAULT_TIMEOUT_MIN,
+    acquire_lease,
+    release_lease,
+)
+from ..sinks.logtable import FeedTruncatedError, LogTable
+
+
+class TransformContractError(RuntimeError):
+    """The caller's transform violated the contract the drain loop's
+    correctness rests on (deterministic, key-preserving 1:1 — see
+    :func:`run_changefeed_transform`): it dropped rows, emitted
+    duplicate keys, or rewrote key values. Without the per-batch
+    certification this corrupts the target SILENTLY (a dropped key
+    never updates again; a rewritten key strands the old row forever,
+    because deletes propagate by original key); with it, the batch
+    fails loudly BEFORE any target commit, so the table is untouched
+    and the cursor unmoved."""
+
+
+def _certify_batch(out: DataFrame, inp: DataFrame, key: str, n_in: int) -> None:
+    """Per-batch transform-contract certification (VERDICT r6 #4):
+    count-in == count-out, output keys unique, and output keys ⊆ input
+    keys (with the first two, that makes the key SETS equal — the feed
+    guarantees input keys are already unique per batch). Two small jobs
+    over the already-cached batch — O(batch), never O(table). Same
+    spirit as ``LogTable.certify_unique``: cheap invariant checks where
+    a violation would otherwise surface as silent corruption."""
+    row = out.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.count_distinct(F.col(key)).alias("d"),
+    ).collect()[0]
+    if row["n"] != n_in:
+        raise TransformContractError(
+            f"transform must be 1:1 per batch: {n_in} row(s) in, "
+            f"{row['n']} out — a filtering/exploding transform breaks "
+            "crash-replay convergence and delete propagation"
+        )
+    if row["d"] != row["n"]:
+        raise TransformContractError(
+            f"transform output repeats keys: {row['n']} row(s) but "
+            f"{row['d']} distinct {key!r}"
+        )
+    remapped = (
+        out.select(key)
+        .join(inp.select(key), on=key, how="left_anti")
+        .limit(1)
+        .collect()
+    )
+    if remapped:
+        raise TransformContractError(
+            f"transform rewrote key values: output {key}="
+            f"{remapped[0][key]!r} was not in the input batch — deletes "
+            "propagate by ORIGINAL key, so remapped rows would strand"
+        )
 
 
 def read_cursor(cursor_path: str) -> int:
@@ -102,6 +158,10 @@ def run_changefeed_transform(
     maintenance_every: int | None = None,
     compact_min_delta: float = 0.25,
     after_apply: Callable[[int, int], None] | None = None,
+    on_truncated: str = "error",
+    certify_transform: bool = True,
+    lease_path: str | None = None,
+    lease_timeout_min: int = DEFAULT_TIMEOUT_MIN,
 ) -> dict:
     """Drain the source table's change feed into the target table
     (availableNow-style: consume up to the source version observed at
@@ -114,8 +174,10 @@ def run_changefeed_transform(
       rows (``change`` column already dropped). MUST be deterministic
       and key-preserving 1:1 (each input key appears exactly once in
       the output, unchanged) — that is what makes crash-replay
-      convergent and lets deletes propagate by key. ``None`` =
-      identity (pure replication).
+      convergent and lets deletes propagate by key; the key-preserving
+      half is CERTIFIED per batch by default (``certify_transform``)
+      so a violation fails loudly instead of corrupting silently.
+      ``None`` = identity (pure replication).
     - ``sink="upsert"``: eager per-batch MERGE semantics on the target
       (stored table always one-row-per-key, merge-free reads).
       ``sink="deferred"``: ``upsert_deferred`` delta appends — commit
@@ -129,12 +191,38 @@ def run_changefeed_transform(
     - ``after_apply(upto, target_version)``: test seam, called after a
       batch's target commits but BEFORE its cursor persist — the widest
       crash-replay window; raising here simulates the kill.
+    - ``on_truncated``: what to do when the cursor has fallen behind
+      the source's ``vacuum`` retention window (the diff is no longer
+      computable — the Cosmos continuation-token-expired analog).
+      ``"error"`` (default) propagates the typed
+      :class:`~..sinks.logtable.FeedTruncatedError`;
+      ``"rebootstrap"`` reconciles automatically: upsert the CURRENT
+      snapshot (through the transform) and delete target keys absent
+      from it, then jump the cursor to the snapshot's version — the
+      same net state a never-truncated drain would have reached.
+    - ``certify_transform`` (default on): certify each batch's
+      transform output against the 1:1 key-preserving contract before
+      any target commit (:func:`_certify_batch`) — a violating
+      transform fails loudly instead of converging wrong. Two
+      O(batch) jobs per batch; disable only for audited transforms on
+      latency-critical feeds.
+    - ``lease_path``: when set, the whole drain runs under the O3
+      distributed lease (``operators/lease.py``) — the reference
+      serializes its change-feed consumer through the lease container
+      the same way (EtlProcess.cs:184-185). A second process invoking
+      concurrently returns immediately with ``lease_skipped=True``
+      instead of interleaving version intervals with the holder.
+      Size ``lease_timeout_min`` ABOVE the worst-case drain time: a
+      drain outliving the timeout is presumed dead and its lease
+      stolen (the reference's own recovery rule).
 
     Returns ``{"batches", "rows_upserted", "rows_deleted",
-    "from_version", "to_version"}``.
+    "from_version", "to_version", "lease_skipped", "rebootstrapped"}``.
     """
     if sink not in ("upsert", "deferred"):
         raise ValueError(f"unknown sink mode: {sink!r}")
+    if on_truncated not in ("error", "rebootstrap"):
+        raise ValueError(f"unknown on_truncated mode: {on_truncated!r}")
     if max_versions_per_batch is not None and max_versions_per_batch < 1:
         raise ValueError("max_versions_per_batch must be >= 1")
     if source.key != target.key:
@@ -144,14 +232,58 @@ def run_changefeed_transform(
         raise ValueError(
             f"source key {source.key!r} != target key {target.key!r}"
         )
-    key = source.key
     stats = {
         "batches": 0,
         "rows_upserted": 0,
         "rows_deleted": 0,
         "from_version": read_cursor(cursor_path),
         "to_version": read_cursor(cursor_path),
+        "lease_skipped": False,
+        "rebootstrapped": False,
     }
+    if lease_path is None:
+        return _drain(
+            source, target, cursor_path, transform,
+            max_versions_per_batch, sink, maintenance_every,
+            compact_min_delta, after_apply, on_truncated,
+            certify_transform, stats,
+        )
+    handle = acquire_lease(
+        lease_path,
+        worker=f"changefeed-{os.getpid()}",
+        timeout_min=lease_timeout_min,
+    )
+    if not handle:
+        stats["lease_skipped"] = True
+        return stats
+    try:
+        return _drain(
+            source, target, cursor_path, transform,
+            max_versions_per_batch, sink, maintenance_every,
+            compact_min_delta, after_apply, on_truncated,
+            certify_transform, stats,
+        )
+    finally:
+        release_lease(
+            lease_path, handle.worker, start_time=handle.start_time
+        )
+
+
+def _drain(
+    source: LogTable,
+    target: LogTable,
+    cursor_path: str,
+    transform,
+    max_versions_per_batch,
+    sink,
+    maintenance_every,
+    compact_min_delta,
+    after_apply,
+    on_truncated,
+    certify_transform,
+    stats,
+) -> dict:
+    key = source.key
     n_batches = 0
     while True:
         cur = read_cursor(cursor_path)
@@ -163,25 +295,60 @@ def run_changefeed_transform(
             if max_versions_per_batch is not None
             else latest
         )
+        feed = None
+        truncated: FeedTruncatedError | None = None
         if cur < 0:
             # Bootstrap batch: the feed "from the beginning" is the
             # whole snapshot as inserts (Delta CDF's startingVersion=0
             # convention). snapshot() raises when nothing is live at
             # that version (e.g. created-then-all-deleted) — an empty
-            # feed, not an error, for a consumer.
-            try:
-                base = source.snapshot(version=upto)
-                feed = base.select(
-                    F.lit("insert").alias("change"), *base.columns
-                )
-            except ValueError:
-                feed = None
+            # feed, not an error, for a consumer. A capped bootstrap at
+            # an already-vacuumed OLD version is the same truncation
+            # case as a lagging cursor — detect it up front too.
+            missing = source.missing_units(as_of=upto)
+            if missing:
+                truncated = FeedTruncatedError(upto, missing)
+            else:
+                try:
+                    base = source.snapshot(version=upto)
+                    feed = base.select(
+                        F.lit("insert").alias("change"), *base.columns
+                    )
+                except ValueError as e:
+                    # Narrow catch (ADVICE r6): ONLY the documented
+                    # "nothing live at that version" is an empty feed.
+                    # Any other ValueError must propagate before the
+                    # cursor advance below silently skips the interval.
+                    if not str(e).startswith("no data at version"):
+                        raise
         else:
             try:
                 feed = source.changes(cur, upto)
-            except ValueError:
-                feed = None  # both versions empty of units: nothing changed
-        if feed is not None:
+            except FeedTruncatedError as e:
+                truncated = e
+            except ValueError as e:
+                # Narrow catch (ADVICE r6): only the documented
+                # "interval is empty of units on both sides" means an
+                # empty feed; anything else propagates unskipped.
+                if str(e) != "both versions are empty":
+                    raise
+        if truncated is not None:
+            if on_truncated != "rebootstrap":
+                raise truncated
+            # Reconcile at the CURRENT version: the missed interval is
+            # gone, so the only reachable correct state is "target =
+            # transform(snapshot(latest))" including removals.
+            upto = latest
+            n_ups, n_dels = _reconcile_snapshot(
+                source, target, transform, certify_transform, sink,
+                key, latest,
+            )
+            stats["rows_upserted"] += n_ups
+            stats["rows_deleted"] += n_dels
+            stats["rebootstrapped"] = True
+            n_batches += 1
+            stats["batches"] = n_batches
+        elif feed is not None:
             # One materialization serves the change-count probe and the
             # two target commits (the feed is a bucket-pruned join —
             # cheap, but not free three times).
@@ -197,12 +364,23 @@ def run_changefeed_transform(
             if n_ups:
                 ups = feed.filter(F.col("change") != "delete").drop("change")
                 out = transform(ups) if transform is not None else ups
-                if target.version() < 0:
-                    target.create(out)
-                elif sink == "deferred":
-                    target.upsert_deferred(out)
-                else:
-                    target.upsert(out)
+                certify = certify_transform and transform is not None
+                if certify:
+                    # certification + the sink commit both consume the
+                    # transformed batch — cache it once
+                    out = out.cache()
+                try:
+                    if certify:
+                        _certify_batch(out, ups, key, n_ups)
+                    if target.version() < 0:
+                        target.create(out)
+                    elif sink == "deferred":
+                        target.upsert_deferred(out)
+                    else:
+                        target.upsert(out)
+                finally:
+                    if certify:
+                        out.unpersist()
             if n_dels:
                 target.delete_keys(
                     feed.filter(F.col("change") == "delete").select(key)
@@ -229,3 +407,66 @@ def run_changefeed_transform(
         )
         stats["to_version"] = upto
     return stats
+
+
+def _reconcile_snapshot(
+    source: LogTable,
+    target: LogTable,
+    transform,
+    certify_transform: bool,
+    sink: str,
+    key: str,
+    version: int,
+) -> tuple[int, int]:
+    """Re-bootstrap after feed truncation: make the target equal to
+    ``transform(source.snapshot(version))``, INCLUDING deleting target
+    keys absent from the snapshot (a key deleted during the missed
+    interval would otherwise survive forever — plain
+    snapshot-as-inserts is only correct for an empty target). Cost is
+    one full-snapshot upsert plus one key anti-join — the price of
+    having lagged past retention, paid once; the next drains are
+    incremental again."""
+    try:
+        base = source.snapshot(version=version)
+    except ValueError as e:
+        if not str(e).startswith("no data at version"):
+            raise
+        base = None
+    if base is None:
+        # Source is empty at the reconcile point: target must end empty.
+        if target.version() < 0:
+            return 0, 0
+        try:
+            stale = target.snapshot().select(key)
+        except ValueError:
+            return 0, 0  # target already empty
+        n_stale = stale.count()
+        if n_stale:
+            target.delete_keys(stale)
+        return 0, n_stale
+    out = transform(base) if transform is not None else base
+    out = out.cache()
+    try:
+        if certify_transform and transform is not None:
+            n_out = base.count()
+            _certify_batch(out, base, key, n_out)
+        else:
+            n_out = out.count()
+        if target.version() < 0:
+            target.create(out)
+            return n_out, 0
+        if sink == "deferred":
+            target.upsert_deferred(out)
+        else:
+            target.upsert(out)
+        stale = (
+            target.snapshot()
+            .select(key)
+            .join(out.select(key), on=key, how="left_anti")
+        )
+        n_stale = stale.count()
+        if n_stale:
+            target.delete_keys(stale)
+        return n_out, n_stale
+    finally:
+        out.unpersist()

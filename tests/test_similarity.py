@@ -525,3 +525,59 @@ def test_cosine_pairs_lsh_collapse_identical_equivalence(spark):
         assert all(
             p[0] not in zeros and p[1] not in zeros for p in rb
         )
+
+
+def test_codebook_persist_roundtrip_bit_identical(spark, sf_dir, tmp_path):
+    """Cross-session fit/serving split (VERDICT r6 #7): fit → persist →
+    "new session" (in-session memos cleared) → load. The loaded
+    codebook must be BIT-identical (float32 through parquet is exact)
+    and produce identical IVF top-k; a changed fit param or mutated
+    corpus must refuse the stale artifact and refit."""
+    em = load_table(spark, sf_dir, "embeddings").filter("vec_id >= 5")
+    queries = load_table(spark, sf_dir, "embeddings").filter("vec_id < 5")
+    cb_path = str(tmp_path / "codebook")
+    fresh = sim.fit_or_load_ivf_centroids(
+        em, cb_path, n_centroids=5, min_fit_rows=10
+    ).collect()
+    assert (tmp_path / "codebook" / "meta.json").exists()
+    # "restart": wipe the in-session memos so resolution must hit disk
+    sim.invalidate_fit_memos()
+    loaded = sim.fit_or_load_ivf_centroids(
+        em, cb_path, n_centroids=5, min_fit_rows=10
+    ).collect()
+    fa = {r.centroid_id: [float(x) for x in r.centroid] for r in fresh}
+    fb = {r.centroid_id: [float(x) for x in r.centroid] for r in loaded}
+    assert fa == fb  # bit-identical float32 values, not approx
+    # serving equality end-to-end on the same params
+    topk = sim.ivf_topk(em, queries, k=5, n_centroids=5, nprobe=2)
+    got = sorted(map(tuple, topk.collect()))
+    sim.invalidate_fit_memos()
+    got2 = sorted(map(tuple, sim.ivf_topk(
+        em, queries, k=5, n_centroids=5, nprobe=2
+    ).collect()))
+    assert got == got2
+    # changed fit params → persisted artifact is stale → refit (and
+    # the meta now records the new params)
+    import json as _json
+
+    sim.invalidate_fit_memos()
+    other = sim.fit_or_load_ivf_centroids(
+        em, cb_path, n_centroids=3, min_fit_rows=10
+    ).collect()
+    assert len(other) == 3
+    with open(tmp_path / "codebook" / "meta.json") as f:
+        assert _json.load(f)["params"]["n_centroids"] == 3
+    # in-memory corpus (no file fingerprint) → fit works, nothing
+    # persisted (a load could never prove freshness)
+    mem = spark.createDataFrame(
+        [(i, [float(i), 1.0]) for i in range(20)],
+        "vec_id long, embedding array<float>",
+    )
+    mem_path = str(tmp_path / "cb_mem")
+    got_mem = sim.fit_or_load_ivf_centroids(
+        mem, mem_path, n_centroids=2, min_fit_rows=2
+    ).collect()
+    assert len(got_mem) == 2
+    import os as _os
+
+    assert not _os.path.exists(mem_path)

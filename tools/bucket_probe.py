@@ -29,6 +29,7 @@ from __future__ import annotations
 
 import json
 import os
+import shutil
 import sys
 import time
 
@@ -135,4 +136,11 @@ def main() -> None:
 
 
 if __name__ == "__main__":
-    main()
+    # Probe hygiene (VERDICT r6 #6): remove the bucketed-table warehouse
+    # this probe created; the scaled input data belongs to scale_probe
+    # (kept only under SPARK_GRAFT_PROBE_KEEP) and is not touched here.
+    try:
+        main()
+    finally:
+        if not os.environ.get("SPARK_GRAFT_PROBE_KEEP"):
+            shutil.rmtree(f"{WORK}/warehouse", ignore_errors=True)

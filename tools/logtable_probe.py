@@ -21,7 +21,8 @@ size). The Spark-side write cost of building the history is reported
 but not the subject.
 
 Prints one JSON line per measurement point. Work dir /tmp/logtable_probe
-(bench.py warns when it is left behind — delete after use).
+is removed on exit unless SPARK_GRAFT_PROBE_KEEP=1 (bench.py also
+cleans leftovers before timing).
 
 Usage: python tools/logtable_probe.py [--commits N] [--buckets B]
 """
@@ -140,4 +141,10 @@ def main() -> None:
 
 
 if __name__ == "__main__":
-    main()
+    # Probe hygiene (VERDICT r6 #6): clean the work dir on every exit
+    # path unless explicitly kept — stale probe data pollutes bench runs.
+    try:
+        main()
+    finally:
+        if not os.environ.get("SPARK_GRAFT_PROBE_KEEP"):
+            shutil.rmtree(WORK, ignore_errors=True)
