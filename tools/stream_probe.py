@@ -180,6 +180,27 @@ def main() -> None:
         ),
         flush=True,
     )
+    # Price the default-on transform-contract certification (round 7):
+    # same 1%-mutation drain with certify_transform=False — the delta
+    # vs the row above is the two O(batch) certify jobs per batch.
+    sample = src.snapshot().limit(max(1, args.docs // 100))
+    src.upsert(sample.withColumn("processed", F.lit(False)))
+    t3 = time.perf_counter()
+    st4 = run_changefeed_transform(
+        spark, src, dst, cur, transform=hop1, certify_transform=False
+    )
+    dt3 = time.perf_counter() - t3
+    print(
+        json.dumps(
+            {
+                "config": "changefeed_incremental_certify_off",
+                "docs": args.docs,
+                "incremental_rows": st4["rows_upserted"],
+                "incremental_wall_sec": round(dt3, 3),
+            }
+        ),
+        flush=True,
+    )
 
 
 if __name__ == "__main__":
