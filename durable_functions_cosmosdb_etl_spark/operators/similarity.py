@@ -529,6 +529,13 @@ def fit_or_load_ivf_centroids(
     a load could never prove freshness). Layout under
     ``codebook_path``: ``centroids.parquet/`` + ``meta.json`` (written
     last, atomically: a crash mid-persist leaves no meta → refit).
+
+    Concurrency: two processes fitting the same path concurrently both
+    write deterministic, identical artifacts (the fit is reproducible
+    given (data, params)), but the parquet overwrite itself is not
+    atomic — a deployment that can race fits should serialize them
+    through the O3 lease (``operators/lease.py``), the same discipline
+    as every other mutating maintenance job here.
     """
     pct = max(1, min(100, int(round(fit_fraction * 100))))
     live = corpus.filter(F.col(vec_col).isNotNull())

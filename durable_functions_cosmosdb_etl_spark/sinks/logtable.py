@@ -191,14 +191,15 @@ class TableMetaError(ValueError):
 
 
 class FeedTruncatedError(RuntimeError):
-    """A change-feed interval references data units ``vacuum`` has
-    physically deleted: the consumer's cursor fell behind the retention
-    window, so the diff between its last-seen version and now can no
-    longer be computed from stored data. Raised UP FRONT by
-    :meth:`LogTable.changes` (driver-side existence check on the
-    pruned unit set) instead of a raw missing-file failure deep inside
-    the Spark job. The recovery is a re-bootstrap — reset the cursor
-    and reconcile against the current snapshot, which
+    """A read references data units ``vacuum`` has physically deleted.
+    Raised UP FRONT (driver-side existence check on the unit set, no
+    Spark job launched) by :meth:`LogTable.changes` when a consumer's
+    cursor fell behind the retention window — the diff between its
+    last-seen version and now can no longer be computed — and by
+    time-travel :meth:`LogTable.snapshot` reads of a vacuumed version;
+    previously both failed with a raw missing-file error deep inside
+    the job. For a feed consumer the recovery is a re-bootstrap —
+    reset the cursor and reconcile against the current snapshot, which
     ``run_changefeed_transform(on_truncated="rebootstrap")``
     implements. This is the analog of a Cosmos change-feed
     continuation token expiring past the retention period.
@@ -212,10 +213,11 @@ class FeedTruncatedError(RuntimeError):
         self.version = version
         self.missing = missing
         super().__init__(
-            f"change feed truncated by vacuum at version {version}: "
-            f"{len(missing)} referenced data unit(s) no longer exist "
-            f"(e.g. {missing[0]}) — re-bootstrap the consumer (reset "
-            f"its cursor and reconcile against the current snapshot)"
+            f"data at version {version} was truncated by vacuum: "
+            f"{len(missing)} referenced unit(s) no longer exist "
+            f"(e.g. {missing[0]}) — a change-feed consumer must "
+            f"re-bootstrap (reset its cursor and reconcile against "
+            f"the current snapshot)"
         )
 
 
@@ -1068,6 +1070,17 @@ class LogTable:
         log, no extra I/O to decide.
         """
         live = self._live_units(as_of=version)
+        # Typed failure for time-travel past vacuum (round 7, same
+        # contract as the feed's FeedTruncatedError): an OLD version
+        # whose units were physically deleted fails up front with the
+        # reason, not with a missing-file error mid-job. Gated to
+        # explicit time travel — the LATEST snapshot is never vacuumed
+        # (vacuum's retention floor), so the hot path pays no stat
+        # calls.
+        if version is not None and version < self.version():
+            gone = self.missing_units(units=live)
+            if gone:
+                raise FeedTruncatedError(version, gone)
         pruned = live
         if where:
             # Buckets holding a live delta unit are DIRTY: pruning any of

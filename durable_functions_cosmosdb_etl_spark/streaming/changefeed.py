@@ -304,23 +304,22 @@ def _drain(
             # that version (e.g. created-then-all-deleted) — an empty
             # feed, not an error, for a consumer. A capped bootstrap at
             # an already-vacuumed OLD version is the same truncation
-            # case as a lagging cursor — detect it up front too.
-            missing = source.missing_units(as_of=upto)
-            if missing:
-                truncated = FeedTruncatedError(upto, missing)
-            else:
-                try:
-                    base = source.snapshot(version=upto)
-                    feed = base.select(
-                        F.lit("insert").alias("change"), *base.columns
-                    )
-                except ValueError as e:
-                    # Narrow catch (ADVICE r6): ONLY the documented
-                    # "nothing live at that version" is an empty feed.
-                    # Any other ValueError must propagate before the
-                    # cursor advance below silently skips the interval.
-                    if not str(e).startswith("no data at version"):
-                        raise
+            # case as a lagging cursor — snapshot()'s own up-front
+            # check surfaces it typed before any Spark job.
+            try:
+                base = source.snapshot(version=upto)
+                feed = base.select(
+                    F.lit("insert").alias("change"), *base.columns
+                )
+            except FeedTruncatedError as e:
+                truncated = e
+            except ValueError as e:
+                # Narrow catch (ADVICE r6): ONLY the documented
+                # "nothing live at that version" is an empty feed.
+                # Any other ValueError must propagate before the
+                # cursor advance below silently skips the interval.
+                if not str(e).startswith("no data at version"):
+                    raise
         else:
             try:
                 feed = source.changes(cur, upto)

@@ -996,3 +996,24 @@ def test_multiprocess_commit_race(tmp_path, protocol_name):
     # WINNER's payload (a losing racer never clobbered it)
     for v, writer in claimed.items():
         assert entries[v]["added"][0]["writer"] == writer
+
+
+def test_snapshot_time_travel_to_vacuumed_version_typed_error(spark, tmp_path):
+    """Time travel to a version vacuum physically truncated fails with
+    the typed FeedTruncatedError UP FRONT (round 7 — previously a raw
+    Spark missing-file error mid-job); the latest snapshot and
+    versions whose units survived stay readable, and the hot path
+    (no version argument) never pays the stat check."""
+    from durable_functions_cosmosdb_etl_spark.sinks.logtable import (
+        FeedTruncatedError,
+    )
+
+    t = LogTable(spark, str(tmp_path / "t"), key="id", n_buckets=2)
+    t.create(_mk(spark, [(1, "a"), (2, "b"), (3, "c")]))
+    # rewrite every key so v0's units die once vacuumed
+    t.upsert(_mk(spark, [(1, "a2"), (2, "b2"), (3, "c2")]))
+    t.vacuum(retain_versions=0)
+    with pytest.raises(FeedTruncatedError, match="truncated by vacuum"):
+        t.snapshot(version=0)
+    assert _rows(t.snapshot()) == [(1, "a2"), (2, "b2"), (3, "c2")]
+    assert _rows(t.snapshot(version=1)) == [(1, "a2"), (2, "b2"), (3, "c2")]
