@@ -160,6 +160,77 @@ def acquire_lease(
     return miss
 
 
+def renew_lease(
+    path: str,
+    worker: str,
+    start_time: str,
+    now: datetime | None = None,
+) -> LeaseHandle:
+    """Heartbeat for a HELD lease: atomically re-stamp the lock's
+    ``start_time`` so a long-running holder is not presumed dead at
+    ``timeout_min`` and stolen mid-work. With periodic renewal the
+    timeout needs to exceed only the HEARTBEAT interval (e.g. one
+    micro-batch), not the whole job — the same liveness contract as a
+    Cosmos lease container's keep-alive.
+
+    Returns a NEW truthy handle carrying the renewed ``start_time``
+    (use it for subsequent renews and the final release — ownership is
+    verified on (worker, start_time), so the old handle is dead). A
+    falsy handle means the lease was LOST (stolen after a missed
+    heartbeat, or released): the caller must stop mutating immediately.
+
+    Protocol: rename the lock aside (exclusive — one mover wins),
+    verify it is still OUR tenancy, rewrite the payload with the fresh
+    timestamp, link back without clobbering. If a contender acquired a
+    fresh lock while ours was aside (the same documented residual
+    window as release), the no-clobber link fails and we report the
+    lease lost rather than fight — at most one party ever believes it
+    holds.
+    """
+    now = now or datetime.now()
+    lock = _lock_path(path)
+    miss = LeaseHandle(False, worker)
+
+    def ours(rec: dict | None) -> bool:
+        return bool(
+            rec
+            and rec.get("worker") == worker
+            and rec.get("start_time") == start_time
+        )
+
+    if not ours(_read(lock)):
+        return miss
+    aside = f"{lock}.renew-{uuid.uuid4()}"
+    try:
+        os.rename(lock, aside)
+    except OSError:
+        return miss  # vanished: released or mid-steal
+    if not ours(_read(aside)):
+        try:
+            os.link(aside, lock)  # someone else's — restore, walk away
+        except OSError:
+            pass
+        os.unlink(aside)
+        return miss
+    with open(aside, "w") as f:
+        json.dump({"worker": worker, "start_time": now.isoformat()}, f)
+    try:
+        os.link(aside, lock)
+    except OSError:
+        # a contender created a fresh lock while ours was aside — we
+        # lost; never clobber theirs
+        os.unlink(aside)
+        return miss
+    os.unlink(aside)
+    state = _read(path) or {}
+    state.update(
+        locked=True, worker=worker, start_time=now.isoformat(),
+        version=str(uuid.uuid4()),
+    )
+    _write(path, state)
+    return LeaseHandle(True, worker, now.isoformat(), forced=False)
+
+
 def release_lease(
     path: str,
     worker: str,

@@ -65,8 +65,18 @@ from ..operators.lease import (
     DEFAULT_TIMEOUT_MIN,
     acquire_lease,
     release_lease,
+    renew_lease,
 )
 from ..sinks.logtable import FeedTruncatedError, LogTable
+
+
+class LeaseLostError(RuntimeError):
+    """The drain's lease heartbeat failed mid-drain: another process
+    stole the lease after a missed renewal (holder presumed dead) or
+    it was released out from under us. The drain stops BEFORE touching
+    the next batch — everything applied so far is cursor-persisted and
+    consistent; re-invoking resumes incrementally once the lease frees.
+    """
 
 
 class TransformContractError(RuntimeError):
@@ -212,9 +222,14 @@ def run_changefeed_transform(
       the same way (EtlProcess.cs:184-185). A second process invoking
       concurrently returns immediately with ``lease_skipped=True``
       instead of interleaving version intervals with the holder.
-      Size ``lease_timeout_min`` ABOVE the worst-case drain time: a
-      drain outliving the timeout is presumed dead and its lease
-      stolen (the reference's own recovery rule).
+      The drain HEARTBEATS the lease at each loop head
+      (:func:`~..operators.lease.renew_lease`), so
+      ``lease_timeout_min`` need only outlive the worst-case single
+      BATCH, not the whole drain; a holder that truly dies stops
+      renewing and its lease is stolen after the timeout (the
+      reference's recovery rule). A lost heartbeat raises
+      :class:`LeaseLostError` BEFORE the next batch — applied batches
+      are cursor-persisted, so a later invocation resumes cleanly.
 
     Returns ``{"batches", "rows_upserted", "rows_deleted",
     "from_version", "to_version", "lease_skipped", "rebootstrapped"}``.
@@ -256,16 +271,34 @@ def run_changefeed_transform(
     if not handle:
         stats["lease_skipped"] = True
         return stats
+    # Per-batch heartbeat: renewing at each loop head means the lease
+    # timeout must outlive one BATCH, not the whole drain — a large
+    # backlog no longer risks a mid-drain steal, while a holder that
+    # truly dies still frees the lease after timeout_min of silence.
+    state = {"handle": handle}
+
+    def renew() -> bool:
+        h = renew_lease(
+            lease_path,
+            state["handle"].worker,
+            state["handle"].start_time,
+        )
+        if h:
+            state["handle"] = h
+        return bool(h)
+
     try:
         return _drain(
             source, target, cursor_path, transform,
             max_versions_per_batch, sink, maintenance_every,
             compact_min_delta, after_apply, on_truncated,
-            certify_transform, stats,
+            certify_transform, stats, renew=renew,
         )
     finally:
         release_lease(
-            lease_path, handle.worker, start_time=handle.start_time
+            lease_path,
+            state["handle"].worker,
+            start_time=state["handle"].start_time,
         )
 
 
@@ -282,6 +315,7 @@ def _drain(
     on_truncated,
     certify_transform,
     stats,
+    renew=None,
 ) -> dict:
     key = source.key
     n_batches = 0
@@ -290,6 +324,12 @@ def _drain(
         latest = source.version()
         if latest <= cur:
             break
+        if renew is not None and not renew():
+            raise LeaseLostError(
+                "changefeed drain lease lost before the next batch — "
+                "another process holds it now; applied batches are "
+                "cursor-persisted, re-invoke to resume"
+            )
         upto = (
             min(latest, cur + max_versions_per_batch)
             if max_versions_per_batch is not None

@@ -478,3 +478,73 @@ def test_changefeed_lease_exclusivity_multiprocess(spark, tmp_path):
     assert skipped[0]["batches"] == 0
     b = LogTable(spark, f"{work}/b", key="id")
     assert b.snapshot().count() == 8
+
+
+def test_changefeed_lease_heartbeat_and_loss(spark, tmp_path):
+    """The lease-guarded drain heartbeats per batch (the lock's
+    start_time advances between batches, so the timeout must outlive
+    one BATCH, not the whole drain), and a mid-drain steal surfaces as
+    LeaseLostError BEFORE the next batch — applied batches stay
+    cursor-persisted, and re-invoking after the thief frees the lease
+    resumes incrementally."""
+    import json as _json
+    import os as _os
+
+    from durable_functions_cosmosdb_etl_spark.operators.lease import (
+        acquire_lease,
+        release_lease,
+    )
+    from durable_functions_cosmosdb_etl_spark.streaming.changefeed import (
+        LeaseLostError,
+    )
+
+    a = _mk(spark, tmp_path, "a")
+    b = _mk(spark, tmp_path, "b")
+    cur = str(tmp_path / "cursor.json")
+    lease = str(tmp_path / "lease.json")
+    lock = lease + ".lock"
+    a.create(spark.createDataFrame([(1, "x")], "id long, val string"))
+    a.upsert(spark.createDataFrame([(2, "y")], "id long, val string"))
+    a.upsert(spark.createDataFrame([(3, "z")], "id long, val string"))
+
+    seen = []
+
+    def watch(upto, tv):
+        with open(lock) as f:
+            seen.append(_json.load(f)["start_time"])
+
+    stats = run_changefeed_transform(
+        spark, a, b, cur, max_versions_per_batch=1,
+        lease_path=lease, after_apply=watch,
+    )
+    assert stats["batches"] == 3
+    # the heartbeat re-stamped the lock between batches
+    assert len(set(seen)) >= 2, seen
+    assert _os.path.exists(lock) is False  # released on the way out
+
+    # mid-drain steal: after batch 1 of the next drain, a thief takes
+    # the lease (simulating a missed heartbeat); the loop-head renewal
+    # detects the loss and stops before batch 2
+    a.upsert(spark.createDataFrame([(4, "w")], "id long, val string"))
+    a.upsert(spark.createDataFrame([(5, "v")], "id long, val string"))
+
+    def steal(upto, tv):
+        _os.unlink(lock)
+        assert acquire_lease(lease, "thief")
+
+    with pytest.raises(LeaseLostError, match="lease lost"):
+        run_changefeed_transform(
+            spark, a, b, cur, max_versions_per_batch=1,
+            lease_path=lease, after_apply=steal,
+        )
+    # batch 1 (version 3) applied and persisted; version 4 not
+    assert read_cursor(cur) == 3
+    got = _rows(b.snapshot(), "id", "val")
+    assert (4, "w") in got and (5, "v") not in got
+    # thief frees the lease → re-invocation resumes and completes
+    release_lease(lease, "thief")
+    stats = run_changefeed_transform(
+        spark, a, b, cur, lease_path=lease,
+    )
+    assert stats["lease_skipped"] is False
+    assert (5, "v") in _rows(b.snapshot(), "id", "val")

@@ -510,3 +510,35 @@ def test_csv_and_orc_source_round_trips(spark, tmp_path, sf_dir):
     orc_back = spark.read.orc(orc_dir)
     assert orc_back.schema == nation.schema
     assert sorted(tuple(r) for r in orc_back.collect()) == rows
+
+
+def test_lease_renew_extends_tenancy(tmp_path):
+    """renew_lease (round 7): a heartbeat re-stamps the held lock so a
+    long-running holder is not presumed dead — a contender within
+    timeout-of-RENEWAL misses, past it steals; renewal after loss
+    reports falsy and release must use the renewed identity."""
+    from datetime import datetime, timedelta
+
+    from durable_functions_cosmosdb_etl_spark.operators.lease import (
+        acquire_lease,
+        release_lease,
+        renew_lease,
+    )
+
+    lease = str(tmp_path / "lease.json")
+    t0 = datetime(2026, 1, 15, 10, 0, 0)
+    h = acquire_lease(lease, "w1", now=t0)
+    assert h
+    # heartbeat at +4 min: tenancy now runs from the renewal
+    h2 = renew_lease(lease, h.worker, h.start_time, now=t0 + timedelta(minutes=4))
+    assert h2 and h2.start_time != h.start_time
+    # +6 min from acquire is only +2 from renewal: contender misses
+    assert not acquire_lease(lease, "w2", now=t0 + timedelta(minutes=6))
+    # the OLD handle's identity is dead: renewing with it fails
+    assert not renew_lease(lease, h.worker, h.start_time, now=t0 + timedelta(minutes=6))
+    # past renewal+timeout: stolen; the holder's next heartbeat reports loss
+    assert acquire_lease(lease, "w2", now=t0 + timedelta(minutes=10))
+    assert not renew_lease(lease, h2.worker, h2.start_time, now=t0 + timedelta(minutes=10))
+    # release with the stale identity is a no-op on w2's live lease
+    release_lease(lease, h2.worker, now=t0 + timedelta(minutes=11), start_time=h2.start_time)
+    assert not acquire_lease(lease, "w3", now=t0 + timedelta(minutes=11))
