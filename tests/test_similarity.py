@@ -581,3 +581,34 @@ def test_codebook_persist_roundtrip_bit_identical(spark, sf_dir, tmp_path):
     import os as _os
 
     assert not _os.path.exists(mem_path)
+
+
+def test_codebook_memo_detects_mutated_data(spark, tmp_path):
+    """ADVICE r6 regression: the codebook memo key folds in an
+    input-file fingerprint, so the SAME plan over MUTATED data (file
+    rewritten in place — identical semanticHash) must refit instead of
+    silently serving stale centroids."""
+    p = str(tmp_path / "corpus.parquet")
+    spark.createDataFrame(
+        [(i, [float(i), 1.0, 0.0]) for i in range(30)],
+        "vec_id long, embedding array<float>",
+    ).coalesce(1).write.mode("overwrite").parquet(p)
+    first = sim.fit_ivf_centroids(
+        spark.read.parquet(p), n_centroids=3, min_fit_rows=2
+    ).collect()
+    # rewrite the file under the same path: same plan, different data
+    spark.createDataFrame(
+        [(i, [0.0, 1.0, float(i * 7 + 1)]) for i in range(30)],
+        "vec_id long, embedding array<float>",
+    ).coalesce(1).write.mode("overwrite").parquet(p)
+    second = sim.fit_ivf_centroids(
+        spark.read.parquet(p), n_centroids=3, min_fit_rows=2
+    ).collect()
+    a = {r.centroid_id: list(r.centroid) for r in first}
+    b = {r.centroid_id: list(r.centroid) for r in second}
+    assert a != b, "stale memoized codebook served for mutated data"
+    # and identical data under the same plan still hits the memo
+    third = sim.fit_ivf_centroids(
+        spark.read.parquet(p), n_centroids=3, min_fit_rows=2
+    ).collect()
+    assert {r.centroid_id: list(r.centroid) for r in third} == b
