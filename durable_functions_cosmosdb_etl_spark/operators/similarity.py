@@ -27,6 +27,10 @@ from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
+# Sentinel distinguishing "not provided" from a computed None
+# fingerprint (a plan with no file inputs legitimately yields None).
+_UNSET = object()
+
 
 def _d(c: Column) -> Column:
     return c.cast("double")
@@ -376,6 +380,7 @@ def fit_ivf_centroids(
     min_fit_rows: int = 200,
     n_iters: int = 1,
     init: str = "lowest_id",
+    _memo_key=_UNSET,
 ) -> DataFrame:
     """Deterministic IVF codebook: seed (``init="lowest_id"`` — the n
     lowest-id vectors — or ``init="kcenter"`` — greedy farthest-point,
@@ -426,9 +431,13 @@ def fit_ivf_centroids(
     # and force a re-fit. Plans with no file inputs (in-memory test
     # frames) fall back to semanticHash-only keying, and
     # :func:`invalidate_fit_memos` is the explicit escape hatch.
-    memo_key = _codebook_memo_key(
-        corpus, n_centroids, id_col, vec_col,
-        pct, min_fit_rows, n_iters, init,
+    memo_key = (
+        _codebook_memo_key(
+            corpus, n_centroids, id_col, vec_col,
+            pct, min_fit_rows, n_iters, init,
+        )
+        if _memo_key is _UNSET
+        else _memo_key
     )
     schema = _CODEBOOK_SCHEMA
     if memo_key is not None and memo_key in _CODEBOOK_MEMO:
@@ -487,12 +496,20 @@ def _codebook_memo_key(
     min_fit_rows: int,
     n_iters: int,
     init: str,
+    fingerprint=_UNSET,
 ):
     """Shared key builder for the in-session memo AND the persisted
-    codebook's staleness check — one keying discipline, two tiers."""
+    codebook's staleness check — one keying discipline, two tiers.
+    Pass a precomputed ``fingerprint`` when the caller already paid
+    the inputFiles+stat inventory (it is the expensive half of the
+    key; recomputing it per call on a many-file corpus is pure
+    driver-latency waste)."""
     try:
         return (
-            corpus.semanticHash(), _data_fingerprint(corpus),
+            corpus.semanticHash(),
+            _data_fingerprint(corpus)
+            if fingerprint is _UNSET
+            else fingerprint,
             n_centroids, id_col, vec_col,
             pct, min_fit_rows, n_iters, init,
         )
@@ -539,9 +556,13 @@ def fit_or_load_ivf_centroids(
     """
     pct = max(1, min(100, int(round(fit_fraction * 100))))
     live = corpus.filter(F.col(vec_col).isNotNull())
+    # ONE fingerprint computation serves the memo key, the persisted
+    # staleness check, and (threaded through _memo_key) the fit path —
+    # the inputFiles+stat inventory is the expensive half of the key.
+    fingerprint = _data_fingerprint(live)
     memo_key = _codebook_memo_key(
         live, n_centroids, id_col, vec_col,
-        pct, min_fit_rows, n_iters, init,
+        pct, min_fit_rows, n_iters, init, fingerprint=fingerprint,
     )
     spark = corpus.sparkSession
     params = {
@@ -549,7 +570,6 @@ def fit_or_load_ivf_centroids(
         "pct": pct, "min_fit_rows": min_fit_rows, "n_iters": n_iters,
         "init": init,
     }
-    fingerprint = _data_fingerprint(live)
     meta_path = os.path.join(codebook_path, "meta.json")
     data_path = os.path.join(codebook_path, "centroids.parquet")
     if memo_key is not None and memo_key in _CODEBOOK_MEMO:
@@ -577,7 +597,7 @@ def fit_or_load_ivf_centroids(
     cb = fit_ivf_centroids(
         corpus, n_centroids=n_centroids, id_col=id_col, vec_col=vec_col,
         fit_fraction=fit_fraction, min_fit_rows=min_fit_rows,
-        n_iters=n_iters, init=init,
+        n_iters=n_iters, init=init, _memo_key=memo_key,
     )
     if fingerprint is not None:
         _persist_codebook(cb, data_path, meta_path, params, fingerprint)
@@ -603,10 +623,18 @@ def _persisted_matches(meta_path: str, params: dict, fingerprint) -> bool:
 def _persist_codebook(
     cb: DataFrame, data_path: str, meta_path: str, params: dict, fingerprint
 ) -> None:
-    """Data first, meta last (atomic tmp+fsync+rename): a crash
-    mid-persist leaves no meta → next session refits. k tiny rows."""
+    """Invalidate meta FIRST, then data, then fresh meta last (atomic
+    tmp+fsync+rename): a crash anywhere mid-persist leaves either no
+    meta or a meta/parquet pair that agree → next session refits or
+    loads a consistent artifact, never validates a stale meta against
+    a half-replaced parquet (the hazard when re-persisting over an
+    EXISTING artifact with different params). k tiny rows."""
     import json as _json
 
+    try:
+        os.unlink(meta_path)
+    except FileNotFoundError:
+        pass
     cb.write.mode("overwrite").parquet(data_path)
     tmp = f"{meta_path}.{os.getpid()}.tmp"
     with open(tmp, "w") as f:
@@ -616,13 +644,29 @@ def _persist_codebook(
     os.replace(tmp, meta_path)
 
 
+def _digest_parts(parts: list[tuple]) -> str:
+    """Deterministic digest of the fingerprint parts. MUST be stable
+    across Python processes — the digest is persisted in codebook
+    meta.json and compared by a LATER session, and the builtin
+    ``hash()`` is seed-randomized for strings per process (using it
+    here silently disabled every cross-session load: the persisted
+    fingerprint never matched, so each restart re-paid the fit)."""
+    import hashlib
+
+    h = hashlib.sha256()
+    for f, size, mtime in parts:
+        h.update(f"{f}|{size}|{mtime}\n".encode())
+    return h.hexdigest()
+
+
 def _data_fingerprint(df: DataFrame, max_stats: int = 10_000):
-    """Best-effort fingerprint of a plan's input data: the sorted file
-    listing with (size, mtime_ns) for local files. Driver metadata only
-    — ``inputFiles()`` is the already-listed scan inventory, and the
-    per-file ``stat`` is capped at ``max_stats`` (beyond that the name
-    listing alone still catches files added/removed, the common
-    mid-session change). Returns None for plans with no file inputs.
+    """Best-effort fingerprint of a plan's input data: a sha256 digest
+    of the sorted file listing with (size, mtime_ns) for local files.
+    Driver metadata only — ``inputFiles()`` is the already-listed scan
+    inventory, and the per-file ``stat`` is capped at ``max_stats``
+    (beyond that the name listing alone still catches files
+    added/removed, the common mid-session change). Returns None for
+    plans with no file inputs.
     """
     from urllib.parse import urlparse
 
@@ -644,7 +688,7 @@ def _data_fingerprint(df: DataFrame, max_stats: int = 10_000):
                 except OSError:
                     pass
         parts.append((f, size, mtime))
-    return hash(tuple(parts))
+    return _digest_parts(parts)
 
 
 def invalidate_fit_memos() -> None:

@@ -222,10 +222,11 @@ def run_changefeed_transform(
       the same way (EtlProcess.cs:184-185). A second process invoking
       concurrently returns immediately with ``lease_skipped=True``
       instead of interleaving version intervals with the holder.
-      The drain HEARTBEATS the lease at each loop head
+      The drain HEARTBEATS the lease at each loop head and between
+      the stages of a truncation reconcile
       (:func:`~..operators.lease.renew_lease`), so
       ``lease_timeout_min`` need only outlive the worst-case single
-      BATCH, not the whole drain; a holder that truly dies stops
+      batch (or reconcile stage), not the whole drain; a holder that truly dies stops
       renewing and its lease is stolen after the timeout (the
       reference's recovery rule). A lost heartbeat raises
       :class:`LeaseLostError` BEFORE the next batch — applied batches
@@ -380,7 +381,7 @@ def _drain(
             upto = latest
             n_ups, n_dels = _reconcile_snapshot(
                 source, target, transform, certify_transform, sink,
-                key, latest,
+                key, latest, renew=renew,
             )
             stats["rows_upserted"] += n_ups
             stats["rows_deleted"] += n_dels
@@ -429,16 +430,21 @@ def _drain(
             stats["rows_deleted"] += n_dels
             n_batches += 1
             stats["batches"] = n_batches
-            if (
-                maintenance_every
-                and n_batches % maintenance_every == 0
-                and target.version() >= 0
-                # guard: a drained interval can be all no-ops (e.g. a
-                # compact-only window), leaving the target still empty
-            ):
-                if target.delta_fraction() >= compact_min_delta:
-                    target.compact()
-                target.checkpoint_log()
+        # Maintenance covers BOTH batch kinds — a truncation reconcile
+        # is the single largest write-amplification event the drain can
+        # produce (full-snapshot upsert + bulk deletes), exactly when
+        # compaction is most needed.
+        if (
+            (truncated is not None or feed is not None)
+            and maintenance_every
+            and n_batches % maintenance_every == 0
+            and target.version() >= 0
+            # guard: a drained interval can be all no-ops (e.g. a
+            # compact-only window), leaving the target still empty
+        ):
+            if target.delta_fraction() >= compact_min_delta:
+                target.compact()
+            target.checkpoint_log()
         if after_apply is not None:
             after_apply(upto, target.version())
         write_cursor(
@@ -446,6 +452,20 @@ def _drain(
         )
         stats["to_version"] = upto
     return stats
+
+
+def _renew_or_die(renew) -> None:
+    """Heartbeat checkpoint between reconcile stages: the reconcile is
+    an unbounded O(table) operation, so relying on the loop-head renew
+    alone would let a lease sized for BATCHES expire mid-reconcile and
+    admit a concurrent drainer. Raising here is safe — the cursor has
+    not advanced, and every applied sub-step is idempotent in state."""
+    if renew is not None and not renew():
+        raise LeaseLostError(
+            "changefeed lease lost during truncation reconcile — "
+            "another process holds it now; re-invoke to resume (the "
+            "reconcile replays idempotently)"
+        )
 
 
 def _reconcile_snapshot(
@@ -456,6 +476,7 @@ def _reconcile_snapshot(
     sink: str,
     key: str,
     version: int,
+    renew=None,
 ) -> tuple[int, int]:
     """Re-bootstrap after feed truncation: make the target equal to
     ``transform(source.snapshot(version))``, INCLUDING deleting target
@@ -464,7 +485,10 @@ def _reconcile_snapshot(
     snapshot-as-inserts is only correct for an empty target). Cost is
     one full-snapshot upsert plus one key anti-join — the price of
     having lagged past retention, paid once; the next drains are
-    incremental again."""
+    incremental again. The lease heartbeat fires between stages
+    (:func:`_renew_or_die`), and the table-sized scans are cached
+    across their double consumption (count + commit), mirroring the
+    normal branch's ``feed.cache()``."""
     try:
         base = source.snapshot(version=version)
     except ValueError as e:
@@ -479,18 +503,27 @@ def _reconcile_snapshot(
             stale = target.snapshot().select(key)
         except ValueError:
             return 0, 0  # target already empty
-        n_stale = stale.count()
-        if n_stale:
-            target.delete_keys(stale)
+        stale = stale.cache()
+        try:
+            n_stale = stale.count()
+            if n_stale:
+                target.delete_keys(stale)
+        finally:
+            stale.unpersist()
         return 0, n_stale
     out = transform(base) if transform is not None else base
     out = out.cache()
     try:
         if certify_transform and transform is not None:
-            n_out = base.count()
-            _certify_batch(out, base, key, n_out)
+            base = base.cache()
+            try:
+                n_out = base.count()
+                _certify_batch(out, base, key, n_out)
+            finally:
+                base.unpersist()
         else:
             n_out = out.count()
+        _renew_or_die(renew)
         if target.version() < 0:
             target.create(out)
             return n_out, 0
@@ -498,14 +531,18 @@ def _reconcile_snapshot(
             target.upsert_deferred(out)
         else:
             target.upsert(out)
+        _renew_or_die(renew)
         stale = (
             target.snapshot()
             .select(key)
             .join(out.select(key), on=key, how="left_anti")
-        )
-        n_stale = stale.count()
-        if n_stale:
-            target.delete_keys(stale)
+        ).cache()
+        try:
+            n_stale = stale.count()
+            if n_stale:
+                target.delete_keys(stale)
+        finally:
+            stale.unpersist()
         return n_out, n_stale
     finally:
         out.unpersist()

@@ -612,3 +612,43 @@ def test_codebook_memo_detects_mutated_data(spark, tmp_path):
         spark.read.parquet(p), n_centroids=3, min_fit_rows=2
     ).collect()
     assert {r.centroid_id: list(r.centroid) for r in third} == b
+
+
+def test_fingerprint_digest_deterministic_across_processes(tmp_path):
+    """Code-review regression (round 7): the persisted-codebook
+    fingerprint must be identical across Python PROCESSES — the
+    builtin hash() is seed-randomized for strings per process, which
+    silently disabled every cross-session load (the persisted
+    fingerprint never matched after a real restart; the in-process
+    round-trip test could not see it). Computed under two different
+    explicit PYTHONHASHSEEDs in fresh interpreters, the digest must
+    agree with the in-process value."""
+    import os as _os
+    import subprocess
+    import sys
+
+    prog = (
+        "import sys; sys.path.insert(0, %r); "
+        "from durable_functions_cosmosdb_etl_spark.operators.similarity "
+        "import _digest_parts; "
+        "print(_digest_parts([('file:///a.parquet', 123, 456), "
+        "('file:///b.parquet', None, None)]))"
+        % _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__)))
+    )
+    outs = []
+    for seed in ("0", "12345"):
+        env = dict(_os.environ, PYTHONHASHSEED=seed)
+        outs.append(
+            subprocess.run(
+                [sys.executable, "-c", prog],
+                capture_output=True, text=True, env=env, check=True,
+            ).stdout.strip()
+        )
+    from durable_functions_cosmosdb_etl_spark.operators.similarity import (
+        _digest_parts,
+    )
+
+    local = _digest_parts(
+        [("file:///a.parquet", 123, 456), ("file:///b.parquet", None, None)]
+    )
+    assert outs[0] == outs[1] == local and len(local) == 64
