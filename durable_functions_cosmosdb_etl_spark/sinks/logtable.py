@@ -69,6 +69,7 @@ from pyspark.sql import functions as F
 
 _LOG_DIR = "_log"
 _DATA_DIR = "data"
+_CHANGES_DIR = "_changes"
 
 
 def _json_stat(v):
@@ -378,12 +379,22 @@ class LogTable:
         key: str = "id",
         n_buckets: int = 64,
         protocol: CommitProtocol | None = None,
+        change_capture: bool = False,
     ) -> None:
         self.spark = spark
         self.path = path
         self.key = key
         self.n_buckets = n_buckets
         self.protocol = protocol or PosixCommitProtocol()
+        # Writer-side CDC switch (Delta CDF analog): when on, eager
+        # mutations ALSO record their logical change rows at commit
+        # time, and changes() serves intervals from those records in
+        # O(changed rows) instead of the O(touched buckets)
+        # snapshot-diff. Per-commit — mixed histories (flag flipped
+        # mid-life, deferred/merge/append commits) simply make the
+        # affected intervals fall back to the diff path; readers never
+        # need the flag.
+        self.change_capture = change_capture
         os.makedirs(os.path.join(path, _LOG_DIR), exist_ok=True)
         os.makedirs(os.path.join(path, _DATA_DIR), exist_ok=True)
         self._check_meta()
@@ -535,7 +546,12 @@ class LogTable:
         return live
 
     def _commit(
-        self, op: str, added: list[dict], removed: list[dict], v: int
+        self,
+        op: str,
+        added: list[dict],
+        removed: list[dict],
+        v: int,
+        changes_info: dict | None = None,
     ) -> int:
         """Claim EXACTLY version ``v`` (= base snapshot version + 1).
 
@@ -552,6 +568,13 @@ class LogTable:
             # append units (no one-row-per-key promise) from merged ones
             u.setdefault("op", op)
         entry = {"version": v, "op": op, "added": added, "removed": removed}
+        if changes_info is not None:
+            # CDC record for this commit: {"mode": "none"} (no logical
+            # change), {"mode": "added_units"} (every added unit row is
+            # an insert), or {"mode": "unit", "unit": "_changes/cN"}
+            # (stored change rows). Absent = uncaptured; feeds spanning
+            # this version use the snapshot-diff path.
+            entry["changes"] = changes_info
         final = os.path.join(self.path, _LOG_DIR, f"{v:020d}.json")
         # Writer-private tmp (pid-suffixed: two racing writers must not
         # scribble over each other's payload), fsynced so the linked
@@ -738,7 +761,12 @@ class LogTable:
             e for e in live.values() if e["bucket"] in affected
         ]
         current = self._read_resolved(live, affected)
+        changes_info = None
         if current is not None:
+            if self.change_capture:
+                # the merge AND the CDC diff both read "current" —
+                # cache it once across the two consumers
+                current = current.cache()
             keep = current.join(
                 up.select(F.col(self.key)), self.key, "left_anti"
             )
@@ -752,9 +780,84 @@ class LogTable:
             ).withColumn("__bucket", F.col("__b"))
         else:
             merged = up
+            if self.change_capture:
+                # first data ever in these buckets: every added unit
+                # row IS an insert — no separate change unit needed
+                changes_info = {"mode": "added_units"}
         added = self._write_commit_dir(merged, v)
+        if self.change_capture and current is not None:
+            try:
+                changes_info = self._write_change_unit(
+                    self._capture_upsert_changes(current, up), v
+                )
+            finally:
+                current.unpersist()
         _propagate_taint(added, replaced)
-        return self._commit(op, added, replaced, v)
+        return self._commit(op, added, replaced, v, changes_info)
+
+    def _capture_upsert_changes(
+        self, current: DataFrame, up: DataFrame
+    ) -> DataFrame:
+        """Logical change rows for one upsert batch, computed from data
+        the merge already has in hand (Delta-CDF's capture-at-write
+        idea): per upserted key — no stored row → ``insert``; stored
+        row with any differing value → ``update_pre`` (old values) +
+        ``update_post`` (new values); identical values → no change row
+        (a same-value rewrite is not a logical change, matching the
+        snapshot-diff's ``~same`` filter). O(batch ⋈ affected-bucket
+        rows), never O(table). The pre/post PAIR is what lets the feed
+        reduce an interval's event stream to the exact NET diff — a
+        value updated away and back again must cancel out, which
+        post-only rows cannot express.
+        """
+        key = self.key
+        n_df = up.drop("__bucket", "__b")
+        o_df = current.drop("__b").join(n_df.select(key), key, "semi")
+        n_cols, o_cols = set(n_df.columns), set(o_df.columns)
+        data_cols = [
+            c
+            for c in list(n_df.columns)
+            + [c for c in o_df.columns if c not in n_cols]
+            if c != key
+        ]
+        nn, oo = n_df.alias("n"), o_df.alias("o")
+        ncol = lambda c: (  # noqa: E731
+            F.col(f"n.{c}") if c in n_cols else F.lit(None)
+        )
+        ocol = lambda c: (  # noqa: E731
+            F.col(f"o.{c}") if c in o_cols else F.lit(None)
+        )
+        j = nn.join(oo, F.col(f"n.{key}") == F.col(f"o.{key}"), "left")
+        same = F.lit(True)
+        for c in data_cols:
+            same = same & ncol(c).eqNullSafe(ocol(c))
+        kcol = F.col(f"n.{key}").alias(key)
+        inserts = j.filter(F.col(f"o.{key}").isNull()).select(
+            F.lit("insert").alias("change"),
+            kcol,
+            *[ncol(c).alias(c) for c in data_cols],
+        )
+        upd = j.filter(F.col(f"o.{key}").isNotNull() & ~same)
+        pre = upd.select(
+            F.lit("update_pre").alias("change"),
+            kcol,
+            *[ocol(c).alias(c) for c in data_cols],
+        )
+        post = upd.select(
+            F.lit("update_post").alias("change"),
+            kcol,
+            *[ncol(c).alias(c) for c in data_cols],
+        )
+        return inserts.unionByName(pre).unionByName(post)
+
+    def _write_change_unit(self, df: DataFrame, v: int) -> dict:
+        """Persist one commit's logical change rows (O(batch) — tiny
+        beside the bucket rewrite). Written BEFORE the commit claims
+        the version: a crash in between leaves an unreferenced dir
+        that vacuum reclaims, same as orphan commit dirs."""
+        rel = f"{_CHANGES_DIR}/c{v}"
+        df.write.mode("overwrite").parquet(os.path.join(self.path, rel))
+        return {"mode": "unit", "unit": rel}
 
     def upsert_deferred(
         self, updates: DataFrame, order_col: str | None = None
@@ -936,13 +1039,33 @@ class LogTable:
         ]
         current = self._read_resolved(live, affected)
         added: list[dict] = []
+        changes_info = {"mode": "none"} if self.change_capture else None
         if current is not None:
+            if self.change_capture:
+                current = current.cache()
             remaining = current.join(
                 k.select(F.col(self.key)), self.key, "left_anti"
             ).withColumn("__bucket", F.col("__b"))
             added = self._write_commit_dir(remaining, v)
+            if self.change_capture:
+                try:
+                    # delete rows carry the deleted (old) values — the
+                    # semi join also drops requested keys that never
+                    # existed (not a logical change, matching the diff)
+                    deleted = current.drop("__b").join(
+                        k.select(F.col(self.key)), self.key, "semi"
+                    )
+                    changes_info = self._write_change_unit(
+                        deleted.select(
+                            F.lit("delete").alias("change"),
+                            *deleted.columns,
+                        ),
+                        v,
+                    )
+                finally:
+                    current.unpersist()
         _propagate_taint(added, replaced)
-        return self._commit("delete", added, replaced, v)
+        return self._commit("delete", added, replaced, v, changes_info)
 
     def delta_fraction(self) -> float:
         """Fraction of live rows sitting in DELTA units — the standing
@@ -1004,7 +1127,10 @@ class LogTable:
         added = self._write_commit_dir(
             cur.withColumn("__bucket", F.col("__b")), v
         )
-        return self._commit("certify", added, replaced, v)
+        return self._commit(
+            "certify", added, replaced, v,
+            {"mode": "none"} if self.change_capture else None,
+        )
 
     def compact(self) -> int:
         """Rewrite the whole live set into one commit dir (defragments
@@ -1021,7 +1147,12 @@ class LogTable:
         # Compaction changes layout, never content: append-duplicate
         # rows survive it, so the taint does too.
         _propagate_taint(added, list(live.values()))
-        return self._commit("compact", added, list(live.values()), v)
+        return self._commit(
+            "compact", added, list(live.values()), v,
+            # CDC: layout-only — with capture on, a feed spanning this
+            # commit no longer degrades to the full snapshot diff
+            {"mode": "none"} if self.change_capture else None,
+        )
 
     # -------------------------------------------------------------- reads
 
@@ -1121,32 +1252,187 @@ class LogTable:
                 )
         return df.drop("__b", "__gen")
 
-    def changes(self, from_version: int, to_version: int | None = None) -> DataFrame:
+    def _changes_from_capture(
+        self, from_version: int, to_version: int, required: bool = False
+    ) -> DataFrame | None:
+        """Serve a feed interval from stored change capture, or None
+        when the interval isn't fully captured / a capture unit was
+        vacuumed (the caller falls back to the snapshot diff, which
+        runs its own truncation check — maximally available).
+
+        Net reduction: concatenate the interval's per-commit change
+        rows (insert / update_pre / update_post / delete, stamped with
+        their commit version), then ONE groupBy(key) keeping the first
+        and last event per key in (version, pre<post) order. The first
+        event proves existence at ``from_version`` (insert → absent;
+        update_pre/delete → present, carrying the from-values); the
+        last proves the to-state. Net: absent→present = insert,
+        present→absent = delete (with the FIRST event's values — the
+        diff contract), present→present = update unless every value
+        matches (a revert), absent→absent = nothing. O(changed rows)
+        end to end, one shuffle.
+        """
+        entries = list(
+            self._log_entries(after=from_version, upto=to_version)
+        )
+
+        def bail(msg: str):
+            if required:
+                raise ValueError(
+                    f"change capture unavailable for "
+                    f"({from_version}, {to_version}]: {msg}"
+                )
+            return None
+
+        if not entries:
+            return bail("empty interval")
+        if any("changes" not in e for e in entries):
+            return bail("uncaptured commit in interval")
+        key = self.key
+        parts = []
+        for e in entries:
+            ch = e["changes"]
+            v = e["version"]
+            if ch["mode"] == "none":
+                continue
+            if ch["mode"] == "added_units":
+                units = {u["unit"]: u for u in e.get("added", [])}
+                missing = self.missing_units(units=units)
+                if missing:
+                    return bail(f"insert units vacuumed: {missing[0]}")
+                df = self._read_units(units, None)
+                if df is None:
+                    continue
+                df = df.drop("__b", "__gen")
+                parts.append(
+                    df.select(
+                        F.lit("insert").alias("change"), *df.columns
+                    ).withColumn("__v", F.lit(v))
+                )
+            else:
+                full = os.path.join(self.path, ch["unit"])
+                if not os.path.exists(full):
+                    return bail(f"change unit vacuumed: {ch['unit']}")
+                parts.append(
+                    self.spark.read.option("mergeSchema", "true")
+                    .parquet(full)
+                    .withColumn("__v", F.lit(v))
+                )
+        if not parts:
+            # captured and provably change-free: empty feed with the
+            # table schema (same contract as the diff path's empty case)
+            any_units = self._read_units(
+                self._live_units(as_of=to_version), None
+            )
+            if any_units is None:
+                any_units = self._read_units(
+                    self._live_units(as_of=from_version), None
+                )
+            if any_units is None:
+                raise ValueError("both versions are empty")
+            empty = any_units.limit(0).drop("__b", "__gen")
+            return empty.select(
+                F.lit("insert").alias("change"), *empty.columns
+            )
+        ev = parts[0]
+        for p2 in parts[1:]:
+            ev = ev.unionByName(p2, allowMissingColumns=True)
+        ev = ev.withColumn(
+            "__seq",
+            F.when(F.col("change") == "update_post", F.lit(1)).otherwise(
+                F.lit(0)
+            ),
+        )
+        data_cols = [
+            c
+            for c in ev.columns
+            if c not in ("change", "__v", "__seq", key)
+        ]
+        ordk = F.struct(F.col("__v"), F.col("__seq"))
+        payload = F.struct(F.col("change"), *[F.col(c) for c in data_cols])
+        agg = ev.groupBy(key).agg(
+            F.min_by(payload, ordk).alias("first"),
+            F.max_by(payload, ordk).alias("last"),
+        )
+        from_absent = F.col("first.change") == F.lit("insert")
+        to_absent = F.col("last.change") == F.lit("delete")
+        same = F.lit(True)
+        for c in data_cols:
+            same = same & F.col(f"first.{c}").eqNullSafe(F.col(f"last.{c}"))
+        change = (
+            F.when(from_absent & to_absent, F.lit(None))
+            .when(from_absent, F.lit("insert"))
+            .when(to_absent, F.lit("delete"))
+            .when(~same, F.lit("update"))
+        )
+        out_cols = [
+            F.when(to_absent, F.col(f"first.{c}"))
+            .otherwise(F.col(f"last.{c}"))
+            .alias(c)
+            for c in data_cols
+        ]
+        return (
+            agg.withColumn("change", change)
+            .filter(F.col("change").isNotNull())
+            .select("change", key, *out_cols)
+        )
+
+    def changes(
+        self,
+        from_version: int,
+        to_version: int | None = None,
+        use_capture: bool | None = None,
+    ) -> DataFrame:
         """Change feed between two committed versions: what happened to
         each key, as ``(change, …row…)`` with change ∈ insert / update /
-        delete (update rows carry the NEW values).
+        delete (update rows carry the NEW values; delete rows the
+        from-version values). The NET diff — a key touched and reverted
+        within the interval yields nothing.
 
         This is the producer side of the change-feed contract the
         reference CONSUMES from Cosmos (/root/reference/EtlProcess.cs:
         183-187): a downstream incremental pipeline can read
         ``changes(last_seen, latest)`` instead of rescanning the table —
-        the log makes the diff well-defined. Computed as a full outer
-        join of the two snapshots on the key RESTRICTED TO THE BUCKETS
-        the intervening commits touched: every mutation rewrites whole
-        bucket units and logs them as added/removed, so a key whose
-        bucket appears in no commit between the two versions cannot have
-        changed — those buckets are never read. Cost is O(touched
-        buckets × 2), not O(2 full snapshots); a feed consumed after
-        every few commits reads only the slice of the table those
-        commits wrote (the log-driven pruning half of Delta's CDF —
-        without requiring change classification to be stored per file).
-        Both sides hash-bucket identically, so the join co-locates.
-        ``compact`` rewrites every live unit, so an interval containing
-        one degrades (correctly) to the full diff — run feeds and
-        compaction on separate cadences.
+        the log makes the diff well-defined. Two serving tiers, same
+        result (equivalence property-tested on random op sequences):
+
+        1. **Stored change capture** (``change_capture=True`` writers,
+           the Delta-CDF idea): every eager mutation recorded its
+           logical change rows at commit time, so the feed reads ONLY
+           those — O(changed rows) — and reduces the interval's event
+           stream to the net diff with one key-partitioned aggregate
+           (update_pre/update_post pairs make value-reverts cancel
+           exactly). Used automatically when every commit in the
+           interval carries capture; an interval spanning one
+           compaction stays O(changed rows), since compact records
+           "no logical change".
+        2. **Snapshot diff** (always available): full outer join of
+           the two snapshots on the key RESTRICTED TO THE BUCKETS the
+           intervening commits touched — every mutation rewrites whole
+           bucket units and logs them, so a key whose bucket appears
+           in no commit between the two versions cannot have changed.
+           Cost O(touched buckets × 2); both sides hash-bucket
+           identically, so the join co-locates. ``compact`` rewrites
+           every live unit, so an interval containing one degrades
+           (correctly) to the full diff on this tier — run feeds and
+           compaction on separate cadences, or enable capture.
+
+        ``use_capture``: None = auto (capture when complete, else
+        diff); False = force the diff path (the equivalence tests'
+        lever); True = require capture (raises if unavailable).
         """
+        latest = self.version()
+        to_version = latest if to_version is None else to_version
+        for v in (from_version, to_version):
+            if v < 0 or v > latest:
+                raise ValueError(f"version {v} does not exist")
+        if use_capture is not False:
+            served = self._changes_from_capture(
+                from_version, to_version, required=use_capture is True
+            )
+            if served is not None:
+                return served
         lo = self._live_units(as_of=from_version)
-        to_version = self.version() if to_version is None else to_version
         hi = self._live_units(as_of=to_version)
         touched: set[int] | None = set()
         for e in self._log_entries(after=from_version, upto=to_version):
@@ -1281,6 +1567,27 @@ class LogTable:
             if rel not in logged_dirs:
                 shutil.rmtree(os.path.join(data_dir, d))
                 deleted.append(rel)
+        # CDC change units: a feed may start at any cursor within the
+        # retention window (cursor >= horizon reads entries with
+        # version > horizon), so capture for versions ABOVE the horizon
+        # must survive; everything else — plus orphans written by a
+        # crashed commit and units of commits past retention — is
+        # reclaimed. A reclaimed unit never corrupts a feed: the
+        # serving path checks existence and falls back to the snapshot
+        # diff, whose own truncation check governs.
+        ch_dir = os.path.join(self.path, _CHANGES_DIR)
+        if os.path.isdir(ch_dir):
+            referenced = {
+                e["changes"]["unit"]
+                for e in self._log_entries()
+                if e.get("changes", {}).get("mode") == "unit"
+                and e["version"] > horizon
+            }
+            for d in sorted(os.listdir(ch_dir)):
+                rel = f"{_CHANGES_DIR}/{d}"
+                if rel not in referenced:
+                    shutil.rmtree(os.path.join(ch_dir, d))
+                    deleted.append(rel)
         # Stale commit tmps: a writer that died between writing its tmp
         # and linking it leaves NNN.json.<pid>.tmp — invisible to
         # replay/version (filtered by suffix) but worth reclaiming here.

@@ -548,3 +548,34 @@ def test_changefeed_lease_heartbeat_and_loss(spark, tmp_path):
     )
     assert stats["lease_skipped"] is False
     assert (5, "v") in _rows(b.snapshot(), "id", "val")
+
+
+def test_changefeed_drain_over_capture_source(spark, tmp_path):
+    """The consumer is tier-agnostic: a capture-enabled source serves
+    its feed from stored change units (O(changed rows), proven by
+    use_capture=True succeeding over the whole drained interval), and
+    the drained target converges identically — including deletes and
+    an interval spanning a compaction."""
+    a = LogTable(
+        spark, str(tmp_path / "a"), key="id", n_buckets=4,
+        change_capture=True,
+    )
+    b = _mk(spark, tmp_path, "b")
+    cur = str(tmp_path / "cursor.json")
+    a.create(
+        spark.createDataFrame(
+            [(i, f"v{i}") for i in range(6)], "id long, val string"
+        )
+    )
+    run_changefeed_transform(spark, a, b, cur, transform=upcase)
+    a.upsert(spark.createDataFrame([(2, "w2"), (7, "v7")], "id long, val string"))
+    a.delete_keys(spark.createDataFrame([(0,)], "id long"))
+    a.compact()
+    # the whole pending interval is capture-complete
+    assert a.changes(read_cursor(cur), a.version(), use_capture=True) is not None
+    stats = run_changefeed_transform(spark, a, b, cur, transform=upcase)
+    assert stats["rows_upserted"] == 2 and stats["rows_deleted"] == 1
+    assert _rows(b.snapshot(), "id", "val") == sorted(
+        [(i, f"V{i}") for i in range(1, 6) if i != 2]
+        + [(2, "W2"), (7, "V7")]
+    )

@@ -1017,3 +1017,121 @@ def test_snapshot_time_travel_to_vacuumed_version_typed_error(spark, tmp_path):
         t.snapshot(version=0)
     assert _rows(t.snapshot()) == [(1, "a2"), (2, "b2"), (3, "c2")]
     assert _rows(t.snapshot(version=1)) == [(1, "a2"), (2, "b2"), (3, "c2")]
+
+
+# ------------------------------------------------------------ CDC (round 7)
+
+
+def _feed_rows(df):
+    return sorted(
+        tuple(None if c == "__ignore" else r[c] for c in sorted(df.columns))
+        for r in df.collect()
+    )
+
+
+def test_change_capture_equivalence_and_modes(spark, tmp_path):
+    """Stored change capture (Delta-CDF analog): every interval served
+    from capture must equal the snapshot-diff byte for byte — including
+    a value-revert (must cancel), a same-value rewrite (no change), a
+    delete of a nonexistent key (no change), schema evolution, and an
+    interval SPANNING a compaction (the case the diff path degrades on
+    and capture does not)."""
+    t = LogTable(
+        spark, str(tmp_path / "t"), key="id", n_buckets=2,
+        change_capture=True,
+    )
+    t.create(_mk(spark, [(1, "a"), (2, "b"), (3, "c")]))           # v0
+    t.upsert(_mk(spark, [(2, "b2"), (4, "d")]))                    # v1
+    t.upsert(_mk(spark, [(2, "b")]))                               # v2 revert
+    t.delete_keys(spark.createDataFrame([(1,), (9,)], "id long"))  # v3
+    t.compact()                                                    # v4
+    t.upsert(_mk(spark, [(3, "c")]))                               # v5 no-op
+    # v6: schema evolution — new column arrives
+    t.upsert(
+        spark.createDataFrame(
+            [(5, "e", 7)], "id long, val string, score long"
+        )
+    )
+    latest = t.version()
+    assert latest == 6
+    for a in range(latest):
+        for b in range(a + 1, latest + 1):
+            cap = t.changes(a, b, use_capture=True)
+            diff = t.changes(a, b, use_capture=False)
+            assert _feed_rows(cap) == _feed_rows(diff), (a, b)
+    # recorded modes match the op semantics
+    modes = {
+        e["version"]: e.get("changes", {}).get("mode")
+        for e in t.history()
+    }
+    assert modes[0] == "added_units"      # create
+    assert modes[1] == "unit" and modes[2] == "unit"
+    assert modes[3] == "unit"             # delete
+    assert modes[4] == "none"             # compact: layout only
+    assert modes[5] == "unit"             # no-op upsert still captured
+    # the no-op upsert's net feed is empty
+    assert t.changes(4, 5, use_capture=True).count() == 0
+    # interval containing ONLY the compact: empty feed, table schema
+    empty = t.changes(3, 4, use_capture=True)
+    assert empty.count() == 0 and "change" in empty.columns
+
+
+def test_change_capture_fallback_on_uncaptured_commits(spark, tmp_path):
+    """Deferred upserts (and any commit from a capture-off writer) are
+    uncaptured: auto mode falls back to the snapshot diff with equal
+    results; use_capture=True refuses loudly."""
+    t = LogTable(
+        spark, str(tmp_path / "t"), key="id", n_buckets=2,
+        change_capture=True,
+    )
+    t.create(_mk(spark, [(1, "a"), (2, "b")]))
+    t.upsert_deferred(_mk(spark, [(1, "a2"), (3, "c")]))
+    t.upsert(_mk(spark, [(2, "b2")]))
+    with pytest.raises(ValueError, match="uncaptured commit"):
+        t.changes(0, t.version(), use_capture=True)
+    auto = _feed_rows(t.changes(0, t.version()))
+    diff = _feed_rows(t.changes(0, t.version(), use_capture=False))
+    assert auto == diff
+    # the sub-interval consisting only of captured commits still serves
+    assert _feed_rows(t.changes(1, 2, use_capture=True)) == _feed_rows(
+        t.changes(1, 2, use_capture=False)
+    )
+
+
+def test_change_capture_vacuum_retention_and_fallback(spark, tmp_path):
+    """vacuum reclaims change units outside the retention window (and
+    orphans); a feed whose interval lost its capture falls back to the
+    snapshot diff, whose truncation check governs — never a raw
+    missing-file error, never a wrong answer."""
+    import os as _os
+
+    t = LogTable(
+        spark, str(tmp_path / "t"), key="id", n_buckets=2,
+        change_capture=True,
+    )
+    t.create(_mk(spark, [(1, "a"), (2, "b"), (3, "c")]))   # v0
+    t.upsert(_mk(spark, [(1, "a1")]))                      # v1
+    t.upsert(_mk(spark, [(2, "b1")]))                      # v2
+    t.upsert(_mk(spark, [(3, "c1")]))                      # v3
+    # orphan change dir (crashed commit simulation)
+    _os.makedirs(str(tmp_path / "t" / "_changes" / "c99"))
+    deleted = t.vacuum(retain_versions=1)
+    ch = set(_os.listdir(str(tmp_path / "t" / "_changes")))
+    # capture for versions > horizon (= latest-1 = 2) survives: c3 only
+    assert ch == {"c3"}, ch
+    assert any(d.startswith("_changes/") for d in deleted)
+    # inside retention: still capture-served
+    assert _feed_rows(t.changes(2, 3, use_capture=True)) == _feed_rows(
+        t.changes(2, 3, use_capture=False)
+    )
+    # older cursor: capture gone → fallback to diff; the diff path's
+    # own retention guard decides (truncated here, since v1's units
+    # were rewritten and vacuumed)
+    from durable_functions_cosmosdb_etl_spark.sinks.logtable import (
+        FeedTruncatedError,
+    )
+
+    with pytest.raises((FeedTruncatedError, ValueError)):
+        t.changes(1, 3, use_capture=True)  # refuses: unit vacuumed
+    with pytest.raises(FeedTruncatedError):
+        t.changes(0, 3)  # auto: fallback diff raises typed truncation

@@ -202,6 +202,43 @@ def main() -> None:
         flush=True,
     )
 
+    # --- CDC tier (round 7): same 1%-mutation drain with the source's
+    # stored change capture serving the feed — O(changed rows) instead
+    # of the O(touched buckets) snapshot-diff join. The capture row's
+    # write-side cost shows up in the mutation upsert (timed too).
+    src_cap_dir = f"{WORK}/src_capture"
+    dst_cap_dir = f"{WORK}/out_changefeed_capture"
+    cur_cap = f"{WORK}/capture_cursor.json"
+    for d in (src_cap_dir, dst_cap_dir):
+        shutil.rmtree(d, ignore_errors=True)
+    if os.path.exists(cur_cap):
+        os.remove(cur_cap)
+    src_cap = LogTable(spark, src_cap_dir, key="id", change_capture=True)
+    src_cap.create(src.snapshot())
+    dst_cap = LogTable(spark, dst_cap_dir, key="id")
+    run_changefeed_transform(spark, src_cap, dst_cap, cur_cap, transform=hop1)
+    sample = src_cap.snapshot().limit(max(1, args.docs // 100))
+    t4 = time.perf_counter()
+    src_cap.upsert(sample.withColumn("processed", F.lit(True)))
+    dt_upsert = time.perf_counter() - t4
+    t5 = time.perf_counter()
+    st5 = run_changefeed_transform(
+        spark, src_cap, dst_cap, cur_cap, transform=hop1
+    )
+    dt5 = time.perf_counter() - t5
+    print(
+        json.dumps(
+            {
+                "config": "changefeed_incremental_capture_on",
+                "docs": args.docs,
+                "incremental_rows": st5["rows_upserted"],
+                "mutation_upsert_wall_sec": round(dt_upsert, 3),
+                "incremental_wall_sec": round(dt5, 3),
+            }
+        ),
+        flush=True,
+    )
+
 
 if __name__ == "__main__":
     # Probe hygiene (VERDICT r6 #6): the committed BENCH_r06 recorded
