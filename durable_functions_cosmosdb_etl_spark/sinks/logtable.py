@@ -59,13 +59,17 @@ from __future__ import annotations
 
 import datetime
 import json
+import logging
 import os
 import shutil
+import uuid
 from typing import Iterator
 
 import pyarrow.parquet as pq
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
+
+_LOG = logging.getLogger(__name__)
 
 _LOG_DIR = "_log"
 _DATA_DIR = "data"
@@ -395,6 +399,12 @@ class LogTable:
         # affected intervals fall back to the diff path; readers never
         # need the flag.
         self.change_capture = change_capture
+        # Feed-serving observability: which tier served the last
+        # changes() call and why it fell back (None until a feed is
+        # read). Driver-side per-table state, same single-threaded
+        # discipline as the mutating ops.
+        self.last_feed_info: dict | None = None
+        self._capture_bail_reason: str | None = None
         os.makedirs(os.path.join(path, _LOG_DIR), exist_ok=True)
         os.makedirs(os.path.join(path, _DATA_DIR), exist_ok=True)
         self._check_meta()
@@ -854,8 +864,17 @@ class LogTable:
         """Persist one commit's logical change rows (O(batch) — tiny
         beside the bucket rewrite). Written BEFORE the commit claims
         the version: a crash in between leaves an unreferenced dir
-        that vacuum reclaims, same as orphan commit dirs."""
-        rel = f"{_CHANGES_DIR}/c{v}"
+        that vacuum reclaims, same as orphan commit dirs.
+
+        The path is WRITER-UNIQUE (ADVICE r7): two unserialized racing
+        writers computing the same v must never scribble over each
+        other's change rows — with a shared deterministic ``c{v}`` path
+        the _commit winner's log entry could silently reference the
+        LOSER's unit (CDC corruption no existence check can see). The
+        uuid suffix makes each writer's unit private; the winner's
+        ``changes_info`` records its own path, the loser's dir is an
+        orphan vacuum reclaims."""
+        rel = f"{_CHANGES_DIR}/c{v}-{uuid.uuid4().hex[:8]}"
         df.write.mode("overwrite").parquet(os.path.join(self.path, rel))
         return {"mode": "unit", "unit": rel}
 
@@ -1252,6 +1271,45 @@ class LogTable:
                 )
         return df.drop("__b", "__gen")
 
+    def _schema_frame(self, units: dict[str, dict]) -> DataFrame | None:
+        """``limit(0)`` frame carrying the table schema, read from the
+        SINGLE newest live unit (ADVICE r7: a provably-empty feed needs
+        one representative schema, not a mergeSchema pass over every
+        unit footer — that is O(all unit footers) of driver I/O for an
+        interval known to contain zero rows, defeating the O(changed
+        rows) point of the capture tier on large tables). The newest
+        commit's unit carries the widest schema under additive
+        evolution; columns only older units had don't appear, which an
+        empty frame never materializes anyway. None when no unit is
+        live."""
+        if not units:
+            return None
+
+        def commit_v(rel: str) -> int:
+            # rel is "data/c{v}/__bucket={b}" — order by commit version
+            try:
+                return int(rel.split("/")[1].lstrip("c"))
+            except (IndexError, ValueError):
+                return -1
+
+        newest = max(units, key=commit_v)
+        return self._read_units({newest: units[newest]}, None).limit(0)
+
+    def _empty_feed(self, *unit_maps: dict[str, dict]) -> DataFrame:
+        """Empty change feed with the table schema, sourced from the
+        first unit map that has any live unit (single-unit schema read,
+        see :meth:`_schema_frame`). Raises the documented "both
+        versions are empty" when none does — the one case with no
+        schema to serve."""
+        for units in unit_maps:
+            empty = self._schema_frame(units)
+            if empty is not None:
+                empty = empty.drop("__b", "__gen")
+                return empty.select(
+                    F.lit("insert").alias("change"), *empty.columns
+                )
+        raise ValueError("both versions are empty")
+
     def _changes_from_capture(
         self, from_version: int, to_version: int, required: bool = False
     ) -> DataFrame | None:
@@ -1277,6 +1335,10 @@ class LogTable:
         )
 
         def bail(msg: str):
+            # Observable degradation (VERDICT r7 #1b): record WHY this
+            # interval couldn't be capture-served so changes() can
+            # surface the fallback instead of silently paying the diff.
+            self._capture_bail_reason = msg
             if required:
                 raise ValueError(
                     f"change capture unavailable for "
@@ -1320,19 +1382,12 @@ class LogTable:
                 )
         if not parts:
             # captured and provably change-free: empty feed with the
-            # table schema (same contract as the diff path's empty case)
-            any_units = self._read_units(
-                self._live_units(as_of=to_version), None
-            )
-            if any_units is None:
-                any_units = self._read_units(
-                    self._live_units(as_of=from_version), None
-                )
-            if any_units is None:
-                raise ValueError("both versions are empty")
-            empty = any_units.limit(0).drop("__b", "__gen")
-            return empty.select(
-                F.lit("insert").alias("change"), *empty.columns
+            # table schema (same contract as the diff path's empty
+            # case), read from ONE live unit — not a mergeSchema pass
+            # over every unit footer (ADVICE r7)
+            return self._empty_feed(
+                self._live_units(as_of=to_version),
+                self._live_units(as_of=from_version),
             )
         ev = parts[0]
         for p2 in parts[1:]:
@@ -1420,18 +1475,54 @@ class LogTable:
         ``use_capture``: None = auto (capture when complete, else
         diff); False = force the diff path (the equivalence tests'
         lever); True = require capture (raises if unavailable).
+
+        Observability (VERDICT r7 #1b): every successful call records
+        which tier served it in ``self.last_feed_info`` —
+        ``{"tier": "capture"|"diff", "from", "to", "fallback_reason"}``
+        — and a capture→diff DEGRADATION (auto mode wanted capture but
+        an interval unit was vacuumed / a commit was uncaptured) also
+        logs it: WARNING when a vacuumed unit silently downgraded the
+        cost class, INFO for the expected uncaptured-commit case. A
+        monitoring hook can watch either; previously the fallback was
+        correct but invisible.
         """
         latest = self.version()
         to_version = latest if to_version is None else to_version
         for v in (from_version, to_version):
             if v < 0 or v > latest:
                 raise ValueError(f"version {v} does not exist")
+        fallback_reason = None
         if use_capture is not False:
+            self._capture_bail_reason = None
             served = self._changes_from_capture(
                 from_version, to_version, required=use_capture is True
             )
             if served is not None:
+                self.last_feed_info = {
+                    "tier": "capture",
+                    "from": from_version,
+                    "to": to_version,
+                    "fallback_reason": None,
+                }
                 return served
+            fallback_reason = self._capture_bail_reason
+            if fallback_reason is not None:
+                log = (
+                    _LOG.warning
+                    if "vacuumed" in fallback_reason
+                    else _LOG.info
+                )
+                log(
+                    "change feed (%s, %s] at %s fell back to the "
+                    "snapshot diff: %s",
+                    from_version, to_version, self.path, fallback_reason,
+                )
+        self.last_feed_info = {
+            "tier": "diff",
+            "from": from_version,
+            "to": to_version,
+            "fallback_reason": fallback_reason,
+        }
         lo = self._live_units(as_of=from_version)
         hi = self._live_units(as_of=to_version)
         touched: set[int] | None = set()
@@ -1455,17 +1546,9 @@ class LogTable:
             # no touched bucket holds units on either side: the interval's
             # net change is empty (or both versions are empty tables).
             # Return an EMPTY feed with the table schema when any unit
-            # exists to supply it; raise only when the table never held
-            # data at either version.
-            any_units = self._read_units(hi, None)
-            if any_units is None:
-                any_units = self._read_units(lo, None)
-            if any_units is None:
-                raise ValueError("both versions are empty")
-            empty = any_units.limit(0).drop("__b", "__gen")
-            return empty.select(
-                F.lit("insert").alias("change"), *empty.columns
-            )
+            # exists to supply it (single-unit schema read); raise only
+            # when the table never held data at either version.
+            return self._empty_feed(hi, lo)
         if old is None:
             return new.drop("__b").withColumn("change", F.lit("insert"))
         if new is None:

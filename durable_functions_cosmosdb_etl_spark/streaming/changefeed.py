@@ -391,41 +391,48 @@ def _drain(
         elif feed is not None:
             # One materialization serves the change-count probe and the
             # two target commits (the feed is a bucket-pruned join —
-            # cheap, but not free three times).
+            # cheap, but not free three times). try/finally (ADVICE r7):
+            # TransformContractError / a failed target commit must not
+            # leak the cached feed for the session — the same discipline
+            # as the inner out.cache().
             feed = feed.cache()
-            counts = {
-                r["change"]: r["n"]
-                for r in feed.groupBy("change")
-                .agg(F.count(F.lit(1)).alias("n"))
-                .collect()
-            }
-            n_ups = counts.get("insert", 0) + counts.get("update", 0)
-            n_dels = counts.get("delete", 0)
-            if n_ups:
-                ups = feed.filter(F.col("change") != "delete").drop("change")
-                out = transform(ups) if transform is not None else ups
-                certify = certify_transform and transform is not None
-                if certify:
-                    # certification + the sink commit both consume the
-                    # transformed batch — cache it once
-                    out = out.cache()
-                try:
+            try:
+                counts = {
+                    r["change"]: r["n"]
+                    for r in feed.groupBy("change")
+                    .agg(F.count(F.lit(1)).alias("n"))
+                    .collect()
+                }
+                n_ups = counts.get("insert", 0) + counts.get("update", 0)
+                n_dels = counts.get("delete", 0)
+                if n_ups:
+                    ups = feed.filter(
+                        F.col("change") != "delete"
+                    ).drop("change")
+                    out = transform(ups) if transform is not None else ups
+                    certify = certify_transform and transform is not None
                     if certify:
-                        _certify_batch(out, ups, key, n_ups)
-                    if target.version() < 0:
-                        target.create(out)
-                    elif sink == "deferred":
-                        target.upsert_deferred(out)
-                    else:
-                        target.upsert(out)
-                finally:
-                    if certify:
-                        out.unpersist()
-            if n_dels:
-                target.delete_keys(
-                    feed.filter(F.col("change") == "delete").select(key)
-                )
-            feed.unpersist()
+                        # certification + the sink commit both consume
+                        # the transformed batch — cache it once
+                        out = out.cache()
+                    try:
+                        if certify:
+                            _certify_batch(out, ups, key, n_ups)
+                        if target.version() < 0:
+                            target.create(out)
+                        elif sink == "deferred":
+                            target.upsert_deferred(out)
+                        else:
+                            target.upsert(out)
+                    finally:
+                        if certify:
+                            out.unpersist()
+                if n_dels:
+                    target.delete_keys(
+                        feed.filter(F.col("change") == "delete").select(key)
+                    )
+            finally:
+                feed.unpersist()
             stats["rows_upserted"] += n_ups
             stats["rows_deleted"] += n_dels
             n_batches += 1

@@ -1114,11 +1114,14 @@ def test_change_capture_vacuum_retention_and_fallback(spark, tmp_path):
     t.upsert(_mk(spark, [(2, "b1")]))                      # v2
     t.upsert(_mk(spark, [(3, "c1")]))                      # v3
     # orphan change dir (crashed commit simulation)
-    _os.makedirs(str(tmp_path / "t" / "_changes" / "c99"))
+    _os.makedirs(str(tmp_path / "t" / "_changes" / "c99-deadbeef"))
     deleted = t.vacuum(retain_versions=1)
     ch = set(_os.listdir(str(tmp_path / "t" / "_changes")))
     # capture for versions > horizon (= latest-1 = 2) survives: c3 only
-    assert ch == {"c3"}, ch
+    # (unit names carry a writer-unique uuid suffix — ADVICE r7: racing
+    # writers must never scribble over each other's change rows)
+    assert {d.split("-")[0] for d in ch} == {"c3"}, ch
+    assert all("-" in d for d in ch), ch
     assert any(d.startswith("_changes/") for d in deleted)
     # inside retention: still capture-served
     assert _feed_rows(t.changes(2, 3, use_capture=True)) == _feed_rows(
@@ -1135,3 +1138,60 @@ def test_change_capture_vacuum_retention_and_fallback(spark, tmp_path):
         t.changes(1, 3, use_capture=True)  # refuses: unit vacuumed
     with pytest.raises(FeedTruncatedError):
         t.changes(0, 3)  # auto: fallback diff raises typed truncation
+
+
+def test_change_capture_vacuum_fallback_is_observable(spark, tmp_path, caplog):
+    """A vacuumed capture unit silently degraded the feed's cost class
+    to the snapshot diff (correct but unobservable — VERDICT r7 #1b).
+    Now the degradation is surfaced twice: ``last_feed_info`` records
+    the serving tier and the fallback reason, and a WARNING is logged.
+    Scenario engineered so the DIFF stays fully computable after the
+    capture is reclaimed: key B lands in a bucket EMPTY at v0 (its
+    insert is captured as ``added_units``), is rewritten at v2 (killing
+    v1's unit once vacuumed), and the interval's only touched bucket
+    held nothing at the interval start — so the diff reads no vacuumed
+    unit while the capture tier provably lost v1's insert record."""
+    import logging as _logging
+
+    from pyspark.sql import functions as F
+
+    # two keys hashing to different buckets (n_buckets=2)
+    by_bucket = {
+        r["b"]: r["id"]
+        for r in spark.range(50)
+        .select("id", F.pmod(F.xxhash64("id"), F.lit(2)).alias("b"))
+        .collect()
+    }
+    a_key, b_key = by_bucket[0], by_bucket[1]
+    t = LogTable(
+        spark, str(tmp_path / "t"), key="id", n_buckets=2,
+        change_capture=True,
+    )
+    t.create(_mk(spark, [(a_key, "a0")]))   # v0: bucket(A) only
+    t.upsert(_mk(spark, [(b_key, "b0")]))   # v1: empty bucket → added_units
+    t.upsert(_mk(spark, [(b_key, "b1")]))   # v2: rewrites bucket(B)
+    # pre-vacuum the interval is capture-complete, and the info says so
+    assert _feed_rows(t.changes(1, 2)) == [("update", b_key, "b1")]
+    assert t.last_feed_info == {
+        "tier": "capture", "from": 1, "to": 2, "fallback_reason": None,
+    }
+    # vacuum kills v1's data unit (v1's capture WAS that unit) — the
+    # current snapshot and v2's change unit survive untouched
+    t.vacuum(retain_versions=0)
+    with caplog.at_level(
+        _logging.WARNING,
+        logger="durable_functions_cosmosdb_etl_spark.sinks.logtable",
+    ):
+        got = _feed_rows(t.changes(0, 2))
+    # the diff is computable: the only touched bucket was EMPTY at v0,
+    # so no vacuumed unit is read — net feed = B inserted at its v2 value
+    assert got == [("insert", b_key, "b1")]
+    info = t.last_feed_info
+    assert info["tier"] == "diff" and "vacuumed" in info["fallback_reason"]
+    assert any(
+        "fell back to the snapshot diff" in r.message
+        for r in caplog.records
+    )
+    # required-capture mode refuses loudly on the same interval
+    with pytest.raises(ValueError, match="vacuumed"):
+        t.changes(0, 2, use_capture=True)
