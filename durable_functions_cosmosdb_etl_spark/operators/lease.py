@@ -15,11 +15,16 @@ conditional upsert: contended creation fails for everyone but one,
 EtlProcess.cs:306-310's PreconditionFailed path). A timed-out lock is
 stolen by atomically renaming it aside (``os.rename`` of the same
 source succeeds for exactly one stealer) and re-running the exclusive
-create. The JSON state file carries metadata only (worker, times,
-forced flag) — it is never the mutual-exclusion mechanism. On a shared
-filesystem this needs O_EXCL + rename atomicity (POSIX/NFSv4/HDFS-
-like); object stores would use a conditional-put (If-Match/
-If-None-Match) instead — same protocol, different primitive.
+create. Heartbeats (``renew_lease``) never touch the lock: they
+atomically replace a SIDECAR file (``<path>.hb``), and liveness is
+max(lock start_time, matching sidecar time) — so a renewal has no
+instant at which the lock is absent and a contender could spuriously
+win the exclusive create (ADVICE r7). The JSON state file carries
+metadata only (worker, times, forced flag) — it is never the
+mutual-exclusion mechanism. On a shared filesystem this needs O_EXCL +
+rename atomicity (POSIX/NFSv4/HDFS-like); object stores would use a
+conditional-put (If-Match/If-None-Match) instead — same protocol,
+different primitive.
 """
 
 from __future__ import annotations
@@ -67,6 +72,54 @@ def _write(path: str, state: dict) -> None:
 
 def _lock_path(path: str) -> str:
     return path + ".lock"
+
+
+def _hb_path(path: str) -> str:
+    return path + ".hb"
+
+
+def _hb_time(path: str, holder: dict, now: datetime) -> datetime:
+    """Effective liveness timestamp of a held lock: the acquire-time
+    ``start_time``, advanced by the heartbeat sidecar when one exists
+    FOR THIS TENANCY (worker + start_time must both match — a heartbeat
+    left behind by a dead tenancy is inert, because it can never match
+    a fresh lock's start_time). The sidecar is written with an atomic
+    replace and the lock itself is never touched by renewal, so there
+    is no instant during a heartbeat when the lock is absent (the
+    ADVICE r7 spurious-steal window of the old rename-aside renewal).
+    """
+    held_at = datetime.fromisoformat(holder["start_time"])
+    hb = _read(_hb_path(path))
+    if (
+        hb
+        and hb.get("worker") == holder.get("worker")
+        and hb.get("start_time") == holder.get("start_time")
+    ):
+        try:
+            beat = datetime.fromisoformat(hb["time"])
+        except (KeyError, ValueError):
+            return held_at
+        if beat > held_at:
+            return beat
+    return held_at
+
+
+def _clear_hb(path: str, tenancy: dict | None) -> None:
+    """Best-effort removal of a heartbeat sidecar belonging to a dead
+    tenancy (after a steal or a release). Leaving it would be harmless
+    — it can never match a future lock's fresh start_time — this just
+    keeps the directory tidy."""
+    hb = _read(_hb_path(path))
+    if (
+        hb
+        and tenancy is not None
+        and hb.get("worker") == tenancy.get("worker")
+        and hb.get("start_time") == tenancy.get("start_time")
+    ):
+        try:
+            os.unlink(_hb_path(path))
+        except OSError:
+            pass
 
 
 def _try_exclusive_create(
@@ -126,8 +179,7 @@ def acquire_lease(
         if _try_exclusive_create(lock, path, worker, now, forced=False):
             return won(False)
         return miss
-    held_at = datetime.fromisoformat(holder["start_time"])
-    if now <= held_at + timedelta(minutes=timeout_min):
+    if now <= _hb_time(path, holder, now) + timedelta(minutes=timeout_min):
         return miss  # live lease — skip (EtlProcess.cs:98-102)
     # Timed out: steal atomically. Renaming the stale lock aside
     # succeeds for exactly ONE stealer of THAT file — but a faster
@@ -154,7 +206,22 @@ def acquire_lease(
             pass  # an even newer lock exists — nothing to restore
         os.unlink(stale)
         return miss
+    # Heartbeat re-check AFTER the exclusive move: the holder may have
+    # renewed between our liveness read and the rename. Its renewal
+    # protocol verifies the lock again after writing the heartbeat, so
+    # exactly one of us backs off: if its heartbeat landed before our
+    # rename, we see it fresh here and restore; if it landed after, the
+    # holder's re-verify finds the lock gone (or replaced) and reports
+    # the lease lost before touching anything else.
+    if now <= _hb_time(path, moved, now) + timedelta(minutes=timeout_min):
+        try:
+            os.link(stale, lock)
+        except OSError:
+            pass
+        os.unlink(stale)
+        return miss
     os.unlink(stale)
+    _clear_hb(path, moved)  # dead tenancy's sidecar — tidy up
     if _try_exclusive_create(lock, path, worker, now, forced=True):
         return won(True)
     return miss
@@ -166,26 +233,39 @@ def renew_lease(
     start_time: str,
     now: datetime | None = None,
 ) -> LeaseHandle:
-    """Heartbeat for a HELD lease: atomically re-stamp the lock's
-    ``start_time`` so a long-running holder is not presumed dead at
-    ``timeout_min`` and stolen mid-work. With periodic renewal the
-    timeout needs to exceed only the HEARTBEAT interval (e.g. one
-    micro-batch), not the whole job — the same liveness contract as a
-    Cosmos lease container's keep-alive.
+    """Heartbeat for a HELD lease: advance its liveness timestamp so a
+    long-running holder is not presumed dead at ``timeout_min`` and
+    stolen mid-work. With periodic renewal the timeout needs to exceed
+    only the HEARTBEAT interval (e.g. one micro-batch), not the whole
+    job — the same liveness contract as a Cosmos lease container's
+    keep-alive.
 
-    Returns a NEW truthy handle carrying the renewed ``start_time``
-    (use it for subsequent renews and the final release — ownership is
-    verified on (worker, start_time), so the old handle is dead). A
-    falsy handle means the lease was LOST (stolen after a missed
-    heartbeat, or released): the caller must stop mutating immediately.
+    Returns a truthy handle carrying the UNCHANGED acquire-time
+    identity (``start_time`` is the tenancy key for every later renew
+    and the final release; the heartbeat never rewrites it). A falsy
+    handle means the lease was LOST (stolen after a missed heartbeat,
+    or released): the caller must stop mutating immediately.
 
-    Protocol: rename the lock aside (exclusive — one mover wins),
-    verify it is still OUR tenancy, rewrite the payload with the fresh
-    timestamp, link back without clobbering. If a contender acquired a
-    fresh lock while ours was aside (the same documented residual
-    window as release), the no-clobber link fails and we report the
-    lease lost rather than fight — at most one party ever believes it
-    holds.
+    Protocol (ADVICE r7 — renew IN PLACE, never move the lock): the
+    heartbeat is an atomic replace of a SIDECAR file
+    (``<path>.hb`` = {worker, start_time, time}); liveness everywhere
+    is max(lock.start_time, sidecar time when the tenancy matches).
+    Because the lock file itself is never renamed or removed during a
+    renewal, there is no instant at which a concurrently-firing
+    contender's ``O_EXCL`` create can spuriously succeed — the old
+    rename-aside renewal handed a live, actively-heartbeated lease to
+    any contender that fired inside the aside window (exactly the
+    overlapping-cron scenario the lease exists for).
+
+    Renew-vs-steal interleaving (both sides verify AFTER their write):
+    we re-read the lock AFTER publishing the heartbeat; a stealer
+    re-reads the heartbeat AFTER its exclusive rename-aside. Whichever
+    write lands second is seen by the other side's verify — if our
+    heartbeat landed before the stealer's rename, the stealer finds it
+    fresh and restores the lock; if after, our re-read finds the lock
+    gone or replaced and we report the lease lost. At most one party
+    ever believes it holds. (A steal can only begin once the lease
+    already looked timed out, i.e. after missed heartbeats.)
     """
     now = now or datetime.now()
     lock = _lock_path(path)
@@ -200,35 +280,21 @@ def renew_lease(
 
     if not ours(_read(lock)):
         return miss
-    aside = f"{lock}.renew-{uuid.uuid4()}"
-    try:
-        os.rename(lock, aside)
-    except OSError:
-        return miss  # vanished: released or mid-steal
-    if not ours(_read(aside)):
-        try:
-            os.link(aside, lock)  # someone else's — restore, walk away
-        except OSError:
-            pass
-        os.unlink(aside)
+    _write(
+        _hb_path(path),
+        {"worker": worker, "start_time": start_time, "time": now.isoformat()},
+    )
+    if not ours(_read(lock)):
+        # stolen between our first read and the heartbeat publish — the
+        # sidecar we just wrote references a dead tenancy and is inert
         return miss
-    with open(aside, "w") as f:
-        json.dump({"worker": worker, "start_time": now.isoformat()}, f)
-    try:
-        os.link(aside, lock)
-    except OSError:
-        # a contender created a fresh lock while ours was aside — we
-        # lost; never clobber theirs
-        os.unlink(aside)
-        return miss
-    os.unlink(aside)
     state = _read(path) or {}
     state.update(
-        locked=True, worker=worker, start_time=now.isoformat(),
-        version=str(uuid.uuid4()),
+        locked=True, worker=worker, start_time=start_time,
+        last_heartbeat=now.isoformat(), version=str(uuid.uuid4()),
     )
     _write(path, state)
-    return LeaseHandle(True, worker, now.isoformat(), forced=False)
+    return LeaseHandle(True, worker, start_time, forced=False)
 
 
 def release_lease(
@@ -289,6 +355,7 @@ def release_lease(
     if owns(moved):
         mark_released()
         os.unlink(aside)
+        _clear_hb(path, moved)  # released tenancy's heartbeat is dead
     else:
         try:
             os.link(aside, lock)  # no-overwrite restore

@@ -503,6 +503,7 @@ def test_changefeed_lease_heartbeat_and_loss(spark, tmp_path):
     cur = str(tmp_path / "cursor.json")
     lease = str(tmp_path / "lease.json")
     lock = lease + ".lock"
+    hb = lease + ".hb"
     a.create(spark.createDataFrame([(1, "x")], "id long, val string"))
     a.upsert(spark.createDataFrame([(2, "y")], "id long, val string"))
     a.upsert(spark.createDataFrame([(3, "z")], "id long, val string"))
@@ -510,17 +511,22 @@ def test_changefeed_lease_heartbeat_and_loss(spark, tmp_path):
     seen = []
 
     def watch(upto, tv):
-        with open(lock) as f:
-            seen.append(_json.load(f)["start_time"])
+        # the lock itself is immutable during renewal (round 8: the
+        # heartbeat is an atomic sidecar replace, so there is no
+        # instant a contender could spuriously win the O_EXCL create)
+        assert _os.path.exists(lock)
+        with open(hb) as f:
+            seen.append(_json.load(f)["time"])
 
     stats = run_changefeed_transform(
         spark, a, b, cur, max_versions_per_batch=1,
         lease_path=lease, after_apply=watch,
     )
     assert stats["batches"] == 3
-    # the heartbeat re-stamped the lock between batches
+    # the heartbeat advanced between batches
     assert len(set(seen)) >= 2, seen
     assert _os.path.exists(lock) is False  # released on the way out
+    assert _os.path.exists(hb) is False  # sidecar cleaned with it
 
     # mid-drain steal: after batch 1 of the next drain, a thief takes
     # the lease (simulating a missed heartbeat); the loop-head renewal

@@ -513,10 +513,12 @@ def test_csv_and_orc_source_round_trips(spark, tmp_path, sf_dir):
 
 
 def test_lease_renew_extends_tenancy(tmp_path):
-    """renew_lease (round 7): a heartbeat re-stamps the held lock so a
-    long-running holder is not presumed dead — a contender within
-    timeout-of-RENEWAL misses, past it steals; renewal after loss
-    reports falsy and release must use the renewed identity."""
+    """renew_lease (reworked round 8, ADVICE r7): a heartbeat advances
+    liveness via an atomic SIDECAR replace — the lock file is never
+    moved, the tenancy identity (worker, acquire start_time) never
+    changes — so a contender within timeout-of-LAST-HEARTBEAT misses,
+    past it steals; renewal after loss reports falsy and release uses
+    the stable identity."""
     from datetime import datetime, timedelta
 
     from durable_functions_cosmosdb_etl_spark.operators.lease import (
@@ -529,16 +531,61 @@ def test_lease_renew_extends_tenancy(tmp_path):
     t0 = datetime(2026, 1, 15, 10, 0, 0)
     h = acquire_lease(lease, "w1", now=t0)
     assert h
-    # heartbeat at +4 min: tenancy now runs from the renewal
+    # heartbeat at +4 min: liveness now runs from the heartbeat, but the
+    # tenancy identity is STABLE (the handle stays valid for release)
     h2 = renew_lease(lease, h.worker, h.start_time, now=t0 + timedelta(minutes=4))
-    assert h2 and h2.start_time != h.start_time
-    # +6 min from acquire is only +2 from renewal: contender misses
+    assert h2 and h2.start_time == h.start_time
+    # +6 min from acquire is only +2 from the heartbeat: contender misses
     assert not acquire_lease(lease, "w2", now=t0 + timedelta(minutes=6))
-    # the OLD handle's identity is dead: renewing with it fails
-    assert not renew_lease(lease, h.worker, h.start_time, now=t0 + timedelta(minutes=6))
-    # past renewal+timeout: stolen; the holder's next heartbeat reports loss
-    assert acquire_lease(lease, "w2", now=t0 + timedelta(minutes=10))
-    assert not renew_lease(lease, h2.worker, h2.start_time, now=t0 + timedelta(minutes=10))
-    # release with the stale identity is a no-op on w2's live lease
-    release_lease(lease, h2.worker, now=t0 + timedelta(minutes=11), start_time=h2.start_time)
-    assert not acquire_lease(lease, "w3", now=t0 + timedelta(minutes=11))
+    # further heartbeats keep extending from their own time
+    assert renew_lease(lease, h.worker, h.start_time, now=t0 + timedelta(minutes=8))
+    assert not acquire_lease(lease, "w2", now=t0 + timedelta(minutes=12))
+    # past last-heartbeat+timeout: stolen; the holder's next heartbeat
+    # reports the loss (its identity no longer matches the lock)
+    assert acquire_lease(lease, "w2", now=t0 + timedelta(minutes=14))
+    assert not renew_lease(lease, h.worker, h.start_time, now=t0 + timedelta(minutes=14))
+    # release with the superseded identity is a no-op on w2's live lease
+    release_lease(lease, h.worker, now=t0 + timedelta(minutes=15), start_time=h.start_time)
+    assert not acquire_lease(lease, "w3", now=t0 + timedelta(minutes=15))
+
+
+def test_lease_renewal_never_opens_a_steal_window(tmp_path):
+    """The ADVICE r7 finding, directly: with the old rename-aside
+    renewal, a contender firing DURING a heartbeat found the lock
+    absent and its O_EXCL create succeeded instantly — a spurious steal
+    of a live, actively-heartbeated lease at any batch boundary. The
+    in-place sidecar renewal never removes the lock, so a contender
+    injected at the widest point of the heartbeat (the sidecar write
+    itself) must still miss."""
+    from datetime import datetime, timedelta
+
+    from durable_functions_cosmosdb_etl_spark.operators import lease as L
+
+    path = str(tmp_path / "lease.json")
+    t0 = datetime(2026, 1, 15, 10, 0, 0)
+    h = L.acquire_lease(path, "holder", now=t0)
+    assert h
+    contender_results = []
+    orig_write = L._write
+
+    def contender_mid_heartbeat(p, state):
+        if p.endswith(".hb") and not contender_results:
+            contender_results.append(
+                bool(
+                    L.acquire_lease(
+                        path, "contender", now=t0 + timedelta(minutes=4)
+                    )
+                )
+            )
+        orig_write(p, state)
+
+    L._write = contender_mid_heartbeat
+    try:
+        h2 = L.renew_lease(path, h.worker, h.start_time, now=t0 + timedelta(minutes=4))
+    finally:
+        L._write = orig_write
+    # the lock existed throughout: the contender missed AND the
+    # holder's renewal succeeded
+    assert contender_results == [False]
+    assert h2
+    assert not L.acquire_lease(path, "w2", now=t0 + timedelta(minutes=6))
