@@ -57,6 +57,7 @@ from __future__ import annotations
 import json
 import os
 from collections.abc import Callable
+from datetime import datetime
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -68,6 +69,7 @@ from ..operators.lease import (
     renew_lease,
 )
 from ..sinks.logtable import FeedTruncatedError, LogTable
+from ..sinks.writers import audit_run
 
 
 class LeaseLostError(RuntimeError):
@@ -172,6 +174,7 @@ def run_changefeed_transform(
     certify_transform: bool = True,
     lease_path: str | None = None,
     lease_timeout_min: int = DEFAULT_TIMEOUT_MIN,
+    audit_dir: str | None = None,
 ) -> dict:
     """Drain the source table's change feed into the target table
     (availableNow-style: consume up to the source version observed at
@@ -232,6 +235,20 @@ def run_changefeed_transform(
       :class:`LeaseLostError` BEFORE the next batch — applied batches
       are cursor-persisted, so a later invocation resumes cleanly.
 
+    - ``audit_dir``: when set, every drain that actually RAN appends
+      one run-audit row there (the reference appends an
+      ``OrchestrationRun`` per run — duration, success, worker, info —
+      EtlProcess.cs:120-130, OrchestrationRun.cs:7-18; batch ETL's
+      etl.py does the same for EP1). The row's ``additional_info`` is
+      the stats dict as JSON plus the failure message on the
+      compensation path — a failed or lease-lost drain records
+      ``succeeded=false`` WITH the progress it durably applied before
+      stopping (stats mutate per batch, so the audit never
+      under-reports cursor-persisted work). A ``lease_skipped``
+      invocation writes no row, mirroring the reference's skip path
+      (:98-102 returns before any audit; the lease state file itself
+      records the live holder).
+
     Returns ``{"batches", "rows_upserted", "rows_deleted",
     "from_version", "to_version", "lease_skipped", "rebootstrapped"}``.
     """
@@ -257,21 +274,47 @@ def run_changefeed_transform(
         "lease_skipped": False,
         "rebootstrapped": False,
     }
-    if lease_path is None:
-        return _drain(
-            source, target, cursor_path, transform,
-            max_versions_per_batch, sink, maintenance_every,
-            compact_min_delta, after_apply, on_truncated,
-            certify_transform, stats,
+    start = datetime.now()
+    audit_ctx = {"worker": f"changefeed-{os.getpid()}", "forced": False}
+
+    def _audit(succeeded: bool, error: Exception | None = None) -> None:
+        if audit_dir is None:
+            return
+        info = dict(stats)
+        info["error"] = (
+            None if error is None else f"{type(error).__name__}: {error}"
         )
+        audit_run(
+            spark, audit_dir, start, datetime.now(), succeeded,
+            json.dumps(info), forced_lease=audit_ctx["forced"],
+            worker=audit_ctx["worker"],
+        )
+
+    def _audited_drain(renew=None) -> dict:
+        try:
+            result = _drain(
+                source, target, cursor_path, transform,
+                max_versions_per_batch, sink, maintenance_every,
+                compact_min_delta, after_apply, on_truncated,
+                certify_transform, stats, renew=renew,
+            )
+        except Exception as exc:  # compensation path, EtlProcess.cs:79-85
+            _audit(False, exc)
+            raise
+        _audit(True)
+        return result
+
+    if lease_path is None:
+        return _audited_drain()
     handle = acquire_lease(
         lease_path,
-        worker=f"changefeed-{os.getpid()}",
+        worker=audit_ctx["worker"],
         timeout_min=lease_timeout_min,
     )
     if not handle:
         stats["lease_skipped"] = True
         return stats
+    audit_ctx["forced"] = handle.forced
     # Per-batch heartbeat: renewing at each loop head means the lease
     # timeout must outlive one BATCH, not the whole drain — a large
     # backlog no longer risks a mid-drain steal, while a holder that
@@ -289,12 +332,7 @@ def run_changefeed_transform(
         return bool(h)
 
     try:
-        return _drain(
-            source, target, cursor_path, transform,
-            max_versions_per_batch, sink, maintenance_every,
-            compact_min_delta, after_apply, on_truncated,
-            certify_transform, stats, renew=renew,
-        )
+        return _audited_drain(renew=renew)
     finally:
         release_lease(
             lease_path,

@@ -556,6 +556,96 @@ def test_changefeed_lease_heartbeat_and_loss(spark, tmp_path):
     assert (5, "v") in _rows(b.snapshot(), "id", "val")
 
 
+def test_changefeed_audit_rows(spark, tmp_path):
+    """Per-drain run audit (VERDICT r7 #2): every drain that ran
+    appends one OrchestrationRun row (EtlProcess.cs:120-130,
+    OrchestrationRun.cs:7-18) — success rows carry the stats JSON,
+    compensation rows carry the failure message PLUS the progress
+    durably applied before the stop, and a lease_skipped invocation
+    writes no row (the reference's skip path audits nothing)."""
+    import json as _json
+
+    from durable_functions_cosmosdb_etl_spark.operators.lease import (
+        acquire_lease,
+        release_lease,
+    )
+    from durable_functions_cosmosdb_etl_spark.streaming.changefeed import (
+        LeaseLostError,
+        TransformContractError,
+    )
+
+    a = _mk(spark, tmp_path, "a")
+    b = _mk(spark, tmp_path, "b")
+    cur = str(tmp_path / "cursor.json")
+    audit = str(tmp_path / "runs")
+    a.create(spark.createDataFrame([(1, "x"), (2, "y")], "id long, val string"))
+
+    def read_audit():
+        return [
+            (r["succeeded"], r["orchestration_worker"],
+             _json.loads(r["additional_info"]))
+            for r in spark.read.parquet(audit).orderBy("start_time").collect()
+        ]
+
+    # 1. successful drain → one succeeded row with the stats
+    stats = run_changefeed_transform(
+        spark, a, b, cur, transform=upcase, audit_dir=audit
+    )
+    rows = read_audit()
+    assert len(rows) == 1
+    ok, worker, info = rows[0]
+    assert ok is True and worker.startswith("changefeed-")
+    assert info["rows_upserted"] == stats["rows_upserted"] == 2
+    assert info["error"] is None
+
+    # 2. contract-violating transform → failed row, error message, no
+    # progress (the batch failed before any commit)
+    a.upsert(spark.createDataFrame([(3, "z")], "id long, val string"))
+    with pytest.raises(TransformContractError):
+        run_changefeed_transform(
+            spark, a, b, cur, audit_dir=audit,
+            transform=lambda df: df.filter(F.col("id") < 0),
+        )
+    rows = read_audit()
+    assert len(rows) == 2
+    ok, _, info = rows[1]
+    assert ok is False and "TransformContractError" in info["error"]
+    assert info["batches"] == 0
+
+    # 3. lease-skipped invocation → NO row
+    lease = str(tmp_path / "lease.json")
+    held = acquire_lease(lease, "other")
+    skipped = run_changefeed_transform(
+        spark, a, b, cur, lease_path=lease, audit_dir=audit
+    )
+    assert skipped["lease_skipped"] is True and len(read_audit()) == 2
+    release_lease(lease, held.worker, start_time=held.start_time)
+
+    # 4. lease-LOST drain → failed row carrying the worker identity and
+    # the batches applied before the loss
+    a.upsert(spark.createDataFrame([(4, "w")], "id long, val string"))
+    a.upsert(spark.createDataFrame([(5, "v")], "id long, val string"))
+    lock = lease + ".lock"
+
+    def steal(upto, tv):
+        import os as _os
+
+        _os.unlink(lock)
+        assert acquire_lease(lease, "thief")
+
+    with pytest.raises(LeaseLostError):
+        run_changefeed_transform(
+            spark, a, b, cur, transform=upcase, audit_dir=audit,
+            lease_path=lease, max_versions_per_batch=1, after_apply=steal,
+        )
+    rows = read_audit()
+    assert len(rows) == 3
+    ok, worker, info = rows[2]
+    assert ok is False and "LeaseLostError" in info["error"]
+    # the durably-applied batch before the loss is in the audit
+    assert info["batches"] == 1 and info["rows_upserted"] == 1
+
+
 def test_changefeed_drain_over_capture_source(spark, tmp_path):
     """The consumer is tier-agnostic: a capture-enabled source serves
     its feed from stored change units (O(changed rows), proven by
