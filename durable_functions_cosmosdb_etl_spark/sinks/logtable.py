@@ -1597,14 +1597,38 @@ class LogTable:
 
     # ------------------------------------------------------------- vacuum
 
-    def vacuum(self, retain_versions: int = 0) -> list[str]:
+    def vacuum(
+        self, retain_versions: int = 0, min_age_seconds: float = 0.0
+    ) -> list[str]:
         """Physically delete data no snapshot within ``retain_versions``
         of latest can reference: units removed at or before the horizon,
         plus orphan commit dirs (losers of a commit race / crashes
         between data write and log commit). Must not run concurrently
         with a writer (an in-flight commit's data dir looks like an
         orphan until its log entry lands) — same single-writer
-        discipline as the mutating ops, enforced by the caller's lease.
+        discipline as the mutating ops, enforced by the caller's lease;
+        a nonzero ``min_age_seconds`` also protects in-flight commits
+        mechanically (a freshly-written dir is younger than the grace).
+
+        ``min_age_seconds`` — in-flight READER grace (VERDICT r7 #5,
+        Delta's retention-check idiom): the truncation guards in
+        ``changes``/``snapshot`` are check-then-read — a vacuum running
+        BETWEEN a reader's driver-side existence check and its Spark
+        job's file reads still yields a raw missing-file error. With a
+        grace, a candidate is deleted only once it has been
+        DELETABLE for at least ``min_age_seconds``: a dead data unit's
+        clock starts when version ``r + retain_versions`` committed
+        (``r`` = the commit that removed it — the moment the retention
+        horizon passed it, measured as that log file's mtime); a CDC
+        change unit's likewise; an orphan dir's at its own mtime.
+        Any reader's plan references only units that were live-or-
+        retained when the read STARTED, so setting the grace above the
+        longest concurrent read (plus clock skew between hosts) makes
+        the residual race unreachable — the operational contract is
+        ``min_age_seconds > max drain/read duration + skew``, exactly
+        Delta's "retention must exceed the longest-running concurrent
+        reader". Default 0 keeps the old immediate-reclaim behavior
+        (single-process tests and probes).
 
         Retention contract (property-tested against the dict model in
         tests/test_properties.py, including with a post-vacuum
@@ -1621,62 +1645,121 @@ class LogTable:
         since checkpoint), and time travel to pre-checkpoint versions
         falls back to full log replay.
         """
+        import time
+
         latest = self.version()
         horizon = latest - retain_versions
+        now = time.time()
+        log_dir = os.path.join(self.path, _LOG_DIR)
+
+        def log_mtime(v: int) -> float:
+            try:
+                return os.path.getmtime(
+                    os.path.join(log_dir, f"{v:020d}.json")
+                )
+            except OSError:
+                return 0.0  # never-committed version: treat as old
+
+        def too_young(eligible_at: float) -> bool:
+            return (
+                min_age_seconds > 0
+                and now - eligible_at < min_age_seconds
+            )
+
         referenced: set[str] = set()
         for v in range(max(0, horizon), latest + 1):
             try:
                 referenced |= set(self._live_units(as_of=v))
             except ValueError:
                 continue
+        entries = list(self._log_entries())
         logged_dirs = {
             u["unit"].split("/__bucket=")[0]
-            for e in self._log_entries()
+            for e in entries
             for u in e.get("added", [])
+        }
+        # A unit becomes horizon-dead when version (removed_at + retain)
+        # commits — that log file's mtime is the grace clock's zero.
+        removed_at = {
+            u["unit"]: e["version"]
+            for e in entries
+            for u in e.get("removed", [])
         }
         deleted: list[str] = []
         # Unit-level deletes for logged-but-dead units.
-        for e in self._log_entries():
+        for e in entries:
             for u in e.get("added", []):
                 unit = u["unit"]
                 full = os.path.join(self.path, unit)
-                if unit not in referenced and os.path.exists(full):
-                    shutil.rmtree(full)
-                    deleted.append(unit)
-        # Orphan commit dirs: written but never logged.
+                if unit in referenced or not os.path.exists(full):
+                    continue
+                r = removed_at.get(unit)
+                eligible_at = (
+                    log_mtime(min(latest, r + retain_versions))
+                    if r is not None
+                    else os.path.getmtime(full)
+                )
+                if too_young(eligible_at):
+                    continue
+                shutil.rmtree(full)
+                deleted.append(unit)
+        # Orphan commit dirs: written but never logged. Grace clock =
+        # the dir's own mtime (also shields an IN-FLIGHT commit whose
+        # log entry hasn't landed yet).
         data_dir = os.path.join(self.path, _DATA_DIR)
         for d in sorted(os.listdir(data_dir)):
             rel = f"{_DATA_DIR}/{d}"
-            if rel not in logged_dirs:
-                shutil.rmtree(os.path.join(data_dir, d))
-                deleted.append(rel)
+            full = os.path.join(data_dir, d)
+            if rel in logged_dirs or too_young(os.path.getmtime(full)):
+                continue
+            shutil.rmtree(full)
+            deleted.append(rel)
         # CDC change units: a feed may start at any cursor within the
         # retention window (cursor >= horizon reads entries with
         # version > horizon), so capture for versions ABOVE the horizon
         # must survive; everything else — plus orphans written by a
         # crashed commit and units of commits past retention — is
-        # reclaimed. A reclaimed unit never corrupts a feed: the
-        # serving path checks existence and falls back to the snapshot
-        # diff, whose own truncation check governs.
+        # reclaimed once past the grace. A reclaimed unit never
+        # corrupts a feed: the serving path checks existence and falls
+        # back to the snapshot diff, whose own truncation check
+        # governs (and the fallback is recorded + logged).
         ch_dir = os.path.join(self.path, _CHANGES_DIR)
         if os.path.isdir(ch_dir):
-            referenced = {
+            ch_referenced = {
                 e["changes"]["unit"]
-                for e in self._log_entries()
+                for e in entries
                 if e.get("changes", {}).get("mode") == "unit"
                 and e["version"] > horizon
             }
+            ch_version = {
+                e["changes"]["unit"]: e["version"]
+                for e in entries
+                if e.get("changes", {}).get("mode") == "unit"
+            }
             for d in sorted(os.listdir(ch_dir)):
                 rel = f"{_CHANGES_DIR}/{d}"
-                if rel not in referenced:
-                    shutil.rmtree(os.path.join(ch_dir, d))
-                    deleted.append(rel)
+                full = os.path.join(ch_dir, d)
+                if rel in ch_referenced:
+                    continue
+                v = ch_version.get(rel)
+                eligible_at = (
+                    log_mtime(min(latest, v + retain_versions))
+                    if v is not None
+                    else os.path.getmtime(full)
+                )
+                if too_young(eligible_at):
+                    continue
+                shutil.rmtree(full)
+                deleted.append(rel)
         # Stale commit tmps: a writer that died between writing its tmp
         # and linking it leaves NNN.json.<pid>.tmp — invisible to
         # replay/version (filtered by suffix) but worth reclaiming here.
-        log_dir = os.path.join(self.path, _LOG_DIR)
+        # Grace-guarded too: an ALIVE writer's tmp exists briefly
+        # between write and link.
         for n in sorted(os.listdir(log_dir)):
-            if n.endswith(".tmp"):
+            if n.endswith(".tmp") and not too_young(
+                os.path.getmtime(os.path.join(log_dir, n))
+            ):
                 os.unlink(os.path.join(log_dir, n))
                 deleted.append(f"{_LOG_DIR}/{n}")
         return deleted

@@ -1140,6 +1140,42 @@ def test_change_capture_vacuum_retention_and_fallback(spark, tmp_path):
         t.changes(0, 3)  # auto: fallback diff raises typed truncation
 
 
+def test_vacuum_min_age_grace_protects_inflight_readers(spark, tmp_path):
+    """vacuum(min_age_seconds=T) (VERDICT r7 #5, Delta's retention-check
+    idiom): the feed's truncation guard is check-then-read, so a vacuum
+    landing between a reader's existence check and its Spark job used
+    to yield a raw missing-file error. With a grace above the longest
+    concurrent read, a unit is reclaimed only once it has been
+    horizon-dead that long — an in-flight reader whose plan passed the
+    check always finishes. Grace zero keeps immediate reclaim."""
+    t = LogTable(
+        spark, str(tmp_path / "t"), key="id", n_buckets=4,
+        change_capture=True,
+    )
+    t.create(_mk(spark, [(i, f"v{i}") for i in range(8)]))
+    t.upsert(_mk(spark, [(i, f"w{i}") for i in range(8)]))  # kills v0 units
+    # in-flight reader: plan built, truncation check passed
+    feed = t.changes(0, 1, use_capture=False)
+    # graced vacuum: the just-dead v0 units (and v1's capture) survive
+    deleted = t.vacuum(retain_versions=0, min_age_seconds=3600)
+    assert not any(d.startswith("data/") for d in deleted), deleted
+    assert not any(d.startswith("_changes/") for d in deleted), deleted
+    # the in-flight read completes — never a raw missing-file error
+    assert feed.count() == 8
+    # orphan dirs get the same shield (an in-flight commit's data dir)
+    import os as _os
+
+    _os.makedirs(str(tmp_path / "t" / "data" / "c99"))
+    assert "data/c99" not in t.vacuum(
+        retain_versions=0, min_age_seconds=3600
+    )
+    # grace elapsed (= 0): everything horizon-dead is reclaimed
+    deleted = t.vacuum(retain_versions=0)
+    assert any(d.startswith("data/c0") for d in deleted), deleted
+    assert "data/c99" in deleted
+    assert any(d.startswith("_changes/") for d in deleted), deleted
+
+
 def test_change_capture_vacuum_fallback_is_observable(spark, tmp_path, caplog):
     """A vacuumed capture unit silently degraded the feed's cost class
     to the snapshot diff (correct but unobservable — VERDICT r7 #1b).
