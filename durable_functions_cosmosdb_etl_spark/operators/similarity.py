@@ -544,15 +544,18 @@ def fit_or_load_ivf_centroids(
     input-file fingerprint as the memo: corpora whose plans expose no
     file listing (in-memory frames) are fit-only (nothing persisted —
     a load could never prove freshness). Layout under
-    ``codebook_path``: ``centroids.parquet/`` + ``meta.json`` (written
-    last, atomically: a crash mid-persist leaves no meta → refit).
+    ``codebook_path``: ``centroids-{token}.parquet/`` + ``meta.json``;
+    the meta names the exact token dir it validates, so a meta can
+    NEVER validate a parquet it wasn't written for — see
+    :func:`_persist_codebook` for the crash/concurrency argument.
 
-    Concurrency: two processes fitting the same path concurrently both
-    write deterministic, identical artifacts (the fit is reproducible
-    given (data, params)), but the parquet overwrite itself is not
-    atomic — a deployment that can race fits should serialize them
-    through the O3 lease (``operators/lease.py``), the same discipline
-    as every other mutating maintenance job here.
+    Concurrency (VERDICT r7 #2): two processes fitting the same path
+    concurrently both compute deterministic, identical centroids (the
+    fit is reproducible given (data, params)) and each persists into
+    its OWN token dir before atomically replacing the meta — so a
+    reader never sees a torn artifact: whichever meta it reads points
+    at a complete dir, the last meta replace wins, and the loser's dir
+    is garbage-collected by the next persist. No lease needed.
     """
     pct = max(1, min(100, int(round(fit_fraction * 100))))
     live = corpus.filter(F.col(vec_col).isNotNull())
@@ -571,7 +574,6 @@ def fit_or_load_ivf_centroids(
         "init": init,
     }
     meta_path = os.path.join(codebook_path, "meta.json")
-    data_path = os.path.join(codebook_path, "centroids.parquet")
     if memo_key is not None and memo_key in _CODEBOOK_MEMO:
         cb = spark.createDataFrame(
             _CODEBOOK_MEMO[memo_key], _CODEBOOK_SCHEMA
@@ -579,69 +581,133 @@ def fit_or_load_ivf_centroids(
         # A memo hit may predate this call (the fit ran through
         # fit_ivf_centroids directly) — still make it durable, or the
         # "paid once per corpus" promise dies with the session.
-        if fingerprint is not None and not _persisted_matches(
-            meta_path, params, fingerprint
+        if fingerprint is not None and (
+            _read_codebook_meta(meta_path, params, fingerprint) is None
         ):
-            _persist_codebook(cb, data_path, meta_path, params, fingerprint)
+            _persist_codebook(
+                cb, codebook_path, meta_path, params, fingerprint
+            )
         return cb
-    if fingerprint is not None and _persisted_matches(
-        meta_path, params, fingerprint
-    ):
-        rows = [
-            (r["centroid_id"], list(r["centroid"]))
-            for r in spark.read.parquet(data_path).collect()
-        ]
-        if memo_key is not None:
-            _CODEBOOK_MEMO[memo_key] = rows
-        return spark.createDataFrame(rows, _CODEBOOK_SCHEMA)
+    if fingerprint is not None:
+        meta = _read_codebook_meta(meta_path, params, fingerprint)
+        if meta is not None:
+            data_path = os.path.join(
+                codebook_path, meta.get("data", "centroids.parquet")
+            )
+            try:
+                rows = [
+                    (r["centroid_id"], list(r["centroid"]))
+                    for r in spark.read.parquet(data_path).collect()
+                ]
+            except Exception:
+                # The validated meta's dir vanished mid-read (a racing
+                # re-persist GC'd it after we read the meta) — the
+                # never-fail path is to refit; the race needs two
+                # persists inside one load, so this is cold-path only.
+                rows = None
+            if rows is not None:
+                if memo_key is not None:
+                    _CODEBOOK_MEMO[memo_key] = rows
+                return spark.createDataFrame(rows, _CODEBOOK_SCHEMA)
     cb = fit_ivf_centroids(
         corpus, n_centroids=n_centroids, id_col=id_col, vec_col=vec_col,
         fit_fraction=fit_fraction, min_fit_rows=min_fit_rows,
         n_iters=n_iters, init=init, _memo_key=memo_key,
     )
     if fingerprint is not None:
-        _persist_codebook(cb, data_path, meta_path, params, fingerprint)
+        _persist_codebook(cb, codebook_path, meta_path, params, fingerprint)
     return cb
 
 
-def _persisted_matches(meta_path: str, params: dict, fingerprint) -> bool:
+def _read_codebook_meta(meta_path: str, params: dict, fingerprint):
+    """The persisted meta dict iff it validates (params + corpus
+    fingerprint both match), else None."""
     import json as _json
 
     if not os.path.exists(meta_path):
-        return False
+        return None
     try:
         with open(meta_path) as f:
             meta = _json.load(f)
     except (OSError, ValueError):
-        return False
-    return (
+        return None
+    if (
         meta.get("params") == params
         and meta.get("fingerprint") == fingerprint
-    )
+    ):
+        return meta
+    return None
 
 
 def _persist_codebook(
-    cb: DataFrame, data_path: str, meta_path: str, params: dict, fingerprint
+    cb: DataFrame,
+    codebook_path: str,
+    meta_path: str,
+    params: dict,
+    fingerprint,
 ) -> None:
-    """Invalidate meta FIRST, then data, then fresh meta last (atomic
-    tmp+fsync+rename): a crash anywhere mid-persist leaves either no
-    meta or a meta/parquet pair that agree → next session refits or
-    loads a consistent artifact, never validates a stale meta against
-    a half-replaced parquet (the hazard when re-persisting over an
-    EXISTING artifact with different params). k tiny rows."""
-    import json as _json
+    """Atomic publish via a write-once token dir (VERDICT r7 #3/#6):
 
-    try:
-        os.unlink(meta_path)
-    except FileNotFoundError:
-        pass
-    cb.write.mode("overwrite").parquet(data_path)
+    1. write the centroids into a fresh ``centroids-{uuid}.parquet``
+       dir that no meta references yet;
+    2. atomically replace ``meta.json`` (tmp + fsync + rename) with
+       {params, fingerprint, data: <that dir>};
+    3. garbage-collect token dirs the new meta does not reference.
+
+    The meta names the exact dir it validates, so by CONSTRUCTION no
+    crash or interleaving can pair a meta with a parquet it wasn't
+    written for: a crash before (2) leaves the old meta + old dir
+    intact (plus an orphan dir that step 3 of the next persist
+    reclaims); a crash during (2) leaves a tmp file and the old meta;
+    a crash before (3) leaves both dirs with the meta pointing at the
+    new one. Two RACING persists each write private dirs and the last
+    meta replace wins — with identical (data, params) the artifacts
+    are identical anyway; a reader that validated the losing meta
+    microseconds before the winner's GC re-fits via the load path's
+    fallback. k tiny rows per dir.
+
+    GC keeps three classes of dir: our own, the one the CURRENT meta
+    references (re-read after our replace — a racing winner's dir must
+    survive our cleanup), and anything younger than a minute (a racer
+    that has written its dir but not yet its meta). Stale orphans from
+    crashes are reclaimed by the next persist once they age out."""
+    import json as _json
+    import shutil as _shutil
+    import time as _time
+    import uuid as _uuid
+
+    data_name = f"centroids-{_uuid.uuid4().hex[:8]}.parquet"
+    cb.write.mode("overwrite").parquet(
+        os.path.join(codebook_path, data_name)
+    )
     tmp = f"{meta_path}.{os.getpid()}.tmp"
     with open(tmp, "w") as f:
-        _json.dump({"params": params, "fingerprint": fingerprint}, f)
+        _json.dump(
+            {"params": params, "fingerprint": fingerprint, "data": data_name},
+            f,
+        )
         f.flush()
         os.fsync(f.fileno())
     os.replace(tmp, meta_path)
+    keep = {data_name}
+    try:
+        with open(meta_path) as f:
+            keep.add(_json.load(f).get("data"))
+    except (OSError, ValueError):
+        pass
+    now = _time.time()
+    for name in os.listdir(codebook_path):
+        if name in keep or not (
+            name.startswith("centroids") and name.endswith(".parquet")
+        ):
+            continue
+        full = os.path.join(codebook_path, name)
+        try:
+            if now - os.path.getmtime(full) < 60:
+                continue  # a racing persist mid-publish — not ours to GC
+        except OSError:
+            continue
+        _shutil.rmtree(full, ignore_errors=True)
 
 
 def _digest_parts(parts: list[tuple]) -> str:

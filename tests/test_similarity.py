@@ -614,6 +614,158 @@ def test_codebook_memo_detects_mutated_data(spark, tmp_path):
     assert {r.centroid_id: list(r.centroid) for r in third} == b
 
 
+def test_codebook_persist_crash_windows(spark, tmp_path, monkeypatch):
+    """Failure injection at each codebook-persist stage (VERDICT r7
+    #6): the meta names the exact token dir it validates, so NO crash
+    can pair a meta with a parquet it wasn't written for — after any
+    injected crash, a fresh session either loads the old consistent
+    artifact or refits. Complements the PYTHONHASHSEED subprocess test
+    (which covered the cross-process fingerprint half)."""
+    import json as _json
+    import os as _os
+
+    p = str(tmp_path / "corpus.parquet")
+
+    def write_corpus(seed):
+        spark.createDataFrame(
+            [(i, [float((i * seed) % 17), 1.0]) for i in range(30)],
+            "vec_id long, embedding array<float>",
+        ).coalesce(1).write.mode("overwrite").parquet(p)
+
+    def fresh_fit():
+        sim.invalidate_fit_memos()
+        return {
+            r.centroid_id: [float(x) for x in r.centroid]
+            for r in sim.fit_or_load_ivf_centroids(
+                spark.read.parquet(p), cb_path,
+                n_centroids=3, min_fit_rows=2,
+            ).collect()
+        }
+
+    cb_path = str(tmp_path / "cb")
+    meta_path = _os.path.join(cb_path, "meta.json")
+    write_corpus(1)
+    fresh_fit()
+    with open(meta_path) as f:
+        meta0 = _json.load(f)
+    assert _os.path.isdir(_os.path.join(cb_path, meta0["data"]))
+
+    # stage 1/2: crash after the new token dir is written but before
+    # (or during) the meta replace — the OLD meta + OLD dir survive
+    # untouched; the half-published dir is an unreferenced orphan
+    write_corpus(2)
+    sim.invalidate_fit_memos()
+    real_replace = _os.replace
+
+    def crash_on_meta(src, dst):
+        if dst.endswith("meta.json"):
+            raise RuntimeError("injected crash before meta replace")
+        return real_replace(src, dst)
+
+    monkeypatch.setattr(_os, "replace", crash_on_meta)
+    with pytest.raises(RuntimeError, match="injected crash"):
+        fresh_fit()
+    monkeypatch.setattr(_os, "replace", real_replace)
+    with open(meta_path) as f:
+        assert _json.load(f) == meta0  # old meta intact, still
+    assert _os.path.isdir(_os.path.join(cb_path, meta0["data"]))
+    # recovery: the old meta's fingerprint no longer matches the
+    # mutated corpus → refit + complete persist, never a stale load
+    got = fresh_fit()
+    with open(meta_path) as f:
+        meta2 = _json.load(f)
+    assert meta2["fingerprint"] != meta0["fingerprint"]
+    assert _os.path.isdir(_os.path.join(cb_path, meta2["data"]))
+    assert fresh_fit() == got  # now served by a consistent load
+
+    # stage 3: crash after the meta replace but before the orphan GC —
+    # the NEW artifact is complete; extra dirs are harmless orphans
+    write_corpus(3)
+    sim.invalidate_fit_memos()
+    real_listdir = _os.listdir
+
+    def crash_on_gc(path):
+        if str(path) == cb_path:
+            raise RuntimeError("injected crash before GC")
+        return real_listdir(path)
+
+    monkeypatch.setattr(_os, "listdir", crash_on_gc)
+    with pytest.raises(RuntimeError, match="injected crash"):
+        fresh_fit()
+    monkeypatch.setattr(_os, "listdir", real_listdir)
+    with open(meta_path) as f:
+        meta3 = _json.load(f)
+    assert meta3["fingerprint"] != meta2["fingerprint"]
+    assert _os.path.isdir(_os.path.join(cb_path, meta3["data"]))
+    after_crash = fresh_fit()  # loads the completed artifact
+    assert after_crash and fresh_fit() == after_crash
+
+
+def test_codebook_persist_two_process_race(spark, tmp_path):
+    """TRUE cross-process persist race (VERDICT r7 #3, style of the
+    LogTable commit race): two separate driver processes race
+    fit_or_load_ivf_centroids on ONE codebook path. Both must return
+    identical centroids, the surviving meta must reference an existing
+    complete dir, and a later reader must load exactly that layout —
+    readers never see a torn artifact."""
+    import json as _json
+    import os as _os
+    import subprocess
+    import sys
+    import time
+
+    work = str(tmp_path)
+    # corpus parquet shared by both workers (file fingerprint source)
+    spark.createDataFrame(
+        [(i, [float(i % 7), float(i % 3), 1.0]) for i in range(60)],
+        "vec_id long, embedding array<float>",
+    ).coalesce(1).write.mode("overwrite").parquet(f"{work}/corpus.parquet")
+    worker = _os.path.join(
+        _os.path.dirname(__file__), "_codebook_race_worker.py"
+    )
+    procs = [
+        subprocess.Popen(
+            [sys.executable, worker, work, str(w)],
+            stdout=subprocess.DEVNULL,
+            stderr=subprocess.PIPE,
+        )
+        for w in range(2)
+    ]
+    deadline = time.time() + 120
+    while time.time() < deadline and not all(
+        _os.path.exists(f"{work}/ready_{w}") for w in range(2)
+    ):
+        time.sleep(0.1)
+    assert all(
+        _os.path.exists(f"{work}/ready_{w}") for w in range(2)
+    ), "workers failed to start"
+    open(f"{work}/go", "w").close()
+    for p in procs:
+        err = p.communicate(timeout=300)[1]
+        assert p.returncode == 0, err.decode()[-2000:]
+    results = []
+    for w in range(2):
+        with open(f"{work}/attempted_{w}") as f:
+            results.append(_json.load(f))
+    # both fit (or loaded) the SAME deterministic codebook
+    assert results[0] == results[1] and len(results[0]) == 3
+    # exactly one persisted layout survives as THE artifact: the meta
+    # validates and references one existing complete dir
+    with open(f"{work}/cb/meta.json") as f:
+        meta = _json.load(f)
+    assert _os.path.isdir(_os.path.join(work, "cb", meta["data"]))
+    # a later reader loads exactly that layout, bit-identical
+    sim.invalidate_fit_memos()
+    loaded = {
+        str(r.centroid_id): [float(x) for x in r.centroid]
+        for r in sim.fit_or_load_ivf_centroids(
+            spark.read.parquet(f"{work}/corpus.parquet"),
+            f"{work}/cb", n_centroids=3, min_fit_rows=2,
+        ).collect()
+    }
+    assert loaded == results[0]
+
+
 def test_fingerprint_digest_deterministic_across_processes(tmp_path):
     """Code-review regression (round 7): the persisted-codebook
     fingerprint must be identical across Python PROCESSES — the
