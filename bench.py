@@ -79,13 +79,21 @@ N_RUNS = 3  # median-of-3 so noise blips are distinguishable from regressions
 #     "unstable_queries": their round-over-round deltas are only
 #     meaningful if the spread intervals are disjoint (see BASELINE.md
 #     comparison convention);
-#   - the whole run carries "load_qualified": false when loadavg(1)
-#     exceeded LOAD_QUALIFIED_MAX before or after the run — a
-#     disqualified run can still show per-query agreement, but its
-#     absolute numbers must not be used to call a regression.
+#   - the whole run carries "load_qualified": false when the PRE-run
+#     loadavg(1) exceeded LOAD_QUALIFIED_MAX *or* loadavg(5) exceeded
+#     LOAD_QUALIFIED_MAX_5MIN — a disqualified run can still show
+#     per-query agreement, but its absolute numbers must not be used
+#     to call a regression. The 5-minute term is the round-8 fix
+#     (VERDICT r7 #1): BASELINE.md's recorded lesson — reproduced by
+#     the round-7 judge (qualified at loadavg(1) 0.01, yet ~25%
+#     uniformly inflated with 15-min 4.91) — is that a quiet 1-minute
+#     average with an elevated recent history still means warm caches
+#     and CPU contention from a neighbor that JUST went quiet; the
+#     anchor must come from a window where both averages are low.
 RESPREAD_THRESHOLD = 0.35
 MAX_RETRIES = 2
 LOAD_QUALIFIED_MAX = 2.0
+LOAD_QUALIFIED_MAX_5MIN = 2.5
 
 # Scratch dirs whose presence is known to pollute bench numbers
 # (page-cache pressure from multi-GB probe builds once flipped an AQE
@@ -203,15 +211,24 @@ def main() -> None:
         loadavg_post = [None, None, None]
     # Gate on the PRE-run baseline only: post-run loadavg(1) is
     # dominated by our own local[32] execution and would self-flag
-    # every run; it is recorded for context, not gated.
-    pre1 = machine_state["loadavg"][0]
-    load_qualified = pre1 is not None and pre1 <= LOAD_QUALIFIED_MAX
+    # every run; it is recorded for context, not gated. BOTH the 1-
+    # and 5-minute pre-run averages must be low (gate v2, VERDICT r7
+    # #1): a quiet instant with an elevated recent history still
+    # inflates ~10-25%.
+    pre1, pre5 = machine_state["loadavg"][0], machine_state["loadavg"][1]
+    load_qualified = (
+        pre1 is not None
+        and pre1 <= LOAD_QUALIFIED_MAX
+        and pre5 is not None
+        and pre5 <= LOAD_QUALIFIED_MAX_5MIN
+    )
     if not load_qualified:
         print(
             f"bench.py: WARNING — load_qualified=false "
-            f"(loadavg pre={pre1} post={loadavg_post[0]}, "
-            f"threshold {LOAD_QUALIFIED_MAX}); absolute numbers are NOT "
-            f"comparable across rounds, only per-query agreement.",
+            f"(loadavg pre={pre1}/{pre5} post={loadavg_post[0]}, "
+            f"thresholds {LOAD_QUALIFIED_MAX}/{LOAD_QUALIFIED_MAX_5MIN} "
+            f"for 1/5-minute); absolute numbers are NOT comparable "
+            f"across rounds, only per-query agreement.",
             file=sys.stderr,
         )
     print(

@@ -46,10 +46,56 @@ from durable_functions_cosmosdb_etl_spark.streaming.pipeline import (  # noqa: E
 WORK = "/tmp/stream_probe"
 
 
+def _price_feed_reads(src_cap, lo: int, hi: int, docs: int) -> None:
+    """Read-side capture-vs-diff pricing (VERDICT r7 #1c): the SAME
+    captured interval served by each tier as a pure feed read (noop
+    sink — execution cost, nothing on the driver). Capture reads ~the
+    interval's changed rows from stored change units; the diff joins
+    the touched buckets of BOTH end snapshots — a uniform 1% mutation
+    touches every bucket, so the diff reads ~2x the table. This is the
+    number that justifies the capture tier: the gap widens linearly
+    with table-size/delta-size."""
+    def timed_read(use_capture: bool) -> float:
+        ts = []
+        for _ in range(4):  # first run warms the plan; median of rest
+            t = time.perf_counter()
+            src_cap.changes(lo, hi, use_capture=use_capture).write.mode(
+                "overwrite"
+            ).format("noop").save()
+            ts.append(time.perf_counter() - t)
+        return sorted(ts[1:])[1]
+
+    cap_read = timed_read(True)
+    diff_read = timed_read(False)
+    n = src_cap.changes(lo, hi, use_capture=True).count()
+    print(
+        json.dumps(
+            {
+                "config": "changefeed_feed_read_capture_vs_diff",
+                "docs": docs,
+                "interval_rows": n,
+                "capture_read_sec": round(cap_read, 3),
+                "diff_read_sec": round(diff_read, 3),
+                "diff_over_capture": (
+                    round(diff_read / cap_read, 2) if cap_read else None
+                ),
+            }
+        ),
+        flush=True,
+    )
+
+
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--docs", type=int, default=100_000)
     ap.add_argument("--files", type=int, default=16)
+    ap.add_argument(
+        "--cdc-reads-only",
+        action="store_true",
+        help="skip the streaming-sink + drain configs; build a capture "
+        "table with a 1%% mutation and price ONLY the feed reads "
+        "(capture vs diff) — the cheap way to probe large tables",
+    )
     args = ap.parse_args()
 
     spark = get_spark("stream-probe")
@@ -60,6 +106,24 @@ def main() -> None:
         generate_sample_items(
             spark, count=args.docs, deterministic_ids=True
         ).repartition(args.files).write.mode("overwrite").parquet(staging)
+
+    if args.cdc_reads_only:
+        from pyspark.sql import functions as F  # noqa: E402
+
+        from durable_functions_cosmosdb_etl_spark.sinks.logtable import (  # noqa: E402
+            LogTable,
+        )
+
+        src_cap_dir = f"{WORK}/src_capture_ro_{args.docs}"
+        shutil.rmtree(src_cap_dir, ignore_errors=True)
+        src_cap = LogTable(
+            spark, src_cap_dir, key="id", change_capture=True
+        )
+        src_cap.create(spark.read.parquet(staging))
+        sample = src_cap.snapshot().limit(max(1, args.docs // 100))
+        src_cap.upsert(sample.withColumn("pr", F.lit("mutated")))
+        _price_feed_reads(src_cap, 0, 1, args.docs)
+        return
 
     configs = [
         # (label, max_files_per_trigger, sink, maintenance_every)
@@ -237,6 +301,10 @@ def main() -> None:
             }
         ),
         flush=True,
+    )
+    # read-side pricing over the interval the drain just consumed
+    _price_feed_reads(
+        src_cap, st5["from_version"], st5["to_version"], args.docs
     )
 
 
