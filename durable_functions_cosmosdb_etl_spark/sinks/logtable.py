@@ -1248,9 +1248,11 @@ class LogTable:
         if df is None:
             if live and where:
                 # everything was pruned: the correct result is an empty
-                # relation WITH the table schema — read-side limit(0) on
-                # one live unit supplies the schema without scanning rows
-                df = self._read_units(live, None).limit(0)
+                # relation WITH the table schema — a single-unit
+                # limit(0) read supplies it without scanning rows or
+                # merging every unit's footer (same rationale as the
+                # feed's _empty_feed)
+                df = self._schema_frame(live)
             else:
                 raise ValueError(
                     f"no data at version "

@@ -250,7 +250,11 @@ def run_changefeed_transform(
       records the live holder).
 
     Returns ``{"batches", "rows_upserted", "rows_deleted",
-    "from_version", "to_version", "lease_skipped", "rebootstrapped"}``.
+    "from_version", "to_version", "lease_skipped", "rebootstrapped",
+    "capture_fallbacks"}`` — the last counts batches a capture-enabled
+    source served via the snapshot diff (vacuumed capture unit or
+    uncaptured commit in the interval; always 0 for capture-off
+    sources), mirrored into the audit row.
     """
     if sink not in ("upsert", "deferred"):
         raise ValueError(f"unknown sink mode: {sink!r}")
@@ -273,6 +277,7 @@ def run_changefeed_transform(
         "to_version": read_cursor(cursor_path),
         "lease_skipped": False,
         "rebootstrapped": False,
+        "capture_fallbacks": 0,
     }
     start = datetime.now()
     audit_ctx = {"worker": f"changefeed-{os.getpid()}", "forced": False}
@@ -402,6 +407,15 @@ def _drain(
         else:
             try:
                 feed = source.changes(cur, upto)
+                # Observability passthrough: a capture-enabled source
+                # that fell back to the snapshot diff recorded why —
+                # count it into the drain stats (and thus the audit
+                # row), so a silently-degraded cost class shows up in
+                # the consumer's own telemetry, not just the producer's
+                # log line.
+                info = getattr(source, "last_feed_info", None)
+                if info and info.get("fallback_reason"):
+                    stats["capture_fallbacks"] += 1
             except FeedTruncatedError as e:
                 truncated = e
             except ValueError as e:

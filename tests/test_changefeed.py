@@ -556,6 +556,31 @@ def test_changefeed_lease_heartbeat_and_loss(spark, tmp_path):
     assert (5, "v") in _rows(b.snapshot(), "id", "val")
 
 
+def test_changefeed_counts_capture_fallbacks(spark, tmp_path):
+    """The drain mirrors the producer's capture→diff degradation into
+    its own stats (and thus the audit row): a batch whose interval
+    contains an uncaptured commit (or a vacuumed capture unit) bumps
+    capture_fallbacks; fully-captured batches and capture-off sources
+    report 0."""
+    a = LogTable(
+        spark, str(tmp_path / "a"), key="id", n_buckets=4,
+        change_capture=True,
+    )
+    b = _mk(spark, tmp_path, "b")
+    cur = str(tmp_path / "cursor.json")
+    a.create(spark.createDataFrame([(1, "x")], "id long, val string"))
+    stats = run_changefeed_transform(spark, a, b, cur)
+    assert stats["capture_fallbacks"] == 0  # bootstrap reads a snapshot
+    # uncaptured commit (deferred upsert) in the interval → fallback
+    a.upsert_deferred(spark.createDataFrame([(2, "y")], "id long, val string"))
+    stats = run_changefeed_transform(spark, a, b, cur)
+    assert stats["batches"] == 1 and stats["capture_fallbacks"] == 1
+    # fully-captured interval → served from capture, no fallback
+    a.upsert(spark.createDataFrame([(3, "z")], "id long, val string"))
+    stats = run_changefeed_transform(spark, a, b, cur)
+    assert stats["batches"] == 1 and stats["capture_fallbacks"] == 0
+
+
 def test_changefeed_audit_rows(spark, tmp_path):
     """Per-drain run audit (VERDICT r7 #2): every drain that ran
     appends one OrchestrationRun row (EtlProcess.cs:120-130,
