@@ -78,23 +78,28 @@ def _hb_path(path: str) -> str:
     return path + ".hb"
 
 
-def _hb_time(path: str, holder: dict, now: datetime) -> datetime:
+def _hb_matches(hb: dict | None, tenancy: dict | None) -> bool:
+    """A heartbeat sidecar counts only for the exact tenancy it names
+    (worker AND start_time) — one left behind by a dead tenancy is
+    inert, because it can never match a fresh lock's start_time."""
+    return bool(
+        hb
+        and tenancy is not None
+        and hb.get("worker") == tenancy.get("worker")
+        and hb.get("start_time") == tenancy.get("start_time")
+    )
+
+
+def _hb_time(path: str, holder: dict) -> datetime:
     """Effective liveness timestamp of a held lock: the acquire-time
-    ``start_time``, advanced by the heartbeat sidecar when one exists
-    FOR THIS TENANCY (worker + start_time must both match — a heartbeat
-    left behind by a dead tenancy is inert, because it can never match
-    a fresh lock's start_time). The sidecar is written with an atomic
-    replace and the lock itself is never touched by renewal, so there
-    is no instant during a heartbeat when the lock is absent (the
-    ADVICE r7 spurious-steal window of the old rename-aside renewal).
-    """
+    ``start_time``, advanced by the heartbeat sidecar when one matches
+    this tenancy. The sidecar is written with an atomic replace and the
+    lock itself is never touched by renewal, so there is no instant
+    during a heartbeat when the lock is absent (the ADVICE r7
+    spurious-steal window of the old rename-aside renewal)."""
     held_at = datetime.fromisoformat(holder["start_time"])
     hb = _read(_hb_path(path))
-    if (
-        hb
-        and hb.get("worker") == holder.get("worker")
-        and hb.get("start_time") == holder.get("start_time")
-    ):
+    if _hb_matches(hb, holder):
         try:
             beat = datetime.fromisoformat(hb["time"])
         except (KeyError, ValueError):
@@ -109,13 +114,7 @@ def _clear_hb(path: str, tenancy: dict | None) -> None:
     tenancy (after a steal or a release). Leaving it would be harmless
     — it can never match a future lock's fresh start_time — this just
     keeps the directory tidy."""
-    hb = _read(_hb_path(path))
-    if (
-        hb
-        and tenancy is not None
-        and hb.get("worker") == tenancy.get("worker")
-        and hb.get("start_time") == tenancy.get("start_time")
-    ):
+    if _hb_matches(_read(_hb_path(path)), tenancy):
         try:
             os.unlink(_hb_path(path))
         except OSError:
@@ -179,7 +178,7 @@ def acquire_lease(
         if _try_exclusive_create(lock, path, worker, now, forced=False):
             return won(False)
         return miss
-    if now <= _hb_time(path, holder, now) + timedelta(minutes=timeout_min):
+    if now <= _hb_time(path, holder) + timedelta(minutes=timeout_min):
         return miss  # live lease — skip (EtlProcess.cs:98-102)
     # Timed out: steal atomically. Renaming the stale lock aside
     # succeeds for exactly ONE stealer of THAT file — but a faster
@@ -189,6 +188,17 @@ def acquire_lease(
     # we observed (worker + start_time); if it is fresh, restore it
     # without clobbering (os.link fails if a newer lock appeared) and
     # lose the race.
+    #
+    # Residual window (accepted, documented): while the stale lock is
+    # renamed aside here, the path is briefly absent — if the presumed-
+    # dead holder's LATE heartbeat landed just before our rename (so
+    # the re-check below restores), a third contender's O_EXCL can win
+    # during the aside instants, overlapping the late-reviving holder
+    # for at most one heartbeat (its next renew re-reads the lock and
+    # reports the loss). This is reachable only once the holder has
+    # ALREADY blown its timeout — the protocol's presumed-dead rule —
+    # and is why mutators must renew before every batch, as the
+    # changefeed drain does.
     stale = f"{lock}.stale-{uuid.uuid4()}"
     try:
         os.rename(lock, stale)
@@ -213,7 +223,7 @@ def acquire_lease(
     # rename, we see it fresh here and restore; if it landed after, the
     # holder's re-verify finds the lock gone (or replaced) and reports
     # the lease lost before touching anything else.
-    if now <= _hb_time(path, moved, now) + timedelta(minutes=timeout_min):
+    if now <= _hb_time(path, moved) + timedelta(minutes=timeout_min):
         try:
             os.link(stale, lock)
         except OSError:
@@ -263,9 +273,17 @@ def renew_lease(
     write lands second is seen by the other side's verify — if our
     heartbeat landed before the stealer's rename, the stealer finds it
     fresh and restores the lock; if after, our re-read finds the lock
-    gone or replaced and we report the lease lost. At most one party
-    ever believes it holds. (A steal can only begin once the lease
-    already looked timed out, i.e. after missed heartbeats.)
+    gone or replaced and we report the lease lost. For a tenancy that
+    heartbeats WITHIN its timeout, at most one party ever believes it
+    holds (a steal can only begin once the lease already looks timed
+    out). A holder that stalls PAST its timeout is presumed dead —
+    that is the protocol — and its late-reviving heartbeat may overlap
+    a successor for at most one heartbeat interval (or be parked by a
+    stealer's restore window, costing one SLA period of liveness);
+    hence the contract that mutators renew before EVERY batch and stop
+    on a falsy result — bounding the overlap to the single batch
+    already in flight, whose writes stay safe under the storage tier's
+    own optimistic commit claim and idempotent-in-state upserts.
     """
     now = now or datetime.now()
     lock = _lock_path(path)

@@ -1274,28 +1274,28 @@ class LogTable:
         return df.drop("__b", "__gen")
 
     def _schema_frame(self, units: dict[str, dict]) -> DataFrame | None:
-        """``limit(0)`` frame carrying the table schema, read from the
-        SINGLE newest live unit (ADVICE r7: a provably-empty feed needs
-        one representative schema, not a mergeSchema pass over every
-        unit footer — that is O(all unit footers) of driver I/O for an
-        interval known to contain zero rows, defeating the O(changed
-        rows) point of the capture tier on large tables). The newest
-        commit's unit carries the widest schema under additive
-        evolution; columns only older units had don't appear, which an
-        empty frame never materializes anyway. None when no unit is
-        live."""
+        """``limit(0)`` frame carrying the EXACT union schema of a live
+        set, read from ONE unit per distinct commit (ADVICE r7: a
+        provably-empty feed needs the schema, not a mergeSchema pass
+        over every unit footer). Exactness argument: every unit of one
+        commit is written from a single DataFrame
+        (``_write_commit_dir`` partitions one frame by bucket), so all
+        units of a commit share that commit's write schema — the
+        mergeSchema union over one representative per commit equals
+        the union over all units. A single newest unit would NOT be
+        enough: upsert/delete rewrite only touched buckets, so the
+        newest commit can carry a NARROWER schema than an older one
+        (e.g. a delete rewriting a pre-evolution bucket). Driver I/O is
+        O(distinct live commits) footers — bounded by the compact
+        cadence (1 after a compact), vs O(live units) before. None
+        when no unit is live."""
         if not units:
             return None
-
-        def commit_v(rel: str) -> int:
-            # rel is "data/c{v}/__bucket={b}" — order by commit version
-            try:
-                return int(rel.split("/")[1].lstrip("c"))
-            except (IndexError, ValueError):
-                return -1
-
-        newest = max(units, key=commit_v)
-        return self._read_units({newest: units[newest]}, None).limit(0)
+        by_commit: dict[str, str] = {}
+        for rel in units:
+            by_commit.setdefault(rel.split("/__bucket=")[0], rel)
+        reps = {rel: units[rel] for rel in by_commit.values()}
+        return self._read_units(reps, None).limit(0)
 
     def _empty_feed(self, *unit_maps: dict[str, dict]) -> DataFrame:
         """Empty change feed with the table schema, sourced from the
@@ -1350,7 +1350,26 @@ class LogTable:
 
         if not entries:
             return bail("empty interval")
-        if any("changes" not in e for e in entries):
+        n_uncaptured = sum(1 for e in entries if "changes" not in e)
+        if n_uncaptured:
+            if n_uncaptured == len(entries) and not self.change_capture:
+                # NO commit in the interval captured and this handle
+                # doesn't capture either: the snapshot diff IS this
+                # table's serving tier, not a degradation — record no
+                # fallback reason (a capture-OFF source would otherwise
+                # flood logs/stats with per-feed "fallbacks" for
+                # perfectly healthy behavior). A capture-ON handle
+                # seeing uncaptured commits (deferred upserts, a
+                # capture-off co-writer) IS a real hole in its capture
+                # stream and keeps the reason.
+                if required:
+                    raise ValueError(
+                        f"change capture unavailable for "
+                        f"({from_version}, {to_version}]: no captured "
+                        f"commit in interval"
+                    )
+                self._capture_bail_reason = None
+                return None
             return bail("uncaptured commit in interval")
         key = self.key
         parts = []
@@ -1759,9 +1778,17 @@ class LogTable:
         # Grace-guarded too: an ALIVE writer's tmp exists briefly
         # between write and link.
         for n in sorted(os.listdir(log_dir)):
-            if n.endswith(".tmp") and not too_young(
-                os.path.getmtime(os.path.join(log_dir, n))
-            ):
+            if not n.endswith(".tmp"):
+                continue
+            try:
+                # the stat and the unlink both race a LIVE writer
+                # completing its commit (tmp linked then unlinked
+                # between our listdir and here) — a vanished tmp is
+                # success, not an error
+                if too_young(os.path.getmtime(os.path.join(log_dir, n))):
+                    continue
                 os.unlink(os.path.join(log_dir, n))
-                deleted.append(f"{_LOG_DIR}/{n}")
+            except OSError:
+                continue
+            deleted.append(f"{_LOG_DIR}/{n}")
         return deleted

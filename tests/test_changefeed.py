@@ -579,6 +579,21 @@ def test_changefeed_counts_capture_fallbacks(spark, tmp_path):
     a.upsert(spark.createDataFrame([(3, "z")], "id long, val string"))
     stats = run_changefeed_transform(spark, a, b, cur)
     assert stats["batches"] == 1 and stats["capture_fallbacks"] == 0
+    # capture-OFF source: the diff IS its tier — zero fallbacks, no
+    # recorded reason, per-feed logs stay quiet (code-review r8: a
+    # plain source previously counted every batch as a "fallback")
+    c = _mk(spark, tmp_path, "c")
+    d = _mk(spark, tmp_path, "d")
+    cur2 = str(tmp_path / "cursor2.json")
+    c.create(spark.createDataFrame([(1, "x")], "id long, val string"))
+    c.upsert(spark.createDataFrame([(2, "y")], "id long, val string"))
+    stats = run_changefeed_transform(spark, c, d, cur2)
+    c.upsert(spark.createDataFrame([(3, "z")], "id long, val string"))
+    stats = run_changefeed_transform(spark, c, d, cur2)
+    assert stats["batches"] == 1 and stats["capture_fallbacks"] == 0
+    assert c.last_feed_info == {
+        "tier": "diff", "from": 1, "to": 2, "fallback_reason": None,
+    }
 
 
 def test_changefeed_audit_rows(spark, tmp_path):

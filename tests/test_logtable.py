@@ -1140,6 +1140,50 @@ def test_change_capture_vacuum_retention_and_fallback(spark, tmp_path):
         t.changes(0, 3)  # auto: fallback diff raises typed truncation
 
 
+def test_schema_frame_unions_across_commits(spark, tmp_path):
+    """Code-review r8 regression: the single-newest-unit schema read
+    NARROWED the schema whenever the newest commit rewrote a
+    pre-evolution bucket (upsert/delete touch only their buckets, so
+    the newest unit can lack an evolved column). The schema frame now
+    merges one unit per distinct live commit — exact, because every
+    unit of a commit shares that commit's write schema — so an
+    all-pruned snapshot keeps the full union schema."""
+    from pyspark.sql import functions as F
+
+    by_bucket: dict[int, list[int]] = {}
+    for r in (
+        spark.range(50)
+        .select("id", F.pmod(F.xxhash64("id"), F.lit(2)).alias("b"))
+        .collect()
+    ):
+        by_bucket.setdefault(r["b"], []).append(r["id"])
+    a_key = by_bucket[0][0]
+    b1, b2 = by_bucket[1][:2]
+    t = LogTable(spark, str(tmp_path / "t"), key="id", n_buckets=2)
+    t.create(_mk(spark, [(a_key, "a0"), (b1, "b1"), (b2, "b2")]))  # id,val
+    t.upsert(  # v1: evolution lands in bucket 0 only
+        spark.createDataFrame(
+            [(a_key, "a1", 7)], "id long, val string, score long"
+        )
+    )
+    # v2: NEWEST commit rewrites bucket 1 with the PRE-evolution schema
+    t.delete_keys(spark.createDataFrame([(b1,)], "id long"))
+    newest_unit_cols = {
+        c
+        for e in t.history()[-1]["added"]
+        for c in spark.read.parquet(
+            str(tmp_path / "t" / e["unit"].split("/__bucket=")[0])
+        ).columns
+    }
+    assert "score" not in newest_unit_cols  # the trap is real
+    # all-pruned snapshot still carries the evolved column
+    pruned = t.snapshot(where=[("val", "==", "zzz")])
+    assert pruned.count() == 0 and "score" in pruned.columns
+    # and so does the union-schema frame itself
+    frame = t._schema_frame(t._live_units())
+    assert "score" in frame.columns and "val" in frame.columns
+
+
 def test_vacuum_min_age_grace_protects_inflight_readers(spark, tmp_path):
     """vacuum(min_age_seconds=T) (VERDICT r7 #5, Delta's retention-check
     idiom): the feed's truncation guard is check-then-read, so a vacuum
