@@ -581,3 +581,91 @@ def rows_of(df):
     return sorted(
         tuple(r[c] for c in sorted(df.columns)) for r in df.collect()
     )
+
+
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(0, 2),                      # worker index
+            st.sampled_from(["acquire", "renew", "release"]),
+            st.integers(0, 40),                     # minute offset
+        ),
+        min_size=5,
+        max_size=25,
+    )
+)
+@settings(max_examples=30, deadline=None)
+def test_lease_protocol_matches_model(tmp_path_factory, ops):
+    """Model-based lease check (round 8 — the renewal protocol was
+    reworked to the heartbeat sidecar): any sequence of acquire/renew/
+    release by three workers under an injected monotonic clock must
+    match a dict model of the reference's lease semantics
+    (EtlProcess.cs:87-103): acquire wins iff free or the holder's last
+    liveness stamp is older than the 5-minute timeout; renew succeeds
+    iff the caller's tenancy still holds, extending liveness WITHOUT
+    changing the tenancy identity; release frees iff the exact tenancy
+    (worker, acquire start_time) still holds. Invariant throughout: at
+    most one live tenancy."""
+    from datetime import datetime, timedelta
+
+    from durable_functions_cosmosdb_etl_spark.operators.lease import (
+        DEFAULT_TIMEOUT_MIN,
+        acquire_lease,
+        release_lease,
+        renew_lease,
+    )
+
+    path = str(tmp_path_factory.mktemp("lease_model") / "lease.json")
+    t0 = datetime(2026, 2, 1, 9, 0, 0)
+    # model: holder = None | {"worker", "start", "live_until"}; each
+    # worker's latest truthy handle mirrors the caller-side LeaseHandle
+    holder = None
+    handles: dict[str, object] = {}
+    for widx, op, minute in sorted(ops, key=lambda o: o[2]):
+        w = f"w{widx}"
+        now = t0 + timedelta(minutes=minute)
+
+        def live() -> bool:
+            return holder is not None and now <= holder["live_until"]
+
+        if op == "acquire":
+            got = acquire_lease(path, w, now=now)
+            expect = not live()
+            assert bool(got) == expect, (w, "acquire", minute, holder)
+            if got:
+                holder = {
+                    "worker": w,
+                    "start": got.start_time,
+                    "live_until": now + timedelta(
+                        minutes=DEFAULT_TIMEOUT_MIN
+                    ),
+                }
+                handles[w] = got
+        elif op == "renew":
+            h = handles.get(w)
+            if h is None:
+                continue  # a worker never renews before acquiring
+            got = renew_lease(path, h.worker, h.start_time, now=now)
+            expect = (
+                holder is not None
+                and holder["worker"] == w
+                and holder["start"] == h.start_time
+            )
+            assert bool(got) == expect, (w, "renew", minute, holder)
+            if got:
+                # identity is stable; only liveness advances
+                assert got.start_time == h.start_time
+                holder["live_until"] = now + timedelta(
+                    minutes=DEFAULT_TIMEOUT_MIN
+                )
+        else:  # release
+            h = handles.get(w)
+            if h is None:
+                continue
+            release_lease(path, h.worker, now=now, start_time=h.start_time)
+            if (
+                holder is not None
+                and holder["worker"] == w
+                and holder["start"] == h.start_time
+            ):
+                holder = None
