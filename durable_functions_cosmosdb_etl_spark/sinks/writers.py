@@ -29,7 +29,8 @@ from datetime import datetime
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from ..schemas import ORCHESTRATION_RUN_SCHEMA
+# The Spark-side audit schema lives in ..schemas.ORCHESTRATION_RUN_SCHEMA;
+# audit_run writes the matching arrow schema directly (see its docstring).
 
 
 def append(df: DataFrame, path: str) -> None:
@@ -174,19 +175,50 @@ def audit_run(
 
     duration = (end - start).TotalSeconds (EtlProcess.cs:125). Tiny
     single-row append — the one place driver-side data is fine.
+
+    Written DIRECTLY with pyarrow, no Spark job (round 8): a
+    ``spark.createDataFrame`` from a Python list is RDD-backed (the
+    Arrow fast path only covers pandas input), so the old 1-row append
+    launched a pickled-Python job measuring a steady ~4.5-9 s — per
+    ORCHESTRATION RUN. A driver-side parquet write of 8 scalars is
+    ~ms, needs no session, and lands atomically (dot-prefixed tmp —
+    invisible to Spark readers — then rename into place), so
+    concurrent audit readers never see a partial file. Timestamps are
+    written as UTC-adjusted micros, matching what the session
+    (timezone-pinned to UTC) previously produced, so old and new part
+    files coexist in one directory. ``spark`` is kept in the signature
+    as the audit-reader seam (and for API stability); the write path
+    no longer touches it.
     """
-    row = [
-        (
-            str(uuid.uuid4()),
-            start_time,
-            end_time,
-            (end_time - start_time).total_seconds(),
-            forced_lease,
-            succeeded,
-            worker,
-            additional_info,
-        )
-    ]
-    spark.createDataFrame(row, schema=ORCHESTRATION_RUN_SCHEMA).coalesce(1).write.mode(
-        "append"
-    ).parquet(audit_dir)
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    table = pa.table(
+        {
+            "id": [str(uuid.uuid4())],
+            "start_time": [start_time],
+            "end_time": [end_time],
+            "duration": [(end_time - start_time).total_seconds()],
+            "forced_lease": [forced_lease],
+            "succeeded": [succeeded],
+            "orchestration_worker": [worker],
+            "additional_info": [additional_info],
+        },
+        schema=pa.schema(
+            [
+                ("id", pa.string()),
+                ("start_time", pa.timestamp("us", tz="UTC")),
+                ("end_time", pa.timestamp("us", tz="UTC")),
+                ("duration", pa.float64()),
+                ("forced_lease", pa.bool_()),
+                ("succeeded", pa.bool_()),
+                ("orchestration_worker", pa.string()),
+                ("additional_info", pa.string()),
+            ]
+        ),
+    )
+    os.makedirs(audit_dir, exist_ok=True)
+    name = f"part-{uuid.uuid4().hex}.parquet"
+    tmp = os.path.join(audit_dir, f".{name}.tmp")
+    pq.write_table(table, tmp)
+    os.rename(tmp, os.path.join(audit_dir, name))
