@@ -439,11 +439,8 @@ def fit_ivf_centroids(
         if _memo_key is _UNSET
         else _memo_key
     )
-    schema = _CODEBOOK_SCHEMA
     if memo_key is not None and memo_key in _CODEBOOK_MEMO:
-        return corpus.sparkSession.createDataFrame(
-            _CODEBOOK_MEMO[memo_key], schema
-        )
+        return _codebook_df(corpus.sparkSession, _CODEBOOK_MEMO[memo_key])
     fit_set = corpus.filter(
         (F.abs(F.xxhash64(F.col(id_col))) % 100 < pct)
         | F.lit(pct >= 100)
@@ -457,7 +454,7 @@ def fit_ivf_centroids(
             (r["centroid_id"], list(r["centroid"])) for r in cb.collect()
         ]
         _CODEBOOK_MEMO[memo_key] = rows
-        return corpus.sparkSession.createDataFrame(rows, schema)
+        return _codebook_df(corpus.sparkSession, rows)
     return cb
 
 
@@ -485,6 +482,43 @@ _FIT_SIZE_MEMO: dict = {}
 _CODEBOOK_MEMO: dict = {}
 
 _CODEBOOK_SCHEMA = "centroid_id int, centroid array<float>"
+
+
+def _codebook_df(spark, rows) -> DataFrame:
+    """k-row codebook list → DataFrame via the Arrow local path.
+
+    ``createDataFrame`` from a plain Python list builds an
+    RDD-of-pickled-rows plan (``Scan ExistingRDD``) whose every
+    downstream materialization launches a Python-worker task — measured
+    ~0.43 s per serving call for a 10-row codebook on local[32].
+    Building a pyarrow Table instead engages the Arrow local relation
+    (``LocalTableScan``: pure JVM, ~0.04 s, 10×).
+
+    pyarrow.Table, NOT pandas: Spark's pandas conversion coerces a NaN
+    ARRAY ELEMENT to NULL, and the two sit in opposite similarity
+    tiers (NULL element → NULL norm/sim, sorts LAST; NaN element → NaN
+    sim, sorts FIRST under Spark's total ordering) — the pandas route
+    silently flipped every assignment toward a NaN-bearing centroid's
+    cell, caught by the undefined-sim contract test. The explicit
+    ``pa.array(..., list_(float32()))`` preserves NaN as NaN and None
+    as null, and float values round-trip bit-exactly (binary32 ⊂
+    binary64). Fallback to the pickled path if Arrow refuses."""
+    try:
+        import pyarrow as pa
+
+        table = pa.table(
+            {
+                "centroid_id": pa.array(
+                    [r[0] for r in rows], type=pa.int32()
+                ),
+                "centroid": pa.array(
+                    [r[1] for r in rows], type=pa.list_(pa.float32())
+                ),
+            }
+        )
+        return spark.createDataFrame(table)
+    except Exception:  # pragma: no cover — Arrow path unavailable
+        return spark.createDataFrame(rows, _CODEBOOK_SCHEMA)
 
 
 def _codebook_memo_key(
@@ -575,9 +609,7 @@ def fit_or_load_ivf_centroids(
     }
     meta_path = os.path.join(codebook_path, "meta.json")
     if memo_key is not None and memo_key in _CODEBOOK_MEMO:
-        cb = spark.createDataFrame(
-            _CODEBOOK_MEMO[memo_key], _CODEBOOK_SCHEMA
-        )
+        cb = _codebook_df(spark, _CODEBOOK_MEMO[memo_key])
         # A memo hit may predate this call (the fit ran through
         # fit_ivf_centroids directly) — still make it durable, or the
         # "paid once per corpus" promise dies with the session.
@@ -608,7 +640,7 @@ def fit_or_load_ivf_centroids(
             if rows is not None:
                 if memo_key is not None:
                     _CODEBOOK_MEMO[memo_key] = rows
-                return spark.createDataFrame(rows, _CODEBOOK_SCHEMA)
+                return _codebook_df(spark, rows)
     cb = fit_ivf_centroids(
         corpus, n_centroids=n_centroids, id_col=id_col, vec_col=vec_col,
         fit_fraction=fit_fraction, min_fit_rows=min_fit_rows,
@@ -804,9 +836,9 @@ def _fit_codebook(
         fit_set = corpus
     if init == "kcenter":
         seeds = _kcenter_seeds(fit_set, n_centroids, id_col, vec_col)
-        centroids = fit_set.sparkSession.createDataFrame(
+        centroids = _codebook_df(
+            fit_set.sparkSession,
             [(i + 1, list(r[vec_col])) for i, r in enumerate(seeds)],
-            "centroid_id int, centroid array<float>",
         )
     elif init == "lowest_id":
         centroids = (
@@ -831,9 +863,12 @@ def _fit_codebook(
             # round-trips float32 values exactly (binary32 ⊂ binary64),
             # so the n_iters=1 oracle path is untouched and multi-step
             # fits pay each aggregate once.
-            centroids = fit_set.sparkSession.createDataFrame(
-                [(r["centroid_id"], r["centroid"]) for r in centroids.collect()],
-                "centroid_id int, centroid array<float>",
+            centroids = _codebook_df(
+                fit_set.sparkSession,
+                [
+                    (r["centroid_id"], list(r["centroid"]))
+                    for r in centroids.collect()
+                ],
             )
         # keep_all: the vector rides along with its assignment — no
         # re-join of the fit set on id (one exchange per Lloyd step).
