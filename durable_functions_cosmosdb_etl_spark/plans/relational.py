@@ -643,12 +643,21 @@ def join_range_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
     table would instead bucket both sides by coarse range then equi-join
     on the bucket (see dedup/similarity for that pattern).
     """
+    import pyarrow as pa
+
     e = _t(spark, sf_dir, "events")
+    # pa.Table → Arrow local relation (LocalTableScan, pure JVM). A
+    # plain-list createDataFrame is RDD-backed and spins a pickled
+    # Python task to produce these 4 constant rows on every execution.
     bands = F.broadcast(
         spark.createDataFrame(
-            [("low", 0.0, 100.0), ("mid", 100.0, 200.0),
-             ("high", 200.0, 300.0), ("top", 300.0, 500.0)],
-            "band string, lo double, hi double",
+            pa.table(
+                {
+                    "band": ["low", "mid", "high", "top"],
+                    "lo": [0.0, 100.0, 200.0, 300.0],
+                    "hi": [100.0, 200.0, 300.0, 500.0],
+                }
+            )
         )
     )
     return (

@@ -85,11 +85,41 @@ class BatchMetricsListener(StreamingQueryListener):
     def flush(self, spark: SparkSession, metrics_dir: str) -> int:
         """Append buffered rows to the parquet metrics table; returns the
         number of rows written. Call from the main thread (NOT a
-        callback) once the query has terminated."""
+        callback) once the query has terminated.
+
+        Written driver-side with pyarrow (round 8, same fix as
+        ``audit_run``): a list-backed ``createDataFrame`` launches a
+        pickled-Python Spark job per flush — several seconds for a
+        handful of scalar rows; the direct write is ~ms and lands via
+        dot-prefixed tmp + rename so readers never see a partial file.
+        ``spark`` stays in the signature as the reader seam."""
+        import os
+        import uuid as _uuid
+
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
         with self._lock:
             rows, self.rows = self.rows, []
         if rows:
-            spark.createDataFrame(
-                rows, schema=BATCH_METRIC_SCHEMA
-            ).coalesce(1).write.mode("append").parquet(metrics_dir)
+            cols = list(zip(*rows))
+            table = pa.table(
+                {
+                    "query_id": pa.array(cols[0], pa.string()),
+                    "query_name": pa.array(cols[1], pa.string()),
+                    "batch_id": pa.array(cols[2], pa.int64()),
+                    "num_input_rows": pa.array(cols[3], pa.int64()),
+                    "input_rows_per_second": pa.array(cols[4], pa.float64()),
+                    "processed_rows_per_second": pa.array(
+                        cols[5], pa.float64()
+                    ),
+                    "trigger_ms": pa.array(cols[6], pa.int64()),
+                    "event_timestamp": pa.array(cols[7], pa.string()),
+                }
+            )
+            os.makedirs(metrics_dir, exist_ok=True)
+            name = f"part-{_uuid.uuid4().hex}.parquet"
+            tmp = os.path.join(metrics_dir, f".{name}.tmp")
+            pq.write_table(table, tmp)
+            os.rename(tmp, os.path.join(metrics_dir, name))
         return len(rows)
