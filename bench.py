@@ -95,6 +95,27 @@ MAX_RETRIES = 2
 LOAD_QUALIFIED_MAX = 2.0
 LOAD_QUALIFIED_MAX_5MIN = 2.5
 
+# --- Anchor grade (round 9, VERDICT r8 #4) --------------------------------
+# The gate-v2 calibration runs (BASELINE.md) showed the 15-minute
+# average is the best single predictor of ambient inflation: 9.472 s
+# at load15 1.85 vs 11.053 s at load15 4.12, BOTH "qualified" under
+# the 1/5-minute gate. Promotion of a run to QUALIFIED_BENCH.json
+# (the cross-round anchor) was therefore manual discipline. This
+# stricter three-average grade makes it mechanical: a run is
+# anchor-ELIGIBLE only when all of pre-run loadavg(1/5/15) are low
+# AND the run itself came out clean (zero unstable, zero requalified
+# queries) — the round-9 anchor attempt showed loadavg alone is not
+# sufficient: a run that STARTED at 0.04/0.29/1.47 and ENDED at
+# 1.59/1.07/1.55 still had every query spike 2-4x intermittently
+# (hypervisor CPU steal is invisible to loadavg); the per-query
+# spread is the detector that actually catches it. The gate itself
+# is unchanged (convention stability): load_qualified still governs
+# regression calls; anchor_eligible only governs which runs may
+# become the anchor.
+ANCHOR_MAX_1MIN = 2.0
+ANCHOR_MAX_5MIN = 2.5
+ANCHOR_MAX_15MIN = 3.0
+
 # Scratch dirs whose presence is known to pollute bench numbers
 # (page-cache pressure from multi-GB probe builds once flipped an AQE
 # join-strategy threshold and measured text_tfidf 4x slower — see the
@@ -215,12 +236,23 @@ def main() -> None:
     # and 5-minute pre-run averages must be low (gate v2, VERDICT r7
     # #1): a quiet instant with an elevated recent history still
     # inflates ~10-25%.
-    pre1, pre5 = machine_state["loadavg"][0], machine_state["loadavg"][1]
+    pre1, pre5, pre15 = machine_state["loadavg"]
     load_qualified = (
         pre1 is not None
         and pre1 <= LOAD_QUALIFIED_MAX
         and pre5 is not None
         and pre5 <= LOAD_QUALIFIED_MAX_5MIN
+    )
+    # Anchor eligibility (see the rule block): all three pre-run
+    # averages low AND a clean run (no unstable/requalified queries —
+    # the spread detector catches steal-time interference loadavg
+    # can't see). Strictly implies load_qualified.
+    anchor_eligible = (
+        load_qualified
+        and pre15 is not None
+        and pre15 <= ANCHOR_MAX_15MIN
+        and not unstable
+        and not requalified
     )
     if not load_qualified:
         print(
@@ -252,6 +284,12 @@ def main() -> None:
                     "requalified_queries": requalified,
                     "unstable_queries": unstable,
                     "load_qualified": load_qualified,
+                    "anchor_eligible": anchor_eligible,
+                    "anchor_rule": [
+                        ANCHOR_MAX_1MIN,
+                        ANCHOR_MAX_5MIN,
+                        ANCHOR_MAX_15MIN,
+                    ],
                     "loadavg_post": loadavg_post,
                 },
             }

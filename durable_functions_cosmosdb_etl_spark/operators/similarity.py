@@ -20,6 +20,7 @@ North-star addition (no vector ops exist in the reference). Two paths:
 
 from __future__ import annotations
 
+import logging
 import os
 
 import pandas as pd
@@ -27,9 +28,24 @@ from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
+_LOG = logging.getLogger(__name__)
+
 # Sentinel distinguishing "not provided" from a computed None
 # fingerprint (a plan with no file inputs legitimately yields None).
 _UNSET = object()
+
+# Grace window (seconds) before an unreferenced codebook token dir may
+# be garbage-collected (ADVICE r8: hoisted from an inline literal).
+# Sized like vacuum's min_age_seconds rule: the grace must exceed the
+# max plausible latency between a racing persist's parquet write and
+# its meta replace — a dir younger than this may belong to a persist
+# that has written data but not yet published its meta, and reclaiming
+# it would strand that persist's meta pointing at a deleted dir
+# (self-healing via refit, but an extra fit per reader until then).
+# 60 s covers a k-row parquet write + JSON rename by orders of
+# magnitude even on a stalled filesystem; raise it if your store's
+# write-to-meta latency can plausibly exceed a minute.
+CODEBOOK_GC_GRACE_SECONDS = 60.0
 
 
 def _d(c: Column) -> Column:
@@ -502,7 +518,10 @@ def _codebook_df(spark, rows) -> DataFrame:
     cell, caught by the undefined-sim contract test. The explicit
     ``pa.array(..., list_(float32()))`` preserves NaN as NaN and None
     as null, and float values round-trip bit-exactly (binary32 ⊂
-    binary64). Fallback to the pickled path if Arrow refuses."""
+    binary64). Fallback to the pickled path if Arrow refuses — logged
+    once per process (VERDICT r8 #6): a silent fallback would
+    re-introduce the 10× local-relation cost with no signal, the same
+    observability contract the capture tier's diff fallback keeps."""
     try:
         import pyarrow as pa
 
@@ -517,8 +536,24 @@ def _codebook_df(spark, rows) -> DataFrame:
             }
         )
         return spark.createDataFrame(table)
-    except Exception:  # pragma: no cover — Arrow path unavailable
+    except Exception as e:
+        global _ARROW_FALLBACK_LOGGED
+        if not _ARROW_FALLBACK_LOGGED:
+            _ARROW_FALLBACK_LOGGED = True
+            _LOG.warning(
+                "codebook Arrow local relation unavailable (%s: %s) — "
+                "falling back to the RDD-backed createDataFrame path "
+                "(~10x slower per materialization; see _codebook_df). "
+                "Logged once per process.",
+                type(e).__name__, e,
+            )
         return spark.createDataFrame(rows, _CODEBOOK_SCHEMA)
+
+
+# One-shot flag so the Arrow→RDD fallback warning fires once per
+# process, not once per serving call (a degraded session would
+# otherwise spam a line per query).
+_ARROW_FALLBACK_LOGGED = False
 
 
 def _codebook_memo_key(
@@ -640,6 +675,12 @@ def fit_or_load_ivf_centroids(
             if rows is not None:
                 if memo_key is not None:
                     _CODEBOOK_MEMO[memo_key] = rows
+                # GC on the load path too (VERDICT r8 #5): keep the dir
+                # the validated meta references; orphans from racing
+                # losers age out even for corpora that never refit.
+                _gc_codebook_dirs(
+                    codebook_path, {meta.get("data", "centroids.parquet")}
+                )
                 return _codebook_df(spark, rows)
     cb = fit_ivf_centroids(
         corpus, n_centroids=n_centroids, id_col=id_col, vec_col=vec_col,
@@ -700,12 +741,13 @@ def _persist_codebook(
 
     GC keeps three classes of dir: our own, the one the CURRENT meta
     references (re-read after our replace — a racing winner's dir must
-    survive our cleanup), and anything younger than a minute (a racer
-    that has written its dir but not yet its meta). Stale orphans from
-    crashes are reclaimed by the next persist once they age out."""
+    survive our cleanup), and anything younger than
+    :data:`CODEBOOK_GC_GRACE_SECONDS` (a racer that has written its
+    dir but not yet its meta — the constant's docstring carries the
+    sizing rule). Stale orphans from crashes are reclaimed by the next
+    persist — or, since round 9, the next successful load — once they
+    age out."""
     import json as _json
-    import shutil as _shutil
-    import time as _time
     import uuid as _uuid
 
     data_name = f"centroids-{_uuid.uuid4().hex[:8]}.parquet"
@@ -727,6 +769,22 @@ def _persist_codebook(
             keep.add(_json.load(f).get("data"))
     except (OSError, ValueError):
         pass
+    _gc_codebook_dirs(codebook_path, keep)
+
+
+def _gc_codebook_dirs(codebook_path: str, keep: set) -> None:
+    """Reclaim unreferenced ``centroids-*.parquet`` token dirs under
+    ``codebook_path``, sparing everything in ``keep`` and anything
+    younger than :data:`CODEBOOK_GC_GRACE_SECONDS` (a racing persist
+    that has written its dir but not yet its meta — see
+    :func:`_persist_codebook`'s race argument). Called from BOTH the
+    persist path and the successful-load path (VERDICT r8 #5): a
+    corpus that loads forever but never refits would otherwise keep a
+    racing loser's orphan dir indefinitely — k tiny rows, cosmetic,
+    but bounded-garbage is the contract vacuum sets elsewhere."""
+    import shutil as _shutil
+    import time as _time
+
     now = _time.time()
     for name in os.listdir(codebook_path):
         if name in keep or not (
@@ -735,7 +793,7 @@ def _persist_codebook(
             continue
         full = os.path.join(codebook_path, name)
         try:
-            if now - os.path.getmtime(full) < 60:
+            if now - os.path.getmtime(full) < CODEBOOK_GC_GRACE_SECONDS:
                 continue  # a racing persist mid-publish — not ours to GC
         except OSError:
             continue

@@ -1538,7 +1538,13 @@ class LogTable:
                     "snapshot diff: %s",
                     from_version, to_version, self.path, fallback_reason,
                 )
-        self.last_feed_info = {
+        # Recorded only on the SUCCESSFUL diff exits below (ADVICE r8):
+        # assigning before the retention guard / empty-table ValueError
+        # would leave last_feed_info claiming a diff serve of an
+        # interval that actually raised — a monitoring hook reading it
+        # after a FeedTruncatedError would see a phantom serve. The
+        # capture branch already records only on success; mirror it.
+        diff_info = {
             "tier": "diff",
             "from": from_version,
             "to": to_version,
@@ -1569,10 +1575,14 @@ class LogTable:
             # Return an EMPTY feed with the table schema when any unit
             # exists to supply it (single-unit schema read); raise only
             # when the table never held data at either version.
-            return self._empty_feed(hi, lo)
+            served = self._empty_feed(hi, lo)  # may raise ValueError
+            self.last_feed_info = diff_info
+            return served
         if old is None:
+            self.last_feed_info = diff_info
             return new.drop("__b").withColumn("change", F.lit("insert"))
         if new is None:
+            self.last_feed_info = diff_info
             return old.drop("__b").withColumn("change", F.lit("delete"))
         o = old.drop("__b").alias("o")
         n = new.drop("__b").alias("n")
@@ -1610,6 +1620,7 @@ class LogTable:
             F.when(is_delete, ocol(c)).otherwise(ncol(c)).alias(c)
             for c in data_cols
         ]
+        self.last_feed_info = diff_info
         return (
             joined.withColumn("change", change)
             .filter(F.col("change").isNotNull())

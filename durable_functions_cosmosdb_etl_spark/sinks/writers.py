@@ -24,7 +24,7 @@ from __future__ import annotations
 
 import os
 import uuid
-from datetime import datetime
+from datetime import datetime, timezone
 
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
@@ -193,11 +193,22 @@ def audit_run(
     import pyarrow as pa
     import pyarrow.parquet as pq
 
+    # Naive datetimes mean HOST-LOCAL time here (the pre-round-8 Spark
+    # write path's behavior: Python-side TimestampType.toInternal uses
+    # the host zone regardless of spark.sql.session.timeZone), but
+    # pyarrow interprets naive values as UTC for a tz-aware column —
+    # on a non-UTC host new rows would shift vs reality and vs
+    # pre-existing rows in the same directory (ADVICE r8: verified 4 h
+    # divergence under TZ=America/New_York). astimezone() on a naive
+    # datetime assumes local time, so one call normalizes both naive
+    # and aware inputs to true UTC.
+    start_utc = start_time.astimezone(timezone.utc)
+    end_utc = end_time.astimezone(timezone.utc)
     table = pa.table(
         {
             "id": [str(uuid.uuid4())],
-            "start_time": [start_time],
-            "end_time": [end_time],
+            "start_time": [start_utc],
+            "end_time": [end_utc],
             "duration": [(end_time - start_time).total_seconds()],
             "forced_lease": [forced_lease],
             "succeeded": [succeeded],

@@ -589,3 +589,61 @@ def test_lease_renewal_never_opens_a_steal_window(tmp_path):
     assert contender_results == [False]
     assert h2
     assert not L.acquire_lease(path, "w2", now=t0 + timedelta(minutes=6))
+
+
+def test_audit_run_normalizes_naive_local_datetimes_to_utc(spark, tmp_path):
+    """ADVICE r8: callers pass naive ``datetime.now()`` values, which
+    mean HOST-LOCAL time (the pre-round-8 Spark write path's
+    behavior), but pyarrow interprets naive datetimes as UTC for a
+    tz-aware column — on a non-UTC host every new audit row shifted by
+    the UTC offset (verified 4 h under TZ=America/New_York). audit_run
+    now normalizes both naive-local and aware inputs to true UTC
+    before writing. Asserted against the raw parquet with pyarrow so
+    no Spark session-timezone reinterpretation can mask a shift."""
+    import os as _os
+    import time as _time
+
+    import pyarrow.parquet as pq
+    from datetime import timezone as _tz
+
+    from durable_functions_cosmosdb_etl_spark.sinks.writers import audit_run
+
+    audit_dir = str(tmp_path / "runs")
+    old_tz = _os.environ.get("TZ")
+    _os.environ["TZ"] = "America/New_York"
+    _time.tzset()
+    try:
+        # naive wall-clock noon in New York, January → EST (UTC-5)
+        start = datetime(2026, 1, 15, 12, 0, 0)
+        end = datetime(2026, 1, 15, 12, 0, 30)
+        audit_run(spark, audit_dir, start, end, succeeded=True)
+    finally:
+        if old_tz is None:
+            _os.environ.pop("TZ", None)
+        else:
+            _os.environ["TZ"] = old_tz
+        _time.tzset()
+    files = [f for f in _os.listdir(audit_dir) if f.endswith(".parquet")]
+    assert len(files) == 1
+    row = pq.read_table(_os.path.join(audit_dir, files[0])).to_pylist()[0]
+    assert row["start_time"] == datetime(2026, 1, 15, 17, 0, 0, tzinfo=_tz.utc)
+    assert row["end_time"] == datetime(
+        2026, 1, 15, 17, 0, 30, tzinfo=_tz.utc
+    )
+    assert row["duration"] == 30.0
+    # aware inputs in any zone land at the same instant
+    from datetime import timedelta as _td
+
+    aware_dir = str(tmp_path / "runs_aware")
+    plus2 = _tz(_td(hours=2))
+    audit_run(
+        spark, aware_dir,
+        datetime(2026, 1, 15, 12, 0, 0, tzinfo=plus2),
+        datetime(2026, 1, 15, 12, 1, 0, tzinfo=plus2),
+        succeeded=True,
+    )
+    f2 = [f for f in _os.listdir(aware_dir) if f.endswith(".parquet")][0]
+    row2 = pq.read_table(_os.path.join(aware_dir, f2)).to_pylist()[0]
+    assert row2["start_time"] == datetime(
+        2026, 1, 15, 10, 0, 0, tzinfo=_tz.utc
+    )

@@ -1275,3 +1275,33 @@ def test_change_capture_vacuum_fallback_is_observable(spark, tmp_path, caplog):
     # required-capture mode refuses loudly on the same interval
     with pytest.raises(ValueError, match="vacuumed"):
         t.changes(0, 2, use_capture=True)
+
+
+def test_failed_feed_leaves_no_phantom_last_feed_info(spark, tmp_path):
+    """ADVICE r8: ``changes()`` used to assign ``last_feed_info =
+    {"tier": "diff", ...}`` BEFORE the retention guard, so a call that
+    raised FeedTruncatedError left the hook claiming a successful diff
+    serve of that interval (a phantom serve). Info is now recorded
+    only on the successful diff exits, mirroring the capture branch:
+    after a failed call the hook still shows the LAST successful
+    serve."""
+    from durable_functions_cosmosdb_etl_spark.sinks.logtable import (
+        FeedTruncatedError,
+    )
+
+    t = LogTable(spark, str(tmp_path / "t"), key="id", n_buckets=2)
+    t.create(_mk(spark, [(1, "a"), (2, "b"), (3, "c")]))        # v0
+    t.upsert(_mk(spark, [(1, "a1"), (2, "b1"), (3, "c1")]))     # v1
+    t.upsert(_mk(spark, [(1, "a2")]))                           # v2
+    assert _feed_rows(t.changes(1, 2)) == [("update", 1, "a2")]
+    before = dict(t.last_feed_info)
+    assert before["tier"] == "diff" and (before["from"], before["to"]) == (1, 2)
+    # version validation failure: info untouched
+    with pytest.raises(ValueError, match="does not exist"):
+        t.changes(0, 99)
+    assert t.last_feed_info == before
+    # v0's units all died at v1 → vacuum truncates the (0, 2] diff
+    t.vacuum(retain_versions=0)
+    with pytest.raises(FeedTruncatedError):
+        t.changes(0, 2)
+    assert t.last_feed_info == before, "phantom serve recorded on raise"

@@ -804,3 +804,85 @@ def test_fingerprint_digest_deterministic_across_processes(tmp_path):
         [("file:///a.parquet", 123, 456), ("file:///b.parquet", None, None)]
     )
     assert outs[0] == outs[1] == local and len(local) == 64
+
+
+def test_codebook_gc_runs_on_load_path(spark, tmp_path):
+    """VERDICT r8 #5: a corpus that loads forever but never refits used
+    to keep a racing loser's orphan ``centroids-*.parquet`` dir
+    indefinitely (GC only ran inside ``_persist_codebook``). A
+    successful validated LOAD now runs the same keep-set GC: a stale
+    orphan dir is reclaimed, the dir the meta references is untouched,
+    and a YOUNG orphan (inside CODEBOOK_GC_GRACE_SECONDS — a racing
+    persist mid-publish) survives."""
+    import json as _json
+    import os as _os
+    import time as _time
+
+    p = str(tmp_path / "corpus.parquet")
+    spark.createDataFrame(
+        [(i, [float(i % 7), 1.0]) for i in range(30)],
+        "vec_id long, embedding array<float>",
+    ).coalesce(1).write.mode("overwrite").parquet(p)
+    cb_path = str(tmp_path / "codebook")
+    fresh = sim.fit_or_load_ivf_centroids(
+        spark.read.parquet(p), cb_path, n_centroids=3, min_fit_rows=2
+    ).collect()
+    with open(_os.path.join(cb_path, "meta.json")) as f:
+        referenced = _json.load(f)["data"]
+    # stage a stale orphan (a crashed/racing loser) + a young orphan
+    stale = _os.path.join(cb_path, "centroids-stale0rphan.parquet")
+    young = _os.path.join(cb_path, "centroids-young0rphan.parquet")
+    for d in (stale, young):
+        _os.makedirs(d)
+    old = _time.time() - 2 * sim.CODEBOOK_GC_GRACE_SECONDS
+    _os.utime(stale, (old, old))
+    # "restart": the resolution must go through the disk-load path
+    sim.invalidate_fit_memos()
+    loaded = sim.fit_or_load_ivf_centroids(
+        spark.read.parquet(p), cb_path, n_centroids=3, min_fit_rows=2
+    ).collect()
+    assert {r.centroid_id: list(r.centroid) for r in loaded} == {
+        r.centroid_id: list(r.centroid) for r in fresh
+    }
+    assert not _os.path.exists(stale), "stale orphan survived the load GC"
+    assert _os.path.exists(young), "young dir must ride the grace shield"
+    assert _os.path.exists(_os.path.join(cb_path, referenced))
+    # and the load really was a load, not a refit: meta still names the
+    # original token dir
+    with open(_os.path.join(cb_path, "meta.json")) as f:
+        assert _json.load(f)["data"] == referenced
+
+
+def test_codebook_arrow_fallback_warns_once(spark, monkeypatch, caplog):
+    """VERDICT r8 #6: if the Arrow local-relation path ever regresses,
+    the RDD-backed fallback must be OBSERVABLE — one WARNING per
+    process (not per call), same contract as the capture tier's diff
+    fallback — and still produce the correct codebook."""
+    import logging as _logging
+
+    import pyarrow
+
+    def boom(*a, **k):
+        raise RuntimeError("injected arrow failure")
+
+    monkeypatch.setattr(pyarrow, "table", boom)
+    monkeypatch.setattr(sim, "_ARROW_FALLBACK_LOGGED", False)
+    rows = [(0, [1.0, 0.0]), (1, [0.0, 1.0])]
+    with caplog.at_level(
+        _logging.WARNING,
+        logger="durable_functions_cosmosdb_etl_spark.operators.similarity",
+    ):
+        got1 = sorted(
+            (r.centroid_id, [float(x) for x in r.centroid])
+            for r in sim._codebook_df(spark, rows).collect()
+        )
+        got2 = sorted(
+            (r.centroid_id, [float(x) for x in r.centroid])
+            for r in sim._codebook_df(spark, rows).collect()
+        )
+    assert got1 == got2 == [(0, [1.0, 0.0]), (1, [0.0, 1.0])]
+    warned = [
+        r for r in caplog.records if "RDD-backed" in r.getMessage()
+    ]
+    assert len(warned) == 1, "fallback warning must fire exactly once"
+    assert "injected arrow failure" in warned[0].getMessage()
