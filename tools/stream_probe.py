@@ -73,6 +73,8 @@ def _price_feed_reads(src_cap, lo: int, hi: int, docs: int) -> None:
             {
                 "config": "changefeed_feed_read_capture_vs_diff",
                 "docs": docs,
+                "interval": [lo, hi],
+                "width": hi - lo,
                 "interval_rows": n,
                 "capture_read_sec": round(cap_read, 3),
                 "diff_read_sec": round(diff_read, 3),
@@ -95,6 +97,18 @@ def main() -> None:
         help="skip the streaming-sink + drain configs; build a capture "
         "table with a 1%% mutation and price ONLY the feed reads "
         "(capture vs diff) — the cheap way to probe large tables",
+    )
+    ap.add_argument(
+        "--backlog",
+        type=int,
+        default=0,
+        help="with --cdc-reads-only: commit N separate 1%%-mutation "
+        "upserts (rotating key slices), then price capture-vs-diff "
+        "feed reads across interval WIDTHS up to N — a consumer that "
+        "wakes after N commits reads N capture units in one feed, so "
+        "the capture tier's per-unit overhead grows with the backlog "
+        "while the diff's 2x-table cost stays flat; this locates the "
+        "crossover (VERDICT r8 #7)",
     )
     args = ap.parse_args()
 
@@ -120,9 +134,42 @@ def main() -> None:
             spark, src_cap_dir, key="id", change_capture=True
         )
         src_cap.create(spark.read.parquet(staging))
-        sample = src_cap.snapshot().limit(max(1, args.docs // 100))
-        src_cap.upsert(sample.withColumn("pr", F.lit("mutated")))
-        _price_feed_reads(src_cap, 0, 1, args.docs)
+        if args.backlog:
+            # N commits of ~1% each, rotating hash slices of the key
+            # space (consecutive commits touch DIFFERENT keys — churn,
+            # not a single hot row re-written N times). Uniform slices
+            # touch every bucket, the diff tier's documented worst
+            # case and the honest comparison: the diff pays ~2x the
+            # table for ANY width, capture pays per changed row plus a
+            # per-unit open cost that grows with the backlog width.
+            snap = src_cap.snapshot()
+            t_build = time.perf_counter()
+            for i in range(args.backlog):
+                slice_i = snap.filter(
+                    F.abs(F.hash(F.col("id"))) % 100 == i % 100
+                ).withColumn("pr", F.lit(f"m{i}"))
+                src_cap.upsert(slice_i)
+            build_sec = round(time.perf_counter() - t_build, 3)
+            print(
+                json.dumps(
+                    {
+                        "config": "changefeed_backlog_build",
+                        "docs": args.docs,
+                        "commits": args.backlog,
+                        "build_wall_sec": build_sec,
+                    }
+                ),
+                flush=True,
+            )
+            hi = args.backlog  # latest version (create was v0)
+            for width in (1, 5, 10, 25, 50, 100, 200):
+                if width > args.backlog:
+                    break
+                _price_feed_reads(src_cap, hi - width, hi, args.docs)
+        else:
+            sample = src_cap.snapshot().limit(max(1, args.docs // 100))
+            src_cap.upsert(sample.withColumn("pr", F.lit("mutated")))
+            _price_feed_reads(src_cap, 0, 1, args.docs)
         return
 
     configs = [
