@@ -1305,3 +1305,48 @@ def test_failed_feed_leaves_no_phantom_last_feed_info(spark, tmp_path):
     with pytest.raises(FeedTruncatedError):
         t.changes(0, 2)
     assert t.last_feed_info == before, "phantom serve recorded on raise"
+
+
+def test_capture_version_parse_survives_decoy_path_segments(spark, tmp_path):
+    """Round-9 regression guard for the single-scan capture read: the
+    per-commit version is recovered from the unit path via a greedy
+    ``.*/_changes/c(\\d+)-`` / ``.*/data/c(\\d+)/`` match, pinned to
+    the LAST occurrence — so a user table path that itself contains a
+    decoy engine-shaped segment must not corrupt the version stamps
+    (a misparse would reorder events per key and net the feed wrong)."""
+    root = tmp_path / "_changes" / "c5-deadbeef" / "data" / "c7" / "t"
+    t = LogTable(
+        spark, str(root), key="id", n_buckets=2, change_capture=True,
+    )
+    t.create(_mk(spark, [(1, "a"), (2, "b")]))          # v0
+    t.upsert(_mk(spark, [(1, "a1"), (3, "c")]))          # v1
+    t.upsert(_mk(spark, [(1, "a2"), (2, "b1")]))         # v2
+    t.delete_keys(spark.createDataFrame([(3,)], "id long"))  # v3
+    # capture serve must equal the diff serve on the multi-commit
+    # interval (version ORDER matters: key 1 nets to its v2 value)
+    got_cap = _feed_rows(t.changes(0, 3, use_capture=True))
+    got_diff = _feed_rows(t.changes(0, 3, use_capture=False))
+    assert got_cap == got_diff
+    assert ("update", 1, "a2") in got_cap
+
+    # the INSERT capture mode (added_units → data/c{v}/ paths) under
+    # the same decoy root: an upsert into an empty bucket is captured
+    # as its data units, whose version parses from .../data/c(\d+)/
+    from pyspark.sql import functions as F
+
+    by_bucket = {
+        r["b"]: r["id"]
+        for r in spark.range(50)
+        .select("id", F.pmod(F.xxhash64("id"), F.lit(2)).alias("b"))
+        .collect()
+    }
+    t2 = LogTable(
+        spark, str(root.parent / "t2"), key="id", n_buckets=2,
+        change_capture=True,
+    )
+    t2.create(_mk(spark, [(by_bucket[0], "a0")]))            # v0
+    t2.upsert(_mk(spark, [(by_bucket[1], "b0")]))            # v1: empty bucket
+    t2.upsert(_mk(spark, [(by_bucket[1], "b1")]))            # v2
+    assert _feed_rows(t2.changes(0, 2, use_capture=True)) == _feed_rows(
+        t2.changes(0, 2, use_capture=False)
+    ) == [("insert", by_bucket[1], "b1")]
