@@ -247,8 +247,17 @@ def main() -> None:
     # averages low AND a clean run (no unstable/requalified queries —
     # the spread detector catches steal-time interference loadavg
     # can't see). Strictly implies load_qualified.
+    # All three ANCHOR_MAX_* are enforced EXPLICITLY (code-review r9):
+    # the 1/5-minute bounds coincide with the gate thresholds today,
+    # but relaxing LOAD_QUALIFIED_MAX (or tightening the anchor
+    # constants) must never let a run carry anchor_eligible: true
+    # while violating the anchor_rule the same JSON publishes.
     anchor_eligible = (
         load_qualified
+        and pre1 is not None
+        and pre1 <= ANCHOR_MAX_1MIN
+        and pre5 is not None
+        and pre5 <= ANCHOR_MAX_5MIN
         and pre15 is not None
         and pre15 <= ANCHOR_MAX_15MIN
         and not unstable

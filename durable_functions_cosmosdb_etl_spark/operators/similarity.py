@@ -676,10 +676,16 @@ def fit_or_load_ivf_centroids(
                 if memo_key is not None:
                     _CODEBOOK_MEMO[memo_key] = rows
                 # GC on the load path too (VERDICT r8 #5): keep the dir
-                # the validated meta references; orphans from racing
-                # losers age out even for corpora that never refit.
+                # the validated meta references (plus whatever the
+                # CURRENT meta names — _gc_codebook_dirs re-reads it,
+                # so a racing persist's freshly published dir survives
+                # even when this loader's meta read predates it);
+                # orphans from racing losers age out even for corpora
+                # that never refit.
                 _gc_codebook_dirs(
-                    codebook_path, {meta.get("data", "centroids.parquet")}
+                    codebook_path,
+                    meta_path,
+                    {meta.get("data", "centroids.parquet")},
                 )
                 return _codebook_df(spark, rows)
     cb = fit_ivf_centroids(
@@ -763,28 +769,40 @@ def _persist_codebook(
         f.flush()
         os.fsync(f.fileno())
     os.replace(tmp, meta_path)
-    keep = {data_name}
+    _gc_codebook_dirs(codebook_path, meta_path, {data_name})
+
+
+def _gc_codebook_dirs(codebook_path: str, meta_path: str, keep: set) -> None:
+    """Reclaim unreferenced ``centroids-*.parquet`` token dirs under
+    ``codebook_path``, sparing everything in ``keep``, the dir the
+    CURRENT meta references, and anything younger than
+    :data:`CODEBOOK_GC_GRACE_SECONDS` (a racing persist that has
+    written its dir but not yet its meta — see
+    :func:`_persist_codebook`'s race argument). Called from BOTH the
+    persist path and the successful-load path (VERDICT r8 #5): a
+    corpus that loads forever but never refits would otherwise keep a
+    racing loser's orphan dir indefinitely — k tiny rows, cosmetic,
+    but bounded-garbage is the contract vacuum sets elsewhere.
+
+    The meta re-read happens HERE, immediately before the listdir, so
+    every call site gets the racing-winner defense (code-review r9):
+    a loader whose own meta read happened before a racing persist's
+    publish would otherwise carry a keep set missing the dir the
+    current meta now references — and if its collect stalled past the
+    grace, reclaim the ONLY dir every subsequent reader validates
+    (self-healing via refit, but an extra fit per reader until then).
+    The residual window is re-read-to-rmtree, bounded by the grace
+    like the persist race itself."""
+    import json as _json
+    import shutil as _shutil
+    import time as _time
+
+    keep = set(keep)
     try:
         with open(meta_path) as f:
             keep.add(_json.load(f).get("data"))
     except (OSError, ValueError):
         pass
-    _gc_codebook_dirs(codebook_path, keep)
-
-
-def _gc_codebook_dirs(codebook_path: str, keep: set) -> None:
-    """Reclaim unreferenced ``centroids-*.parquet`` token dirs under
-    ``codebook_path``, sparing everything in ``keep`` and anything
-    younger than :data:`CODEBOOK_GC_GRACE_SECONDS` (a racing persist
-    that has written its dir but not yet its meta — see
-    :func:`_persist_codebook`'s race argument). Called from BOTH the
-    persist path and the successful-load path (VERDICT r8 #5): a
-    corpus that loads forever but never refits would otherwise keep a
-    racing loser's orphan dir indefinitely — k tiny rows, cosmetic,
-    but bounded-garbage is the contract vacuum sets elsewhere."""
-    import shutil as _shutil
-    import time as _time
-
     now = _time.time()
     for name in os.listdir(codebook_path):
         if name in keep or not (

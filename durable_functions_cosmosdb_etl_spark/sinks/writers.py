@@ -209,7 +209,11 @@ def audit_run(
             "id": [str(uuid.uuid4())],
             "start_time": [start_utc],
             "end_time": [end_utc],
-            "duration": [(end_time - start_time).total_seconds()],
+            # From the NORMALIZED instants, not the raw inputs: naive
+            # wall-clock arithmetic across a DST fall-back reads up to
+            # an hour short (even negative), contradicting the UTC
+            # timestamps stored beside it.
+            "duration": [(end_utc - start_utc).total_seconds()],
             "forced_lease": [forced_lease],
             "succeeded": [succeeded],
             "orchestration_worker": [worker],

@@ -886,3 +886,32 @@ def test_codebook_arrow_fallback_warns_once(spark, monkeypatch, caplog):
     ]
     assert len(warned) == 1, "fallback warning must fire exactly once"
     assert "injected arrow failure" in warned[0].getMessage()
+
+
+def test_codebook_gc_spares_dir_of_current_meta_even_if_stale_keep(tmp_path):
+    """Code-review r9: the GC re-reads meta.json itself, so a caller
+    whose keep set predates a racing persist's publish (loader read
+    meta->D_old, racer published meta->D_new, loader's collect stalled
+    past the grace) can NEVER reclaim the dir the current meta
+    references — that dir is the one every subsequent reader
+    validates."""
+    import json as _json
+    import os as _os
+    import time as _time
+
+    cb = tmp_path / "codebook"
+    cb.mkdir()
+    d_old = cb / "centroids-oldloader.parquet"
+    d_new = cb / "centroids-newwinner.parquet"
+    orphan = cb / "centroids-trueorphan.parquet"
+    for d in (d_old, d_new, orphan):
+        d.mkdir()
+        old = _time.time() - 2 * sim.CODEBOOK_GC_GRACE_SECONDS
+        _os.utime(d, (old, old))
+    meta = cb / "meta.json"
+    meta.write_text(_json.dumps({"data": d_new.name}))
+    # the loader's stale keep set names only d_old
+    sim._gc_codebook_dirs(str(cb), str(meta), {d_old.name})
+    assert d_old.exists(), "caller's keep set must be honored"
+    assert d_new.exists(), "current meta's dir must survive a stale keep"
+    assert not orphan.exists(), "true orphan past the grace is reclaimed"

@@ -162,9 +162,15 @@ def main() -> None:
                 flush=True,
             )
             hi = args.backlog  # latest version (create was v0)
-            for width in (1, 5, 10, 25, 50, 100, 200):
-                if width > args.backlog:
-                    break
+            # Always include the FULL backlog as the deepest width —
+            # it is the exact interval a consumer waking N commits
+            # behind pays, and the point the help text promises
+            # (code-review r9: a backlog off the hardcoded ladder
+            # previously never priced its own depth).
+            widths = [
+                w for w in (1, 5, 10, 25, 50, 100, 200) if w < args.backlog
+            ] + [args.backlog]
+            for width in widths:
                 _price_feed_reads(src_cap, hi - width, hi, args.docs)
         else:
             sample = src_cap.snapshot().limit(max(1, args.docs // 100))
