@@ -1350,3 +1350,22 @@ def test_capture_version_parse_survives_decoy_path_segments(spark, tmp_path):
     assert _feed_rows(t2.changes(0, 2, use_capture=True)) == _feed_rows(
         t2.changes(0, 2, use_capture=False)
     ) == [("insert", by_bucket[1], "b1")]
+
+
+def test_capture_feed_plan_is_single_scan_per_unit_kind(spark, tmp_path):
+    """Round-9 plan-shape guard: the capture feed reads the WHOLE
+    interval in one multi-path parquet relation per unit kind — a
+    future edit reintroducing per-unit relations (one driver-side
+    footer pass + one union branch per commit, ~0.2 s/unit: 23.9 s at
+    a width-100 backlog) must fail here, not in a probe re-run."""
+    t = LogTable(
+        spark, str(tmp_path / "t"), key="id", n_buckets=2,
+        change_capture=True,
+    )
+    t.create(_mk(spark, [(i, f"v{i}") for i in range(8)]))
+    for i in range(6):  # 6 update-mode capture commits
+        t.upsert(_mk(spark, [(i, f"w{i}")]))
+    feed = t.changes(0, 6, use_capture=True)
+    plan = feed._jdf.queryExecution().executedPlan().toString()
+    n_scans = plan.count("Scan parquet")
+    assert n_scans == 1, f"expected ONE parquet scan, got {n_scans}:\n{plan}"
