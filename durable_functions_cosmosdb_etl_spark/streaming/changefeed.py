@@ -175,6 +175,7 @@ def run_changefeed_transform(
     lease_path: str | None = None,
     lease_timeout_min: int = DEFAULT_TIMEOUT_MIN,
     audit_dir: str | None = None,
+    rebootstrap_saturation: float | None = None,
 ) -> dict:
     """Drain the source table's change feed into the target table
     (availableNow-style: consume up to the source version observed at
@@ -249,12 +250,39 @@ def run_changefeed_transform(
       (:98-102 returns before any audit; the lease state file itself
       records the live holder).
 
+    - ``rebootstrap_saturation``: SCALE.md §2b's operational rule,
+      wired in (VERDICT r9 #1). When set, each drain loop head prices
+      the WHOLE remaining backlog ``(cursor, latest]`` with the
+      source's log-only :meth:`~..sinks.logtable.LogTable.
+      feed_interval_stats` estimate; a ``net_change_ratio`` at or
+      above this threshold means the interval churned (roughly) the
+      whole live table, where serving and applying the feed costs
+      more than re-deriving the target from the CURRENT snapshot — so
+      the drain takes the snapshot-reconcile path (the same
+      final-state-identical routine as truncation recovery, jumping
+      ``upto`` to latest past any batch cap) instead of paying the
+      saturated capture/diff backlog. ``2.0`` is the measured
+      crossover for update-churn capture feeds (an update is a
+      pre+post event PAIR, so full churn ≈ ratio 2.0 — the exact
+      width-100 point where SCALE.md §2b measured capture 2.74 s vs
+      snapshot ~2.4 s); the estimate is one log replay per loop head,
+      no Spark job. ``None`` (default) disables the gate — incremental
+      drains of any depth keep their frozen round-9 behavior. The
+      choice is recorded: ``stats["saturation_rebootstraps"]`` counts
+      gated batches and ``stats["last_feed_info"]`` records tier
+      ``"snapshot_rebootstrap"`` with the triggering estimate.
+
     Returns ``{"batches", "rows_upserted", "rows_deleted",
     "from_version", "to_version", "lease_skipped", "rebootstrapped",
-    "capture_fallbacks"}`` — the last counts batches a capture-enabled
+    "capture_fallbacks", "saturation_rebootstraps", "last_feed_info"}``
+    — ``capture_fallbacks`` counts batches a capture-enabled
     source served via the snapshot diff (vacuumed capture unit or
     uncaptured commit in the interval; always 0 for capture-off
-    sources), mirrored into the audit row.
+    sources), mirrored into the audit row; ``last_feed_info`` is the
+    source's telemetry for the drain's final batch (tier, interval
+    units, net-change ratio — VERDICT r9 #5), so the saturation
+    signal is visible in the drain stats and audit row even when the
+    gate is off.
     """
     if sink not in ("upsert", "deferred"):
         raise ValueError(f"unknown sink mode: {sink!r}")
@@ -269,6 +297,8 @@ def run_changefeed_transform(
         raise ValueError(
             f"source key {source.key!r} != target key {target.key!r}"
         )
+    if rebootstrap_saturation is not None and rebootstrap_saturation <= 0:
+        raise ValueError("rebootstrap_saturation must be > 0")
     stats = {
         "batches": 0,
         "rows_upserted": 0,
@@ -278,6 +308,8 @@ def run_changefeed_transform(
         "lease_skipped": False,
         "rebootstrapped": False,
         "capture_fallbacks": 0,
+        "saturation_rebootstraps": 0,
+        "last_feed_info": None,
     }
     start = datetime.now()
     audit_ctx = {"worker": f"changefeed-{os.getpid()}", "forced": False}
@@ -302,6 +334,7 @@ def run_changefeed_transform(
                 max_versions_per_batch, sink, maintenance_every,
                 compact_min_delta, after_apply, on_truncated,
                 certify_transform, stats, renew=renew,
+                rebootstrap_saturation=rebootstrap_saturation,
             )
         except Exception as exc:  # compensation path, EtlProcess.cs:79-85
             _audit(False, exc)
@@ -360,6 +393,7 @@ def _drain(
     certify_transform,
     stats,
     renew=None,
+    rebootstrap_saturation=None,
 ) -> dict:
     key = source.key
     n_batches = 0
@@ -379,9 +413,23 @@ def _drain(
             if max_versions_per_batch is not None
             else latest
         )
+        # Saturation gate (VERDICT r9 #1 / SCALE.md §2b): price the
+        # WHOLE remaining backlog — not just this batch's capped slice,
+        # since the decision is "catch up incrementally vs re-derive
+        # once" — from the log alone; a backlog that churned ~the whole
+        # live table is served cheaper by the current snapshot than by
+        # replaying its own event stream. Bootstrap (cur < 0) is
+        # already a snapshot read and skips the estimate.
+        saturated = None
+        if rebootstrap_saturation is not None and cur >= 0:
+            est = source.feed_interval_stats(cur, latest)
+            if est["net_change_ratio"] >= rebootstrap_saturation:
+                saturated = est
         feed = None
         truncated: FeedTruncatedError | None = None
-        if cur < 0:
+        if saturated is not None:
+            pass  # reconcile below; no feed attempt for this interval
+        elif cur < 0:
             # Bootstrap batch: the feed "from the beginning" is the
             # whole snapshot as inserts (Delta CDF's startingVersion=0
             # convention). snapshot() raises when nothing is live at
@@ -414,6 +462,14 @@ def _drain(
                 # the consumer's own telemetry, not just the producer's
                 # log line.
                 info = getattr(source, "last_feed_info", None)
+                if info:
+                    # Saturation telemetry passthrough (VERDICT r9 #5):
+                    # the drain's stats/audit row carry the source's
+                    # tier + net-change ratio for the final batch, so
+                    # an operator sees how close the feed runs to the
+                    # re-bootstrap threshold without querying the
+                    # source handle.
+                    stats["last_feed_info"] = dict(info)
                 if info and info.get("fallback_reason"):
                     stats["capture_fallbacks"] += 1
             except FeedTruncatedError as e:
@@ -424,7 +480,31 @@ def _drain(
                 # empty feed; anything else propagates unskipped.
                 if str(e) != "both versions are empty":
                     raise
-        if truncated is not None:
+        if saturated is not None:
+            # Same final-state-identical routine as truncation
+            # recovery: target := transform(snapshot(latest)) including
+            # deletes, cursor jumps past any batch cap (one reconcile
+            # beats N snapshot-priced batches).
+            upto = latest
+            n_ups, n_dels = _reconcile_snapshot(
+                source, target, transform, certify_transform, sink,
+                key, latest, renew=renew,
+            )
+            stats["rows_upserted"] += n_ups
+            stats["rows_deleted"] += n_dels
+            stats["rebootstrapped"] = True
+            stats["saturation_rebootstraps"] += 1
+            stats["last_feed_info"] = {
+                "tier": "snapshot_rebootstrap",
+                "from": cur,
+                "to": latest,
+                "fallback_reason": None,
+                "interval_units": saturated["interval_units"],
+                "net_change_ratio": saturated["net_change_ratio"],
+            }
+            n_batches += 1
+            stats["batches"] = n_batches
+        elif truncated is not None:
             if on_truncated != "rebootstrap":
                 raise truncated
             # Reconcile at the CURRENT version: the missed interval is
@@ -494,7 +574,7 @@ def _drain(
         # produce (full-snapshot upsert + bulk deletes), exactly when
         # compaction is most needed.
         if (
-            (truncated is not None or feed is not None)
+            (saturated is not None or truncated is not None or feed is not None)
             and maintenance_every
             and n_batches % maintenance_every == 0
             and target.version() >= 0

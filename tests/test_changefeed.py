@@ -591,9 +591,14 @@ def test_changefeed_counts_capture_fallbacks(spark, tmp_path):
     c.upsert(spark.createDataFrame([(3, "z")], "id long, val string"))
     stats = run_changefeed_transform(spark, c, d, cur2)
     assert stats["batches"] == 1 and stats["capture_fallbacks"] == 0
-    assert c.last_feed_info == {
+    info = c.last_feed_info
+    assert {k: info[k] for k in ("tier", "from", "to", "fallback_reason")} == {
         "tier": "diff", "from": 1, "to": 2, "fallback_reason": None,
     }
+    # saturation telemetry (VERDICT r9 #5) rides along on every serve
+    # and is mirrored into the drain stats
+    assert info["interval_units"] >= 1 and info["net_change_ratio"] > 0
+    assert stats["last_feed_info"] == info
 
 
 def test_changefeed_audit_rows(spark, tmp_path):
@@ -754,3 +759,70 @@ def test_changefeed_capture_source_across_schema_evolution(spark, tmp_path):
         r["id"]: (r["val"], r["score"]) for r in b.snapshot().collect()
     }
     assert got == {2: ("z", 7), 3: ("w", 9), 4: ("p", None)}
+
+
+def test_saturation_gate_rebootstraps_instead_of_draining_backlog(
+    spark, tmp_path
+):
+    """VERDICT r9 #1 / SCALE.md §2b wired in: a consumer waking behind
+    a backlog that churned ~the whole live table re-derives the target
+    from the CURRENT snapshot instead of replaying the saturated
+    capture stream — gated by the log-only feed_interval_stats
+    estimate, recorded in the drain stats, and FINAL-STATE-IDENTICAL
+    to the ungated incremental drain."""
+    src = LogTable(
+        spark, str(tmp_path / "src"), key="id", n_buckets=4,
+        change_capture=True,
+    )
+    rows = [(i, f"v{i}") for i in range(40)]
+    src.create(spark.createDataFrame(rows, "id long, val string"))   # v0
+    gated = _mk(spark, tmp_path, "gated")
+    control = _mk(spark, tmp_path, "control")
+    cur_g = str(tmp_path / "cur_g.json")
+    cur_c = str(tmp_path / "cur_c.json")
+    # both consumers catch up at v0 (bootstrap = snapshot, gate idle)
+    s0 = run_changefeed_transform(
+        spark, src, gated, cur_g, transform=upcase,
+        rebootstrap_saturation=2.0,
+    )
+    run_changefeed_transform(spark, src, control, cur_c, transform=upcase)
+    assert s0["saturation_rebootstraps"] == 0
+    # saturated backlog: 3 full-update-churn commits (ratio = 6.0)
+    for gen in ("w", "x", "y"):
+        src.upsert(
+            spark.createDataFrame(
+                [(i, f"{gen}{i}") for i in range(40)], "id long, val string"
+            )
+        )
+    # plus a delete the reconcile must propagate
+    src.delete_keys(spark.createDataFrame([(0,)], "id long"))
+    stats = run_changefeed_transform(
+        spark, src, gated, cur_g, transform=upcase,
+        rebootstrap_saturation=2.0,
+        max_versions_per_batch=1,  # the gate jumps past the cap
+    )
+    assert stats["saturation_rebootstraps"] == 1
+    assert stats["rebootstrapped"] is True
+    assert stats["batches"] == 1, "one reconcile, not N capped batches"
+    info = stats["last_feed_info"]
+    assert info["tier"] == "snapshot_rebootstrap"
+    assert info["net_change_ratio"] >= 2.0
+    assert read_cursor(cur_g) == src.version()
+    # identical final state to the ungated incremental control drain
+    sc = run_changefeed_transform(
+        spark, src, control, cur_c, transform=upcase,
+    )
+    assert sc["saturation_rebootstraps"] == 0  # gate off by default
+    assert _rows(gated.snapshot(), "id", "val") == _rows(
+        control.snapshot(), "id", "val"
+    )
+    assert (0, "V0") not in _rows(gated.snapshot(), "id", "val")
+    # an UNsaturated interval keeps the incremental feed path
+    src.upsert(spark.createDataFrame([(1, "z1")], "id long, val string"))
+    stats = run_changefeed_transform(
+        spark, src, gated, cur_g, transform=upcase,
+        rebootstrap_saturation=2.0,
+    )
+    assert stats["saturation_rebootstraps"] == 0
+    assert stats["last_feed_info"]["tier"] == "capture"
+    assert stats["rows_upserted"] == 1

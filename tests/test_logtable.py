@@ -1252,8 +1252,11 @@ def test_change_capture_vacuum_fallback_is_observable(spark, tmp_path, caplog):
     t.upsert(_mk(spark, [(b_key, "b1")]))   # v2: rewrites bucket(B)
     # pre-vacuum the interval is capture-complete, and the info says so
     assert _feed_rows(t.changes(1, 2)) == [("update", b_key, "b1")]
+    # interval (1,2] = one captured update of one key (pre+post = 2
+    # event rows) over a 2-row live table → ratio exactly 1.0
     assert t.last_feed_info == {
         "tier": "capture", "from": 1, "to": 2, "fallback_reason": None,
+        "interval_units": 1, "net_change_ratio": 1.0,
     }
     # vacuum kills v1's data unit (v1's capture WAS that unit) — the
     # current snapshot and v2's change unit survive untouched
@@ -1369,3 +1372,78 @@ def test_capture_feed_plan_is_single_scan_per_unit_kind(spark, tmp_path):
     plan = feed._jdf.queryExecution().executedPlan().toString()
     n_scans = plan.count("Scan parquet")
     assert n_scans == 1, f"expected ONE parquet scan, got {n_scans}:\n{plan}"
+
+
+def test_capture_feed_fails_fast_on_version_parse_miss(spark, tmp_path):
+    """VERDICT r9 #1: a change-unit path that stops matching the
+    engine's ``_changes/c{v}-`` scheme used to yield a silent NULL
+    ``__v`` (regexp_extract returns "" → cast long → NULL), scrambling
+    the min_by/max_by event ordering into a wrong net diff. The parse
+    now raises executor-side with the offending file name the moment
+    any scanned row misses — scheme drift fails loudly. Staged by
+    renaming a committed change unit out from under the pattern and
+    patching its log entry to the new path (so the existence check
+    still passes and ONLY the version parse is broken)."""
+    import json as _json
+
+    t = LogTable(
+        spark, str(tmp_path / "t"), key="id", n_buckets=2,
+        change_capture=True,
+    )
+    t.create(_mk(spark, [(1, "a"), (2, "b")]))   # v0
+    t.upsert(_mk(spark, [(1, "a1")]))            # v1: change unit
+    log_file = os.path.join(str(tmp_path / "t"), "_log", f"{1:020d}.json")
+    with open(log_file) as f:
+        entry = _json.load(f)
+    rel = entry["changes"]["unit"]
+    assert rel.startswith("_changes/c1-")
+    doctored = rel.replace("_changes/c1-", "_changes/x1-")
+    os.rename(
+        os.path.join(str(tmp_path / "t"), rel),
+        os.path.join(str(tmp_path / "t"), doctored),
+    )
+    entry["changes"]["unit"] = doctored
+    with open(log_file, "w") as f:
+        _json.dump(entry, f)
+    feed = t.changes(0, 1, use_capture=True)  # plans fine; parse is lazy
+    with pytest.raises(
+        Exception, match="does not match the engine version pattern"
+    ):
+        feed.collect()
+
+
+def test_feed_interval_stats_estimates_saturation(spark, tmp_path):
+    """Round-10 saturation estimator (SCALE.md §2b wired in): the
+    log-only estimate prices an interval's change volume against the
+    live table. A captured full-update-churn commit contributes a
+    pre+post event PAIR per key, so N full-churn commits read ratio
+    ≈ 2N — the documented crossover convention (threshold 2.0 = one
+    full churn)."""
+    t = LogTable(
+        spark, str(tmp_path / "t"), key="id", n_buckets=2,
+        change_capture=True,
+    )
+    rows = [(i, f"v{i}") for i in range(20)]
+    t.create(_mk(spark, rows))                                   # v0
+    # empty interval estimate: nothing changed
+    est = t.feed_interval_stats(0, 0)
+    assert est["interval_rows"] == 0 and est["net_change_ratio"] == 0.0
+    assert est["live_rows"] == 20
+    # two full-update-churn commits: every key rewritten each time
+    t.upsert(_mk(spark, [(i, f"w{i}") for i in range(20)]))      # v1
+    t.upsert(_mk(spark, [(i, f"x{i}") for i in range(20)]))      # v2
+    est = t.feed_interval_stats(0, 2)
+    assert est["interval_units"] == 2
+    assert est["interval_rows"] == 80  # 2 commits × 20 keys × pre+post
+    assert est["live_rows"] == 20 and est["net_change_ratio"] == 4.0
+    # half-churn single commit sits below the one-full-churn bar
+    t.upsert(_mk(spark, [(i, f"y{i}") for i in range(10)]))      # v3
+    est = t.feed_interval_stats(2, 3)
+    assert est["interval_rows"] == 20 and est["net_change_ratio"] == 1.0
+    # a compact in the interval is no logical change: contributes zero
+    t.compact()                                                  # v4
+    assert t.feed_interval_stats(3, 4)["interval_rows"] == 0
+    # the feed itself surfaces the same signal on its telemetry hook
+    t.changes(0, 2, use_capture=True).collect()
+    info = t.last_feed_info
+    assert info["interval_units"] == 2 and info["net_change_ratio"] == 4.0

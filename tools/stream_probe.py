@@ -145,8 +145,12 @@ def main() -> None:
             snap = src_cap.snapshot()
             t_build = time.perf_counter()
             for i in range(args.backlog):
+                # pmod, not abs(hash) % 100 (ADVICE r9): Spark's
+                # abs(Integer.MIN_VALUE) overflows and stays negative,
+                # so an INT_MIN-hashed row would fall in no slice —
+                # same idiom as LogTable._bucketed's pmod(xxhash64).
                 slice_i = snap.filter(
-                    F.abs(F.hash(F.col("id"))) % 100 == i % 100
+                    F.pmod(F.hash(F.col("id")), F.lit(100)) == i % 100
                 ).withColumn("pr", F.lit(f"m{i}"))
                 src_cap.upsert(slice_i)
             build_sec = round(time.perf_counter() - t_build, 3)
