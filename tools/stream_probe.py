@@ -68,6 +68,13 @@ def _price_feed_reads(src_cap, lo: int, hi: int, docs: int) -> None:
     cap_read = timed_read(True)
     diff_read = timed_read(False)
     n = src_cap.changes(lo, hi, use_capture=True).count()
+    # Price the saturation gate's per-loop-head estimate (round 10,
+    # VERDICT r9 #1): the log-only arithmetic the consumer pays BEFORE
+    # choosing incremental-vs-rebootstrap must be noise next to either
+    # serving tier, or the gate would cost what it saves.
+    t = time.perf_counter()
+    est = src_cap.feed_interval_stats(lo, hi)
+    est_sec = time.perf_counter() - t
     print(
         json.dumps(
             {
@@ -81,6 +88,8 @@ def _price_feed_reads(src_cap, lo: int, hi: int, docs: int) -> None:
                 "diff_over_capture": (
                     round(diff_read / cap_read, 2) if cap_read else None
                 ),
+                "gate_estimate_sec": round(est_sec, 4),
+                "net_change_ratio": round(est["net_change_ratio"], 3),
             }
         ),
         flush=True,
