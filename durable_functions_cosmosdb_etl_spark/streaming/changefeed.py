@@ -518,6 +518,15 @@ def _drain(
             stats["rows_upserted"] += n_ups
             stats["rows_deleted"] += n_dels
             stats["rebootstrapped"] = True
+            # Same telemetry shape as the saturation branch: the batch
+            # was served by a snapshot reconcile, not a feed — record
+            # WHY (the truncation) where the tier normally goes.
+            stats["last_feed_info"] = {
+                "tier": "snapshot_rebootstrap",
+                "from": cur,
+                "to": latest,
+                "fallback_reason": str(truncated),
+            }
             n_batches += 1
             stats["batches"] = n_batches
         elif feed is not None:
