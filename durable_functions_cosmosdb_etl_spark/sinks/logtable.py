@@ -90,6 +90,18 @@ def _json_stat(v):
     return None
 
 
+def _footer_rows(unit_dir: str) -> int:
+    """Row count of one unit dir from its parquet footers — the cheap
+    driver-side metadata read (no Spark job, no data pages). Shared by
+    the change-unit log stamp and the interval estimator so the file
+    filtering can never diverge between them."""
+    return sum(
+        pq.ParquetFile(os.path.join(unit_dir, name)).metadata.num_rows
+        for name in sorted(os.listdir(unit_dir))
+        if name.endswith(".parquet")
+    )
+
+
 def _collect_unit_stats(unit_dir: str) -> dict:
     """Per-unit ``{rows, stats: {col: {min, max, nulls}}}`` harvested from
     the parquet FOOTERS of the files just written — a driver-side read of
@@ -405,6 +417,10 @@ class LogTable:
         # discipline as the mutating ops.
         self.last_feed_info: dict | None = None
         self._capture_bail_reason: str | None = None
+        # feed_interval_stats memo — sound because committed versions
+        # are immutable (the log is append-only; vacuum never edits
+        # entries). Bounded FIFO so a long-lived handle can't grow it.
+        self._feed_stats_memo: dict[tuple[int, int], dict] = {}
         os.makedirs(os.path.join(path, _LOG_DIR), exist_ok=True)
         os.makedirs(os.path.join(path, _DATA_DIR), exist_ok=True)
         self._check_meta()
@@ -883,12 +899,7 @@ class LogTable:
         # change volume computable from the LOG alone, which is what
         # feed_interval_stats' saturation estimate (SCALE.md §2b's
         # re-bootstrap rule) prices a backlog with.
-        rows = sum(
-            pq.ParquetFile(os.path.join(full, n)).metadata.num_rows
-            for n in sorted(os.listdir(full))
-            if n.endswith(".parquet")
-        )
-        return {"mode": "unit", "unit": rel, "rows": rows}
+        return {"mode": "unit", "unit": rel, "rows": _footer_rows(full)}
 
     def upsert_deferred(
         self, updates: DataFrame, order_col: str | None = None
@@ -1348,32 +1359,47 @@ class LogTable:
           = ratio 2.0 = capture 2.74 s vs snapshot ~2.4 s). Past
           saturation the ratio keeps growing linearly with backlog
           depth while the snapshot stays flat — the re-bootstrap
-          signal.
-        - An UNCAPTURED commit (deferred upsert, capture-off
-          co-writer) and capture's ``added_units`` insert mode
-          contribute their added data units' rows — for uncaptured
-          commits that is the full rewritten buckets, an OVERcount of
-          logical change but the honest read cost of the diff tier
-          that would serve them.
-        - Compaction (``mode: none``) contributes zero: it is no
-          logical change and the capture tier skips it. (An interval
-          whose only expensive entry is a compact degrades the DIFF
-          tier to a full diff; this estimator does not model that —
-          run feeds and compaction on separate cadences, or enable
-          capture, per :meth:`changes`.)
+          signal. Capture's ``added_units`` insert mode contributes
+          its added data units' rows (every row IS an insert event).
+        - ``compact``/``certify`` commits contribute zero whether
+          captured or not: both are layout-only by definition. (An
+          interval whose only expensive entry is an UNCAPTURED compact
+          degrades the DIFF tier to a full diff; this estimator prices
+          logical change, not that degradation — run feeds and
+          compaction on separate cadences, or enable capture, per
+          :meth:`changes`.)
+        - Other UNCAPTURED commits (deferred upserts, a capture-off
+          co-writer) are priced by the DIFF tier's cost model: the
+          union of their touched buckets, counted ONCE at the
+          interval end's live row counts — N small commits into the
+          same bucket cost the diff one bucket read, not N (the
+          code-review r10 overcount fix), at the price of missing
+          multi-churn within a bucket (the captured path sees it).
         - A change unit from a pre-round-10 log entry (no ``rows``
           recorded) is footer-counted here instead; one already
-          vacuumed counts zero (the feed itself will surface the
-          truncation, typed).
+          vacuumed falls back to its commit's rewritten-unit rows (an
+          overcount, but zero would let a fully-churned legacy backlog
+          dodge the gate and then hit the truncation error).
+
+        Committed versions are immutable, so results are memoized per
+        ``(from, to)`` — a gated drain loop re-pricing the same backlog
+        every loop head pays the log replay once.
         """
         latest = self.version()
         to_version = latest if to_version is None else to_version
         for v in (from_version, to_version):
             if v < 0 or v > latest:
                 raise ValueError(f"version {v} does not exist")
+        memo_key = (from_version, to_version)
+        cached = self._feed_stats_memo.get(memo_key)
+        if cached is not None:
+            return dict(cached)
         interval_units = 0
         interval_rows = 0
+        diff_buckets: set[int] = set()
         for e in self._log_entries(after=from_version, upto=to_version):
+            if e.get("op") in ("compact", "certify"):
+                continue
             ch = e.get("changes")
             if ch is not None and ch["mode"] == "none":
                 continue
@@ -1383,30 +1409,39 @@ class LogTable:
                 if rows is None:
                     full = os.path.join(self.path, ch["unit"])
                     rows = (
-                        sum(
-                            pq.ParquetFile(
-                                os.path.join(full, n)
-                            ).metadata.num_rows
-                            for n in sorted(os.listdir(full))
-                            if n.endswith(".parquet")
-                        )
+                        _footer_rows(full)
                         if os.path.isdir(full)
-                        else 0
+                        else sum(
+                            u.get("rows") or 0 for u in e.get("added", [])
+                        )
                     )
                 interval_rows += rows
-            else:
+            elif ch is not None:  # mode == "added_units": pure inserts
                 added = e.get("added", [])
                 interval_units += len(added)
                 interval_rows += sum(u.get("rows") or 0 for u in added)
+            else:
+                for u in e.get("added", []) + e.get("removed", []):
+                    diff_buckets.add(u["bucket"])
         live = self._live_units(as_of=to_version)
         live_rows = sum(u.get("rows") or 0 for u in live.values())
-        return {
+        if diff_buckets:
+            touched_live = [
+                u for u in live.values() if u["bucket"] in diff_buckets
+            ]
+            interval_units += len(touched_live)
+            interval_rows += sum(u.get("rows") or 0 for u in touched_live)
+        result = {
             "interval_units": interval_units,
             "interval_rows": interval_rows,
             "live_units": len(live),
             "live_rows": live_rows,
             "net_change_ratio": interval_rows / max(live_rows, 1),
         }
+        if len(self._feed_stats_memo) >= 128:
+            self._feed_stats_memo.pop(next(iter(self._feed_stats_memo)))
+        self._feed_stats_memo[memo_key] = dict(result)
+        return result
 
     def _changes_from_capture(
         self, from_version: int, to_version: int, required: bool = False

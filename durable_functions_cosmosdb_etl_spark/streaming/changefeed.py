@@ -270,7 +270,15 @@ def run_changefeed_transform(
       drains of any depth keep their frozen round-9 behavior. The
       choice is recorded: ``stats["saturation_rebootstraps"]`` counts
       gated batches and ``stats["last_feed_info"]`` records tier
-      ``"snapshot_rebootstrap"`` with the triggering estimate.
+      ``"snapshot_rebootstrap"`` with the triggering estimate. The
+      gate composes with ``on_truncated="error"``: a backlog the
+      estimate flags as saturated reconciles without the feed ever
+      being requested, even if it is also vacuum-truncated — setting
+      the threshold is itself an explicit opt-in to snapshot
+      reconciliation. A truncated backlog the estimate does NOT flag
+      (uncaptured intervals price at the diff tier's bucket-read
+      cost, which caps near ratio 1.0, below a 2.0 threshold) still
+      surfaces per ``on_truncated``.
 
     Returns ``{"batches", "rows_upserted", "rows_deleted",
     "from_version", "to_version", "lease_skipped", "rebootstrapped",
@@ -518,14 +526,22 @@ def _drain(
             stats["rows_upserted"] += n_ups
             stats["rows_deleted"] += n_dels
             stats["rebootstrapped"] = True
-            # Same telemetry shape as the saturation branch: the batch
-            # was served by a snapshot reconcile, not a feed — record
-            # WHY (the truncation) where the tier normally goes.
+            # Same telemetry shape as the saturation branch — including
+            # the interval estimate keys every other path carries (the
+            # estimate is log-only, so it works on the truncated
+            # interval the feed itself could not serve).
+            # cur < 0 = a truncated capped BOOTSTRAP: there is no
+            # interval to price (version -1 does not exist).
+            est = source.feed_interval_stats(cur, latest) if cur >= 0 else None
             stats["last_feed_info"] = {
                 "tier": "snapshot_rebootstrap",
                 "from": cur,
                 "to": latest,
                 "fallback_reason": str(truncated),
+                "interval_units": est["interval_units"] if est else None,
+                "net_change_ratio": (
+                    est["net_change_ratio"] if est else None
+                ),
             }
             n_batches += 1
             stats["batches"] = n_batches

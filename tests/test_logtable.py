@@ -1447,3 +1447,25 @@ def test_feed_interval_stats_estimates_saturation(spark, tmp_path):
     t.changes(0, 2, use_capture=True).collect()
     info = t.last_feed_info
     assert info["interval_units"] == 2 and info["net_change_ratio"] == 4.0
+    # memo: committed intervals are immutable — repeat call is a copy
+    # of the cached result, not a second log replay
+    est1 = t.feed_interval_stats(0, 2)
+    est2 = t.feed_interval_stats(0, 2)
+    assert est1 == est2 and est1 is not est2
+    assert (0, 2) in t._feed_stats_memo
+
+    # UNCAPTURED commits price at the diff tier's cost model (code
+    # review r10): touched buckets counted ONCE at interval-end live
+    # rows — N small commits into one bucket must not read as N full
+    # bucket rewrites, and a capture-off compact (layout-only by
+    # definition) must contribute zero, not the whole table.
+    t2 = LogTable(spark, str(tmp_path / "t2"), key="id", n_buckets=2)
+    t2.create(_mk(spark, rows))                                  # v0
+    for gen in ("a", "b", "c"):
+        t2.upsert(_mk(spark, [(7, f"{gen}7")]))                  # v1-v3
+    est = t2.feed_interval_stats(0, 3)
+    assert est["net_change_ratio"] <= 1.0  # one bucket, counted once
+    assert est["interval_rows"] < 20       # not 3 x rewritten bucket
+    t2.compact()                                                 # v4
+    est = t2.feed_interval_stats(3, 4)
+    assert est["interval_rows"] == 0 and est["interval_units"] == 0
