@@ -65,16 +65,20 @@ def _price_feed_reads(src_cap, lo: int, hi: int, docs: int) -> None:
             ts.append(time.perf_counter() - t)
         return sorted(ts[1:])[1]
 
-    cap_read = timed_read(True)
-    diff_read = timed_read(False)
-    n = src_cap.changes(lo, hi, use_capture=True).count()
-    # Price the saturation gate's per-loop-head estimate (round 10,
-    # VERDICT r9 #1): the log-only arithmetic the consumer pays BEFORE
+    # Price the saturation gate's per-loop-head estimate FIRST (round
+    # 10, VERDICT r9 #1): in a gated drain the estimate is the first
+    # touch of the interval, so measure it COLD — changes() below
+    # would otherwise warm the (from, to) memo and this would time a
+    # dict hit. The log-only arithmetic the consumer pays BEFORE
     # choosing incremental-vs-rebootstrap must be noise next to either
     # serving tier, or the gate would cost what it saves.
+    src_cap._feed_stats_memo.clear()
     t = time.perf_counter()
     est = src_cap.feed_interval_stats(lo, hi)
     est_sec = time.perf_counter() - t
+    cap_read = timed_read(True)
+    diff_read = timed_read(False)
+    n = src_cap.changes(lo, hi, use_capture=True).count()
     print(
         json.dumps(
             {
