@@ -1347,8 +1347,8 @@ class LogTable:
         replay.
 
         Returns ``{interval_units, interval_rows, live_units,
-        live_rows, net_change_ratio}`` where ``net_change_ratio =
-        interval_rows / max(live_rows, 1)``:
+        live_rows, net_change_ratio, forced_full_diff}`` where
+        ``net_change_ratio = interval_rows / max(live_rows, 1)``:
 
         - A CAPTURED upsert commit contributes its change unit's event
           rows (insert / update_pre / update_post / delete) — an
@@ -1361,20 +1361,33 @@ class LogTable:
           depth while the snapshot stays flat — the re-bootstrap
           signal. Capture's ``added_units`` insert mode contributes
           its added data units' rows (every row IS an insert event).
-        - ``compact``/``certify`` commits contribute zero whether
-          captured or not: both are layout-only by definition. (An
-          interval whose only expensive entry is an UNCAPTURED compact
-          degrades the DIFF tier to a full diff; this estimator prices
-          logical change, not that degradation — run feeds and
-          compaction on separate cadences, or enable capture, per
-          :meth:`changes`.)
+        - ``compact``/``certify`` commits contribute zero on a fully
+          CAPTURED interval: both are layout-only by definition, and
+          the capture tier records them as "no logical change". But an
+          interval that will fall to the DIFF tier (any commit in it is
+          uncaptured) and contains a compact is forced to a FULL table
+          diff — compact rewrites every live unit, so every bucket is
+          "touched" — and is priced as such here: all live buckets
+          enter the diff-cost term below and ``forced_full_diff`` is
+          set in the result (VERDICT r10 #2 closed the round-10 blind
+          spot where the most expensive serve class priced at ~0 and
+          the saturation gate could never fire on it).
         - Other UNCAPTURED commits (deferred upserts, a capture-off
           co-writer) are priced by the DIFF tier's cost model: the
-          union of their touched buckets, counted ONCE at the
-          interval end's live row counts — N small commits into the
-          same bucket cost the diff one bucket read, not N (the
-          code-review r10 overcount fix), at the price of missing
-          multi-churn within a bucket (the captured path sees it).
+          union of their touched buckets, counted ONCE regardless of
+          how many commits touched a bucket (N small commits into the
+          same bucket cost the diff one bucket read, not N — the
+          code-review r10 overcount fix), at the SUM of the bucket's
+          live rows at BOTH interval ends — the diff genuinely reads
+          each touched bucket at ``from_version`` and at
+          ``to_version``, so a delete-heavy backlog that empties its
+          buckets still prices its from-side read instead of ~0
+          (ADVICE r10), and a fully-touched uncaptured backlog prices
+          at ratio ≈ 2.0 — the same measured serve-vs-snapshot
+          crossover the capture calibration found (SCALE.md §2b),
+          which is exactly "the serve reads ~2× the live table". The
+          price of this model is missing multi-churn within a bucket
+          (the captured path sees it).
         - A change unit from a pre-round-10 log entry (no ``rows``
           recorded) is footer-counted here instead; one already
           vacuumed falls back to its commit's rewritten-unit rows (an
@@ -1390,6 +1403,14 @@ class LogTable:
         for v in (from_version, to_version):
             if v < 0 or v > latest:
                 raise ValueError(f"version {v} does not exist")
+        if from_version > to_version:
+            # the docstring's (from, to] contract — an inverted interval
+            # would silently price as all-zero (ratio 0.0) and wave a
+            # saturated backlog through the gate (ADVICE r10)
+            raise ValueError(
+                f"inverted interval: from_version {from_version} > "
+                f"to_version {to_version}"
+            )
         memo_key = (from_version, to_version)
         cached = self._feed_stats_memo.get(memo_key)
         if cached is not None:
@@ -1397,8 +1418,13 @@ class LogTable:
         interval_units = 0
         interval_rows = 0
         diff_buckets: set[int] = set()
+        capture_complete = True
+        has_compact = False
         for e in self._log_entries(after=from_version, upto=to_version):
+            if "changes" not in e:
+                capture_complete = False
             if e.get("op") in ("compact", "certify"):
+                has_compact = has_compact or e.get("op") == "compact"
                 continue
             ch = e.get("changes")
             if ch is not None and ch["mode"] == "none":
@@ -1425,23 +1451,102 @@ class LogTable:
                     diff_buckets.add(u["bucket"])
         live = self._live_units(as_of=to_version)
         live_rows = sum(u.get("rows") or 0 for u in live.values())
-        if diff_buckets:
-            touched_live = [
-                u for u in live.values() if u["bucket"] in diff_buckets
-            ]
-            interval_units += len(touched_live)
-            interval_rows += sum(u.get("rows") or 0 for u in touched_live)
+        # An uncaptured-servable interval containing a compact forces
+        # the diff tier to read EVERY live bucket on both sides: price
+        # it so instead of ~0 (see docstring).
+        forced_full_diff = has_compact and not capture_complete
+        if diff_buckets or forced_full_diff:
+            # Diff-cost term: each touched bucket is read at BOTH
+            # interval ends, so price per-bucket lo + hi live rows
+            # (counted once per bucket, however many commits touched
+            # it). The lo-side replay is paid only when the interval
+            # has uncaptured commits at all — the common all-captured
+            # drain never reaches here.
+            lo_live = self._live_units(as_of=from_version)
+            lo_units: dict[int, int] = {}
+            lo_rows: dict[int, int] = {}
+            for u in lo_live.values():
+                b = u["bucket"]
+                lo_units[b] = lo_units.get(b, 0) + 1
+                lo_rows[b] = lo_rows.get(b, 0) + (u.get("rows") or 0)
+            hi_units: dict[int, int] = {}
+            hi_rows: dict[int, int] = {}
+            for u in live.values():
+                b = u["bucket"]
+                hi_units[b] = hi_units.get(b, 0) + 1
+                hi_rows[b] = hi_rows.get(b, 0) + (u.get("rows") or 0)
+            if forced_full_diff:
+                diff_buckets = set(lo_units) | set(hi_units)
+            for b in diff_buckets:
+                interval_units += lo_units.get(b, 0) + hi_units.get(b, 0)
+                interval_rows += lo_rows.get(b, 0) + hi_rows.get(b, 0)
         result = {
             "interval_units": interval_units,
             "interval_rows": interval_rows,
             "live_units": len(live),
             "live_rows": live_rows,
             "net_change_ratio": interval_rows / max(live_rows, 1),
+            "forced_full_diff": forced_full_diff,
         }
         if len(self._feed_stats_memo) >= 128:
             self._feed_stats_memo.pop(next(iter(self._feed_stats_memo)))
         self._feed_stats_memo[memo_key] = dict(result)
         return result
+
+    def feed_truncation_missing(
+        self, from_version: int, to_version: int
+    ) -> list[str]:
+        """Vacuumed units a ``changes(from, to)`` call would trip over —
+        empty when the interval is serveable on some tier. Mirrors the
+        serve's own guards WITHOUT planning the feed: a capture-complete
+        interval checks its change/insert units (the capture tier needs
+        nothing else); an interval with uncaptured commits — or one
+        whose capture units are holed — checks the diff tier's
+        retention guard (touched-bucket data units at both interval
+        ends). Driver ``stat`` calls only, no Spark job.
+
+        Used by the saturation-gated changefeed consumer (ADVICE r10):
+        a snapshot reconcile reads only the CURRENT version, so it
+        succeeds over an interval the feed could not have served —
+        correct, but it would silently swallow the retention-lag alert
+        ``on_truncated="error"`` exists to raise. This check keeps the
+        lag observable without giving up the cheaper recovery.
+        """
+        latest = self.version()
+        for v in (from_version, to_version):
+            if v < 0 or v > latest:
+                raise ValueError(f"version {v} does not exist")
+        entries = list(
+            self._log_entries(after=from_version, upto=to_version)
+        )
+        if entries and all("changes" in e for e in entries):
+            missing: list[str] = []
+            for e in entries:
+                ch = e["changes"]
+                if ch["mode"] == "none":
+                    continue
+                if ch["mode"] == "added_units":
+                    missing += self.missing_units(
+                        units={u["unit"]: u for u in e.get("added", [])}
+                    )
+                elif not os.path.exists(
+                    os.path.join(self.path, ch["unit"])
+                ):
+                    missing.append(ch["unit"])
+            if not missing:
+                return []  # the capture tier serves it whole
+            # capture is holed → the serve falls to the diff tier,
+            # whose own guard below decides truncation
+        touched: set[int] = set()
+        for e in entries:
+            for u in e.get("added", []) + e.get("removed", []):
+                touched.add(u["bucket"])
+        lo = self._live_units(as_of=from_version)
+        hi = self._live_units(as_of=to_version)
+        return sorted(
+            set(self.missing_units(lo, touched))
+            | set(self.missing_units(hi, touched))
+        )
 
     def _changes_from_capture(
         self, from_version: int, to_version: int, required: bool = False
@@ -1702,6 +1807,7 @@ class LogTable:
         interval_stats = {
             "interval_units": est["interval_units"],
             "net_change_ratio": est["net_change_ratio"],
+            "forced_full_diff": est["forced_full_diff"],
         }
         fallback_reason = None
         if use_capture is not False:

@@ -55,6 +55,7 @@ size except the actually-changed data.
 from __future__ import annotations
 
 import json
+import logging
 import os
 from collections.abc import Callable
 from datetime import datetime
@@ -70,6 +71,8 @@ from ..operators.lease import (
 )
 from ..sinks.logtable import FeedTruncatedError, LogTable
 from ..sinks.writers import audit_run
+
+_LOG = logging.getLogger(__name__)
 
 
 class LeaseLostError(RuntimeError):
@@ -488,11 +491,43 @@ def _drain(
                 # empty feed; anything else propagates unskipped.
                 if str(e) != "both versions are empty":
                     raise
+                # ADVICE r10: a no-op final iteration must not leave a
+                # PREVIOUS batch's telemetry posing as this interval's
+                # in the audit row — stamp the empty serve explicitly.
+                stats["last_feed_info"] = {
+                    "tier": "empty",
+                    "from": cur,
+                    "to": upto,
+                    "fallback_reason": None,
+                    "interval_units": 0,
+                    "net_change_ratio": 0.0,
+                    "forced_full_diff": False,
+                }
         if saturated is not None:
             # Same final-state-identical routine as truncation
             # recovery: target := transform(snapshot(latest)) including
             # deletes, cursor jumps past any batch cap (one reconcile
             # beats N snapshot-priced batches).
+            #
+            # Retention-lag observability (ADVICE r10): the reconcile
+            # reads only the CURRENT snapshot, so it silently covers an
+            # interval the feed itself could not have served — under
+            # on_truncated="error" that would have raised, and the
+            # retention-misconfiguration alert the error mode exists
+            # for would vanish. Check the feed's own truncation guards
+            # (driver stat calls, no Spark job) and keep the lag
+            # visible in the log and the audit row's fallback_reason.
+            vacuumed = source.feed_truncation_missing(cur, latest)
+            sat_reason = None
+            if vacuumed:
+                sat_reason = (
+                    f"saturated interval ({cur}, {latest}] is also "
+                    f"truncated ({len(vacuumed)} vacuumed units, e.g. "
+                    f"{vacuumed[0]}): reconciled from snapshot — check "
+                    "retention vs consumer lag"
+                )
+                _LOG.warning("changefeed drain at %s: %s", cursor_path,
+                             sat_reason)
             upto = latest
             n_ups, n_dels = _reconcile_snapshot(
                 source, target, transform, certify_transform, sink,
@@ -506,9 +541,10 @@ def _drain(
                 "tier": "snapshot_rebootstrap",
                 "from": cur,
                 "to": latest,
-                "fallback_reason": None,
+                "fallback_reason": sat_reason,
                 "interval_units": saturated["interval_units"],
                 "net_change_ratio": saturated["net_change_ratio"],
+                "forced_full_diff": saturated["forced_full_diff"],
             }
             n_batches += 1
             stats["batches"] = n_batches
@@ -541,6 +577,9 @@ def _drain(
                 "interval_units": est["interval_units"] if est else None,
                 "net_change_ratio": (
                     est["net_change_ratio"] if est else None
+                ),
+                "forced_full_diff": (
+                    est["forced_full_diff"] if est else None
                 ),
             }
             n_batches += 1

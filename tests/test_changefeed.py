@@ -826,3 +826,128 @@ def test_saturation_gate_rebootstraps_instead_of_draining_backlog(
     assert stats["saturation_rebootstraps"] == 0
     assert stats["last_feed_info"]["tier"] == "capture"
     assert stats["rows_upserted"] == 1
+
+
+def test_saturation_gate_fires_on_uncaptured_compact_backlog(
+    spark, tmp_path
+):
+    """VERDICT r10 #2: an uncaptured compact in the backlog forces the
+    diff tier to a FULL table diff — the one serve class where the
+    snapshot reconcile wins by the most — and round 10's estimator
+    priced it at ~0, so the gate could never fire on it. Now the
+    interval prices at both sides of the whole table
+    (``forced_full_diff``), the gated drain reconciles, and the final
+    state matches the ungated incremental control."""
+    src = _mk(spark, tmp_path, "src")  # capture OFF: diff tier only
+    rows = [(i, f"v{i}") for i in range(40)]
+    src.create(spark.createDataFrame(rows, "id long, val string"))   # v0
+    gated = _mk(spark, tmp_path, "gated")
+    control = _mk(spark, tmp_path, "control")
+    cur_g = str(tmp_path / "cur_g.json")
+    cur_c = str(tmp_path / "cur_c.json")
+    for c, t in ((cur_g, gated), (cur_c, control)):
+        run_changefeed_transform(spark, src, t, c, transform=upcase)
+    # backlog: a partial update, a delete, then a compact — all
+    # uncaptured. lo = 40 rows, hi = 39 → priced 79/39 ≈ 2.03 ≥ 2.0.
+    src.upsert(
+        spark.createDataFrame(
+            [(i, f"w{i}") for i in range(5)], "id long, val string"
+        )
+    )                                                                # v1
+    src.delete_keys(spark.createDataFrame([(0,)], "id long"))        # v2
+    src.compact()                                                    # v3
+    est = src.feed_interval_stats(0, 3)
+    assert est["forced_full_diff"] is True
+    assert est["net_change_ratio"] >= 2.0
+    stats = run_changefeed_transform(
+        spark, src, gated, cur_g, transform=upcase,
+        rebootstrap_saturation=2.0,
+    )
+    assert stats["saturation_rebootstraps"] == 1
+    info = stats["last_feed_info"]
+    assert info["tier"] == "snapshot_rebootstrap"
+    assert info["forced_full_diff"] is True
+    assert info["fallback_reason"] is None  # nothing vacuumed here
+    # ungated control pays the full diff but lands on the same state
+    run_changefeed_transform(spark, src, control, cur_c, transform=upcase)
+    assert _rows(gated.snapshot(), "id", "val") == _rows(
+        control.snapshot(), "id", "val"
+    )
+    assert (0, "V0") not in _rows(gated.snapshot(), "id", "val")
+
+
+def test_saturated_reconcile_surfaces_truncation(spark, tmp_path, caplog):
+    """ADVICE r10: a backlog that is both saturated AND vacuum-truncated
+    reconciles fine from the current snapshot — but under the default
+    ``on_truncated="error"`` that silently swallows the
+    retention-misconfiguration alert the error mode exists for. The
+    gated drain now checks the feed's truncation guards (driver stat
+    calls only) and keeps the lag visible: a WARNING plus a
+    fallback_reason in the stats/audit row."""
+    import logging as _logging
+
+    src = LogTable(
+        spark, str(tmp_path / "src"), key="id", n_buckets=4,
+        change_capture=True,
+    )
+    rows = [(i, f"v{i}") for i in range(40)]
+    src.create(spark.createDataFrame(rows, "id long, val string"))   # v0
+    gated = _mk(spark, tmp_path, "gated")
+    cur_g = str(tmp_path / "cur_g.json")
+    run_changefeed_transform(spark, src, gated, cur_g, transform=upcase)
+    # saturated backlog (3 full churns, ratio 6.0)…
+    for gen in ("w", "x", "y"):
+        src.upsert(
+            spark.createDataFrame(
+                [(i, f"{gen}{i}") for i in range(40)], "id long, val string"
+            )
+        )                                                            # v1-v3
+    # …whose capture units and pre-churn data units vacuum reclaims
+    src.vacuum(retain_versions=0)
+    assert src.feed_truncation_missing(0, 3)
+    # the ungated feed would RAISE (error mode) — the alert exists
+    from durable_functions_cosmosdb_etl_spark.sinks.logtable import (
+        FeedTruncatedError,
+    )
+
+    with pytest.raises(FeedTruncatedError):
+        src.changes(0, 3)
+    with caplog.at_level(
+        _logging.WARNING,
+        logger="durable_functions_cosmosdb_etl_spark.streaming.changefeed",
+    ):
+        stats = run_changefeed_transform(
+            spark, src, gated, cur_g, transform=upcase,
+            rebootstrap_saturation=2.0,
+        )
+    assert stats["saturation_rebootstraps"] == 1
+    reason = stats["last_feed_info"]["fallback_reason"]
+    assert reason and "truncated" in reason and "vacuumed" in reason
+    assert any("truncated" in r.getMessage() for r in caplog.records)
+    # final state is the reconciled snapshot — correctness unaffected
+    assert _rows(gated.snapshot(), "id", "val") == [
+        (i, f"Y{i}".upper()) for i in range(40)
+    ]
+
+
+def test_empty_final_interval_stamps_feed_info(spark, tmp_path):
+    """ADVICE r10: a drain whose FINAL iteration hits the "both versions
+    are empty" no-op path used to leave the previous batch's telemetry
+    posing as the final batch's in the stats/audit row. The empty serve
+    is now stamped explicitly."""
+    src = _mk(spark, tmp_path, "src")
+    tgt = _mk(spark, tmp_path, "tgt")
+    cur = str(tmp_path / "cursor.json")
+    src.create(
+        spark.createDataFrame([(1, "x"), (2, "y")], "id long, val string")
+    )                                                                # v0
+    src.delete_keys(spark.createDataFrame([(1,), (2,)], "id long"))  # v1
+    src.compact()  # v2: compacting the emptied table — a no-op layout
+    stats = run_changefeed_transform(
+        spark, src, tgt, cur, transform=upcase, max_versions_per_batch=1,
+    )
+    info = stats["last_feed_info"]
+    assert info["tier"] == "empty"
+    assert (info["from"], info["to"]) == (1, 2)
+    assert info["net_change_ratio"] == 0.0
+    assert read_cursor(cur) == src.version()

@@ -1257,6 +1257,7 @@ def test_change_capture_vacuum_fallback_is_observable(spark, tmp_path, caplog):
     assert t.last_feed_info == {
         "tier": "capture", "from": 1, "to": 2, "fallback_reason": None,
         "interval_units": 1, "net_change_ratio": 1.0,
+        "forced_full_diff": False,
     }
     # vacuum kills v1's data unit (v1's capture WAS that unit) — the
     # current snapshot and v2's change unit survive untouched
@@ -1454,18 +1455,42 @@ def test_feed_interval_stats_estimates_saturation(spark, tmp_path):
     assert est1 == est2 and est1 is not est2
     assert (0, 2) in t._feed_stats_memo
 
-    # UNCAPTURED commits price at the diff tier's cost model (code
-    # review r10): touched buckets counted ONCE at interval-end live
-    # rows — N small commits into one bucket must not read as N full
-    # bucket rewrites, and a capture-off compact (layout-only by
-    # definition) must contribute zero, not the whole table.
+    # inverted interval: the (from, to] contract is enforced, not an
+    # all-zero estimate that would wave a backlog through the gate
+    # (ADVICE r10)
+    with pytest.raises(ValueError, match="inverted interval"):
+        t.feed_interval_stats(2, 0)
+
+    # UNCAPTURED commits price at the diff tier's cost model: touched
+    # buckets counted ONCE however many commits touched them (code
+    # review r10 — N small commits into one bucket must not read as N
+    # full bucket rewrites), at the SUM of the bucket's live rows at
+    # BOTH interval ends (ADVICE r10 — the diff reads lo AND hi, so a
+    # delete-heavy backlog that empties its buckets still prices its
+    # from-side read).
     t2 = LogTable(spark, str(tmp_path / "t2"), key="id", n_buckets=2)
     t2.create(_mk(spark, rows))                                  # v0
     for gen in ("a", "b", "c"):
         t2.upsert(_mk(spark, [(7, f"{gen}7")]))                  # v1-v3
     est = t2.feed_interval_stats(0, 3)
-    assert est["net_change_ratio"] <= 1.0  # one bucket, counted once
-    assert est["interval_rows"] < 20       # not 3 x rewritten bucket
+    assert est["forced_full_diff"] is False
+    assert est["net_change_ratio"] <= 2.0  # one bucket, lo+hi, once
+    assert est["interval_rows"] < 40       # not 3 x rewritten bucket
+    # a capture-off COMPACT forces the diff tier to a FULL table diff
+    # (every live unit is rewritten = every bucket touched), so it
+    # prices at both sides of the whole table — NOT zero, which would
+    # let the most expensive serve class dodge the saturation gate
+    # (VERDICT r10 #2)
     t2.compact()                                                 # v4
     est = t2.feed_interval_stats(3, 4)
-    assert est["interval_rows"] == 0 and est["interval_units"] == 0
+    assert est["forced_full_diff"] is True
+    assert est["interval_rows"] == 2 * est["live_rows"]
+    assert est["net_change_ratio"] == 2.0
+    # delete-heavy churn: emptying a bucket still prices the from-side
+    # read of everything the diff must scan to discover the deletes
+    t3 = LogTable(spark, str(tmp_path / "t3"), key="id", n_buckets=2)
+    t3.create(_mk(spark, rows))                                  # v0
+    t3.delete_keys(_mk(spark, rows).select("id"))                # v1
+    est = t3.feed_interval_stats(0, 1)
+    assert est["live_rows"] == 0
+    assert est["interval_rows"] == 20, "from-side rows priced, not 0"
