@@ -1336,7 +1336,10 @@ class LogTable:
         raise ValueError("both versions are empty")
 
     def feed_interval_stats(
-        self, from_version: int, to_version: int | None = None
+        self,
+        from_version: int,
+        to_version: int | None = None,
+        saturation_cutoff: float | None = None,
     ) -> dict:
         """Driver-side cost estimate for a feed over ``(from, to]`` —
         the quantity SCALE.md §2b's operational rule gates on ("serve
@@ -1394,9 +1397,25 @@ class LogTable:
           overcount, but zero would let a fully-churned legacy backlog
           dodge the gate and then hit the truncation error).
 
+        ``saturation_cutoff`` bounds the walk at depth (VERDICT r10
+        #5): the saturation gate only needs "is the ratio ≥ threshold",
+        not the exact ratio, and ``interval_rows`` only GROWS as the
+        walk proceeds — so with a cutoff set, the walk stops the moment
+        the accumulated rows (plus the live-table term a detected
+        forced-full-diff is guaranteed to add) prove the comparison,
+        returning a partial estimate with ``estimate_truncated: True``
+        whose ``net_change_ratio`` is a LOWER BOUND ≥ cutoff. A
+        10k-commit × 32-bucket backlog prices in O(commits-to-prove)
+        instead of O(backlog) driver JSON (measured: the unbounded walk
+        costs ~0.13 ms/commit at that entry width — ~1.3 s at depth
+        10k — while one full-churn commit proves a 2.0 cutoff). The
+        other depth term, the live-set replay, is already
+        checkpoint-bounded (``checkpoint_log``, which the drain's
+        maintenance cadence writes).
+
         Committed versions are immutable, so results are memoized per
-        ``(from, to)`` — a gated drain loop re-pricing the same backlog
-        every loop head pays the log replay once.
+        ``(from, to, cutoff)`` — a gated drain loop re-pricing the same
+        backlog every loop head pays the log replay once.
         """
         latest = self.version()
         to_version = latest if to_version is None else to_version
@@ -1411,51 +1430,76 @@ class LogTable:
                 f"inverted interval: from_version {from_version} > "
                 f"to_version {to_version}"
             )
-        memo_key = (from_version, to_version)
+        if saturation_cutoff is not None and saturation_cutoff <= 0:
+            raise ValueError("saturation_cutoff must be > 0")
+        memo_key = (from_version, to_version, saturation_cutoff)
         cached = self._feed_stats_memo.get(memo_key)
         if cached is not None:
             return dict(cached)
+        live = self._live_units(as_of=to_version)
+        live_rows = sum(u.get("rows") or 0 for u in live.values())
+        bail_rows = (
+            saturation_cutoff * max(live_rows, 1)
+            if saturation_cutoff is not None
+            else None
+        )
         interval_units = 0
         interval_rows = 0
         diff_buckets: set[int] = set()
         capture_complete = True
         has_compact = False
+        estimate_truncated = False
         for e in self._log_entries(after=from_version, upto=to_version):
             if "changes" not in e:
                 capture_complete = False
             if e.get("op") in ("compact", "certify"):
                 has_compact = has_compact or e.get("op") == "compact"
-                continue
-            ch = e.get("changes")
-            if ch is not None and ch["mode"] == "none":
-                continue
-            if ch is not None and ch["mode"] == "unit":
-                interval_units += 1
-                rows = ch.get("rows")
-                if rows is None:
-                    full = os.path.join(self.path, ch["unit"])
-                    rows = (
-                        _footer_rows(full)
-                        if os.path.isdir(full)
-                        else sum(
-                            u.get("rows") or 0 for u in e.get("added", [])
-                        )
-                    )
-                interval_rows += rows
-            elif ch is not None:  # mode == "added_units": pure inserts
-                added = e.get("added", [])
-                interval_units += len(added)
-                interval_rows += sum(u.get("rows") or 0 for u in added)
             else:
-                for u in e.get("added", []) + e.get("removed", []):
-                    diff_buckets.add(u["bucket"])
-        live = self._live_units(as_of=to_version)
-        live_rows = sum(u.get("rows") or 0 for u in live.values())
+                ch = e.get("changes")
+                if ch is not None and ch["mode"] == "none":
+                    continue
+                if ch is not None and ch["mode"] == "unit":
+                    interval_units += 1
+                    rows = ch.get("rows")
+                    if rows is None:
+                        full = os.path.join(self.path, ch["unit"])
+                        rows = (
+                            _footer_rows(full)
+                            if os.path.isdir(full)
+                            else sum(
+                                u.get("rows") or 0
+                                for u in e.get("added", [])
+                            )
+                        )
+                    interval_rows += rows
+                elif ch is not None:  # mode == "added_units": inserts
+                    added = e.get("added", [])
+                    interval_units += len(added)
+                    interval_rows += sum(
+                        u.get("rows") or 0 for u in added
+                    )
+                else:
+                    for u in e.get("added", []) + e.get("removed", []):
+                        diff_buckets.add(u["bucket"])
+            if bail_rows is not None:
+                # A detected forced-full-diff is GUARANTEED to add at
+                # least the hi-side whole table (= live_rows) in the
+                # diff term below, so it counts toward the proof.
+                guaranteed = interval_rows + (
+                    live_rows
+                    if (has_compact and not capture_complete)
+                    else 0
+                )
+                if guaranteed >= bail_rows:
+                    estimate_truncated = True
+                    interval_rows = guaranteed
+                    diff_buckets = set()  # already counted enough
+                    break
         # An uncaptured-servable interval containing a compact forces
         # the diff tier to read EVERY live bucket on both sides: price
         # it so instead of ~0 (see docstring).
         forced_full_diff = has_compact and not capture_complete
-        if diff_buckets or forced_full_diff:
+        if not estimate_truncated and (diff_buckets or forced_full_diff):
             # Diff-cost term: each touched bucket is read at BOTH
             # interval ends, so price per-bucket lo + hi live rows
             # (counted once per bucket, however many commits touched
@@ -1487,6 +1531,7 @@ class LogTable:
             "live_rows": live_rows,
             "net_change_ratio": interval_rows / max(live_rows, 1),
             "forced_full_diff": forced_full_diff,
+            "estimate_truncated": estimate_truncated,
         }
         if len(self._feed_stats_memo) >= 128:
             self._feed_stats_memo.pop(next(iter(self._feed_stats_memo)))

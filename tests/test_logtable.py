@@ -1453,7 +1453,7 @@ def test_feed_interval_stats_estimates_saturation(spark, tmp_path):
     est1 = t.feed_interval_stats(0, 2)
     est2 = t.feed_interval_stats(0, 2)
     assert est1 == est2 and est1 is not est2
-    assert (0, 2) in t._feed_stats_memo
+    assert (0, 2, None) in t._feed_stats_memo
 
     # inverted interval: the (from, to] contract is enforced, not an
     # all-zero estimate that would wave a backlog through the gate
@@ -1494,3 +1494,46 @@ def test_feed_interval_stats_estimates_saturation(spark, tmp_path):
     est = t3.feed_interval_stats(0, 1)
     assert est["live_rows"] == 0
     assert est["interval_rows"] == 20, "from-side rows priced, not 0"
+
+
+def test_feed_interval_stats_cutoff_bounds_the_walk(spark, tmp_path):
+    """VERDICT r10 #5: with ``saturation_cutoff`` set, the estimate
+    stops walking the log the moment the gate comparison is proven —
+    the returned ratio is a LOWER bound ≥ cutoff, flagged
+    ``estimate_truncated`` — so a deep backlog prices in
+    O(commits-to-prove), not O(backlog), driver JSON. Without a cutoff
+    the full estimate is unchanged."""
+    t = LogTable(
+        spark, str(tmp_path / "t"), key="id", n_buckets=2,
+        change_capture=True,
+    )
+    rows = [(i, f"v{i}") for i in range(20)]
+    t.create(_mk(spark, rows))                                   # v0
+    for gen in "abcde":                                          # v1-v5
+        t.upsert(_mk(spark, [(i, f"{gen}{i}") for i in range(20)]))
+    full = t.feed_interval_stats(0, 5)
+    assert full["net_change_ratio"] == 10.0  # 5 churns × pre+post
+    assert full["estimate_truncated"] is False
+    bounded = t.feed_interval_stats(0, 5, saturation_cutoff=2.0)
+    assert bounded["estimate_truncated"] is True
+    assert bounded["net_change_ratio"] >= 2.0
+    assert bounded["net_change_ratio"] < full["net_change_ratio"]
+    assert bounded["live_rows"] == full["live_rows"] == 20
+    # a cutoff the interval never reaches returns the full estimate
+    wide = t.feed_interval_stats(0, 5, saturation_cutoff=1000.0)
+    assert wide["estimate_truncated"] is False
+    assert wide["net_change_ratio"] == full["net_change_ratio"]
+    # memo keys are per (from, to, cutoff): the three results coexist
+    assert t.feed_interval_stats(0, 5) == full
+    assert t.feed_interval_stats(0, 5, saturation_cutoff=2.0) == bounded
+    with pytest.raises(ValueError, match="saturation_cutoff"):
+        t.feed_interval_stats(0, 5, saturation_cutoff=0)
+    # a forced-full-diff detection counts toward the proof: on an
+    # UNCAPTURED backlog the compact guarantees a live-table read
+    t2 = LogTable(spark, str(tmp_path / "t2"), key="id", n_buckets=2)
+    t2.create(_mk(spark, rows))                                  # v0
+    t2.upsert(_mk(spark, [(0, "z0")]))                           # v1
+    t2.compact()                                                 # v2
+    bounded = t2.feed_interval_stats(0, 2, saturation_cutoff=1.0)
+    assert bounded["forced_full_diff"] is True
+    assert bounded["net_change_ratio"] >= 1.0
