@@ -577,6 +577,79 @@ def test_change_capture_feed_matches_snapshot_diff(spark, ops, pick):
 
 
 @given(
+    st.lists(_LT_OP, min_size=1, max_size=5),
+    st.booleans(),
+    st.sampled_from([0.25, 1.0, 2.0]),
+    st.integers(0, 100),
+    st.integers(0, 100),
+)
+@settings(max_examples=6, deadline=None)
+def test_feed_stats_cutoff_estimate_is_sound(
+    spark, ops, capture, theta, pick_lo, pick_hi
+):
+    """Cutoff-estimate soundness property (round 11, hardening the
+    VERDICT r10 #5 early-exit): for ANY op interleaving, capture
+    setting, threshold, and interval, the ``saturation_cutoff``-bounded
+    ``feed_interval_stats`` walk must be indistinguishable FROM THE
+    GATE'S POINT OF VIEW from the unbounded walk it short-circuits:
+
+    - not truncated → the bounded result is bit-identical to the
+      unbounded one (the walk ran to the end, same arithmetic);
+    - truncated → its ``net_change_ratio`` is a lower bound that
+      already proves the comparison (``>= theta``), never exceeds the
+      unbounded ratio, and a latched ``forced_full_diff`` can only
+      stay true in the full walk (both flags are monotone);
+    - either way the gate DECISION (ratio >= theta) matches what the
+      unbounded estimate would have decided — the early exit can make
+      the estimate cheaper, never change where the drain goes.
+
+    The staged test (test_logtable.py cutoff test) pins the cost; this
+    pins the decision equivalence the staged points can't sweep."""
+    import tempfile
+
+    from durable_functions_cosmosdb_etl_spark.sinks.logtable import LogTable
+
+    path = tempfile.mkdtemp(prefix="lt_cutoff_")
+    t = LogTable(
+        spark, path, key="id", n_buckets=2, change_capture=capture
+    )
+    t.create(spark.createDataFrame([(0, "z")], "id long, val string"))
+    for kind, kvs in ops:
+        if kind in ("upsert", "deferred"):
+            df = spark.createDataFrame(kvs, "id long, val string")
+            (t.upsert if kind == "upsert" else t.upsert_deferred)(df)
+        elif kind == "delete":
+            t.delete_keys(
+                spark.createDataFrame([(k,) for k, _ in kvs], "id long")
+            )
+        elif kind == "compact":
+            t.compact()
+        else:
+            t.checkpoint_log()
+    latest = t.version()
+    lo = pick_lo % (latest + 1)
+    hi = lo + pick_hi % (latest - lo + 1)
+    intervals = {(lo, hi), (0, latest), (latest // 2, latest)}
+    for a, b in intervals:
+        full = t.feed_interval_stats(a, b)
+        bounded = t.feed_interval_stats(a, b, saturation_cutoff=theta)
+        if not bounded["estimate_truncated"]:
+            unbounded_view = dict(full)
+            assert bounded == unbounded_view, (a, b)
+        else:
+            assert bounded["net_change_ratio"] >= theta, (a, b)
+            assert (
+                bounded["net_change_ratio"]
+                <= full["net_change_ratio"]
+            ), (a, b)
+            if bounded["forced_full_diff"]:
+                assert full["forced_full_diff"], (a, b)
+        assert (bounded["net_change_ratio"] >= theta) == (
+            full["net_change_ratio"] >= theta
+        ), (a, b)
+
+
+@given(
     st.lists(_LT_OP, min_size=2, max_size=5),
     st.integers(0, 2),
     st.integers(0, 3),
