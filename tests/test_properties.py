@@ -8,6 +8,8 @@ carry the weight.
 
 from __future__ import annotations
 
+import os
+
 from hypothesis import given, settings, strategies as st
 from pyspark.sql import functions as F
 
@@ -724,6 +726,83 @@ def rows_of(df):
     return sorted(
         tuple(r[c] for c in sorted(df.columns)) for r in df.collect()
     )
+
+
+@given(
+    st.lists(_LT_OP, min_size=2, max_size=5),
+    st.booleans(),
+    st.integers(0, 2),
+    st.integers(0, 3),
+    st.integers(0, 100),
+)
+@settings(max_examples=4, deadline=None)
+def test_feed_truncation_missing_mirrors_the_serve(
+    spark, ops, capture, retain, vac_at, pick
+):
+    """Driver-side truncation mirror property (round 11, hardening the
+    ADVICE r10 observability fix): ``feed_truncation_missing`` exists
+    so the saturation-gated consumer can see — WITHOUT planning a feed
+    — whether the interval it is about to reconcile over would have
+    raised FeedTruncatedError. That is only trustworthy if the mirror
+    agrees with the serve itself on every interval, op interleaving,
+    capture setting, and vacuum placement:
+
+    - mirror says [] → the auto serve must NOT raise
+      FeedTruncatedError (it may serve rows, an empty feed, or the
+      empty-interval ValueError — all mean "serveable");
+    - mirror says non-empty → the auto serve must raise the typed
+      FeedTruncatedError, and the unit names the mirror reports must
+      all be genuinely absent from disk.
+
+    A drifted mirror would either silently swallow the retention-lag
+    alert (false []) or spam false alarms into the audit row (false
+    positives) — both directions are pinned here."""
+    import tempfile
+
+    from durable_functions_cosmosdb_etl_spark.sinks.logtable import (
+        FeedTruncatedError,
+        LogTable,
+    )
+
+    path = tempfile.mkdtemp(prefix="lt_trunc_mirror_")
+    t = LogTable(
+        spark, path, key="id", n_buckets=2, change_capture=capture
+    )
+    t.create(spark.createDataFrame([(0, "z")], "id long, val string"))
+    for i, (kind, kvs) in enumerate(ops):
+        if kind in ("upsert", "deferred"):
+            df = spark.createDataFrame(kvs, "id long, val string")
+            (t.upsert if kind == "upsert" else t.upsert_deferred)(df)
+        elif kind == "delete":
+            t.delete_keys(
+                spark.createDataFrame([(k,) for k, _ in kvs], "id long")
+            )
+        elif kind == "compact":
+            t.compact()
+        else:
+            t.checkpoint_log()
+        if i == min(vac_at, len(ops) - 1):
+            t.vacuum(retain_versions=retain)
+    latest = t.version()
+    intervals = {(0, latest), (latest // 2, latest)}
+    intervals.add((pick % latest if latest > 0 else 0, latest))
+    for lo, hi in intervals:
+        if lo >= hi:
+            continue
+        missing = t.feed_truncation_missing(lo, hi)
+        try:
+            t.changes(lo, hi).count()
+            raised = False
+        except FeedTruncatedError:
+            raised = True
+        except ValueError:
+            raised = False  # empty-interval contract, not truncation
+        if raised:
+            assert missing, (lo, hi)
+        else:
+            assert missing == [], (lo, hi, missing)
+        for unit in missing:
+            assert not os.path.exists(os.path.join(path, unit)), unit
 
 
 @given(
