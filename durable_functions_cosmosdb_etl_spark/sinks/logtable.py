@@ -102,6 +102,22 @@ def _footer_rows(unit_dir: str) -> int:
     )
 
 
+def _bucket_rollup(
+    units: dict[str, dict],
+) -> tuple[dict[int, int], dict[int, int]]:
+    """Per-bucket (unit count, row count) rollup of a live-unit map.
+    The diff tier prices each touched bucket at BOTH interval ends, so
+    both sides need the identical aggregation — one helper keeps the
+    lo/hi pricing from silently drifting apart."""
+    n: dict[int, int] = {}
+    r: dict[int, int] = {}
+    for u in units.values():
+        b = u["bucket"]
+        n[b] = n.get(b, 0) + 1
+        r[b] = r.get(b, 0) + (u.get("rows") or 0)
+    return n, r
+
+
 def _collect_unit_stats(unit_dir: str) -> dict:
     """Per-unit ``{rows, stats: {col: {min, max, nulls}}}`` harvested from
     the parquet FOOTERS of the files just written — a driver-side read of
@@ -417,10 +433,16 @@ class LogTable:
         # discipline as the mutating ops.
         self.last_feed_info: dict | None = None
         self._capture_bail_reason: str | None = None
-        # feed_interval_stats memo — sound because committed versions
-        # are immutable (the log is append-only; vacuum never edits
-        # entries). Bounded FIFO so a long-lived handle can't grow it.
-        self._feed_stats_memo: dict[tuple[int, int], dict] = {}
+        # feed_interval_stats memo, keyed (from, to, cutoff) — sound
+        # because committed versions are immutable (the log is
+        # append-only) AND this handle's vacuum() clears it: the
+        # estimate consults capture-unit existence on disk (the
+        # vacuum-holed pricing), so reclaiming units can change what
+        # an interval costs to serve. Bounded FIFO so a long-lived
+        # handle can't grow it.
+        self._feed_stats_memo: dict[
+            tuple[int, int, float | None], dict
+        ] = {}
         os.makedirs(os.path.join(path, _LOG_DIR), exist_ok=True)
         os.makedirs(os.path.join(path, _DATA_DIR), exist_ok=True)
         self._check_meta()
@@ -1368,13 +1390,22 @@ class LogTable:
           CAPTURED interval: both are layout-only by definition, and
           the capture tier records them as "no logical change". But an
           interval that will fall to the DIFF tier (any commit in it is
-          uncaptured) and contains a compact is forced to a FULL table
-          diff — compact rewrites every live unit, so every bucket is
-          "touched" — and is priced as such here: all live buckets
-          enter the diff-cost term below and ``forced_full_diff`` is
-          set in the result (VERDICT r10 #2 closed the round-10 blind
-          spot where the most expensive serve class priced at ~0 and
-          the saturation gate could never fire on it).
+          uncaptured, or a capture unit was vacuumed — the estimator
+          mirrors ``_changes_from_capture``'s existence bails, so a
+          capture-complete-LOOKING interval with a hole prices as the
+          diff it will actually pay; ``vacuum()`` clears the memo so a
+          pre-hole estimate can't linger) and contains a compact is
+          forced to a FULL table diff — compact rewrites every live
+          unit, so every bucket is "touched" — and is priced as such
+          here: all live buckets enter the diff-cost term below and
+          ``forced_full_diff`` is set in the result (VERDICT r10 #2
+          closed the round-10 blind spot where the most expensive
+          serve class priced at ~0 and the saturation gate could never
+          fire on it). A certify on a diff-tier interval likewise has
+          its rewritten (tainted) buckets priced into the diff term —
+          the serve's touched set replays added+removed of EVERY
+          entry, maintenance included (code-review r11) — without
+          forcing the full table the way compact does.
         - Other UNCAPTURED commits (deferred upserts, a capture-off
           co-writer) are priced by the DIFF tier's cost model: the
           union of their touched buckets, counted ONCE regardless of
@@ -1399,12 +1430,15 @@ class LogTable:
 
         ``saturation_cutoff`` bounds the walk at depth (VERDICT r10
         #5): the saturation gate only needs "is the ratio ≥ threshold",
-        not the exact ratio, and ``interval_rows`` only GROWS as the
+        not the exact ratio, and every cost term only GROWS as the
         walk proceeds — so with a cutoff set, the walk stops the moment
-        the accumulated rows (plus the live-table term a detected
-        forced-full-diff is guaranteed to add) prove the comparison,
-        returning a partial estimate with ``estimate_truncated: True``
-        whose ``net_change_ratio`` is a LOWER BOUND ≥ cutoff. A
+        the accumulated rows, plus the larger of the live-table term a
+        detected forced-full-diff is guaranteed to add and the hi-side
+        rows of buckets already proven into the diff term (the bound
+        that lets a purely-uncaptured no-compact backlog bail too —
+        code-review r11), prove the comparison, returning a partial
+        estimate with ``estimate_truncated: True`` whose
+        ``net_change_ratio`` is a LOWER BOUND ≥ cutoff. A
         10k-commit × 32-bucket backlog prices in O(commits-to-prove)
         instead of O(backlog) driver JSON (measured: the unbounded walk
         costs ~0.13 ms/commit at that entry width — ~1.3 s at depth
@@ -1415,7 +1449,11 @@ class LogTable:
 
         Committed versions are immutable, so results are memoized per
         ``(from, to, cutoff)`` — a gated drain loop re-pricing the same
-        backlog every loop head pays the log replay once.
+        backlog every loop head pays the log replay once — and a
+        cutoff walk that ran to completion stores under the uncut key
+        too (it IS the unbounded estimate), so the gate's estimate and
+        the serve's own telemetry share one walk per interval.
+        ``vacuum()`` clears the memo (see the capture-hole bullet).
         """
         latest = self.version()
         to_version = latest if to_version is None else to_version
@@ -1438,6 +1476,7 @@ class LogTable:
             return dict(cached)
         live = self._live_units(as_of=to_version)
         live_rows = sum(u.get("rows") or 0 for u in live.values())
+        hi_units, hi_rows = _bucket_rollup(live)
         bail_rows = (
             saturation_cutoff * max(live_rows, 1)
             if saturation_cutoff is not None
@@ -1446,49 +1485,105 @@ class LogTable:
         interval_units = 0
         interval_rows = 0
         diff_buckets: set[int] = set()
+        # Maintenance rewrites (compact/certify) — collected apart from
+        # diff_buckets because they cost NOTHING while the interval
+        # stays capture-served, but the diff tier's touched set
+        # includes them (changes() replays added+removed of EVERY
+        # entry), so on a diff-tier interval a certify's rewritten
+        # buckets are genuinely read at both ends (code-review r11:
+        # certify was the same ~0-priced blind spot VERDICT r10 #2
+        # closed for compact).
+        maint_buckets: set[int] = set()
         capture_complete = True
         has_compact = False
         estimate_truncated = False
+        # Early-exit bookkeeping: hi-side rows of buckets PROVEN to
+        # enter the final diff term. Without it the cutoff never fires
+        # on a purely-uncaptured no-compact backlog (interval_rows
+        # stays 0 there while the diff term does all the pricing) and
+        # the promised O(commits-to-prove) walk stays O(backlog) for
+        # exactly the capture-off deep-backlog case (code-review r11).
+        # Sound: priced ⊆ the final diff set (diff buckets imply an
+        # uncaptured interval; maintenance buckets are priced only
+        # once capture is already incomplete), each bucket once, at
+        # hi-rows ≤ its final lo+hi price.
+        proven_hi = 0
+        priced: set[int] = set()
+
+        def _prove(b: int) -> None:
+            nonlocal proven_hi
+            if b not in priced:
+                priced.add(b)
+                proven_hi += hi_rows.get(b, 0)
+
         for e in self._log_entries(after=from_version, upto=to_version):
             if "changes" not in e:
                 capture_complete = False
             if e.get("op") in ("compact", "certify"):
                 has_compact = has_compact or e.get("op") == "compact"
+                for u in e.get("added", []) + e.get("removed", []):
+                    maint_buckets.add(u["bucket"])
             else:
                 ch = e.get("changes")
-                if ch is not None and ch["mode"] == "none":
-                    continue
                 if ch is not None and ch["mode"] == "unit":
+                    full = os.path.join(self.path, ch["unit"])
+                    unit_exists = os.path.exists(full)
+                    if not unit_exists:
+                        # vacuumed capture unit: the serve bails to the
+                        # diff tier exactly like an uncaptured commit
+                        # (_changes_from_capture's existence check) — a
+                        # capture-complete-LOOKING interval with a hole
+                        # must not price as capture-served (code-review
+                        # r11 closed this vacuum-holed variant of the
+                        # compact blind spot; vacuum() clears the memo
+                        # so a cached pre-hole estimate can't linger).
+                        capture_complete = False
                     interval_units += 1
                     rows = ch.get("rows")
                     if rows is None:
-                        full = os.path.join(self.path, ch["unit"])
                         rows = (
                             _footer_rows(full)
-                            if os.path.isdir(full)
+                            if unit_exists and os.path.isdir(full)
                             else sum(
                                 u.get("rows") or 0
                                 for u in e.get("added", [])
                             )
                         )
                     interval_rows += rows
-                elif ch is not None:  # mode == "added_units": inserts
+                elif ch is not None and ch["mode"] == "added_units":
                     added = e.get("added", [])
+                    if self.missing_units(
+                        units={u["unit"]: u for u in added}
+                    ):
+                        # vacuumed insert units: same serve bail as
+                        # above ("insert units vacuumed")
+                        capture_complete = False
                     interval_units += len(added)
                     interval_rows += sum(
                         u.get("rows") or 0 for u in added
                     )
-                else:
+                elif ch is None:
                     for u in e.get("added", []) + e.get("removed", []):
                         diff_buckets.add(u["bucket"])
+                        _prove(u["bucket"])
+                # ch mode "none": captured no-logical-change, zero cost
+            if not capture_complete and maint_buckets - priced:
+                # capture incompleteness is latched, so every
+                # maintenance bucket seen so far is now guaranteed
+                # into the diff tier's touched set
+                for b in maint_buckets - priced:
+                    _prove(b)
             if bail_rows is not None:
                 # A detected forced-full-diff is GUARANTEED to add at
                 # least the hi-side whole table (= live_rows) in the
-                # diff term below, so it counts toward the proof.
-                guaranteed = interval_rows + (
+                # diff term below; the proven per-bucket hi rows bound
+                # the same term from the touched side. max(), not sum:
+                # the final diff prices each bucket once.
+                guaranteed = interval_rows + max(
                     live_rows
                     if (has_compact and not capture_complete)
-                    else 0
+                    else 0,
+                    proven_hi,
                 )
                 if guaranteed >= bail_rows:
                     estimate_truncated = True
@@ -1497,8 +1592,11 @@ class LogTable:
                     break
         # An uncaptured-servable interval containing a compact forces
         # the diff tier to read EVERY live bucket on both sides: price
-        # it so instead of ~0 (see docstring).
+        # it so instead of ~0 (see docstring). Certify rewrites only
+        # its tainted buckets — priced per-bucket via maint_buckets.
         forced_full_diff = has_compact and not capture_complete
+        if not capture_complete:
+            diff_buckets |= maint_buckets
         if not estimate_truncated and (diff_buckets or forced_full_diff):
             # Diff-cost term: each touched bucket is read at BOTH
             # interval ends, so price per-bucket lo + hi live rows
@@ -1506,19 +1604,9 @@ class LogTable:
             # it). The lo-side replay is paid only when the interval
             # has uncaptured commits at all — the common all-captured
             # drain never reaches here.
-            lo_live = self._live_units(as_of=from_version)
-            lo_units: dict[int, int] = {}
-            lo_rows: dict[int, int] = {}
-            for u in lo_live.values():
-                b = u["bucket"]
-                lo_units[b] = lo_units.get(b, 0) + 1
-                lo_rows[b] = lo_rows.get(b, 0) + (u.get("rows") or 0)
-            hi_units: dict[int, int] = {}
-            hi_rows: dict[int, int] = {}
-            for u in live.values():
-                b = u["bucket"]
-                hi_units[b] = hi_units.get(b, 0) + 1
-                hi_rows[b] = hi_rows.get(b, 0) + (u.get("rows") or 0)
+            lo_units, lo_rows = _bucket_rollup(
+                self._live_units(as_of=from_version)
+            )
             if forced_full_diff:
                 diff_buckets = set(lo_units) | set(hi_units)
             for b in diff_buckets:
@@ -1533,9 +1621,22 @@ class LogTable:
             "forced_full_diff": forced_full_diff,
             "estimate_truncated": estimate_truncated,
         }
-        if len(self._feed_stats_memo) >= 128:
-            self._feed_stats_memo.pop(next(iter(self._feed_stats_memo)))
-        self._feed_stats_memo[memo_key] = dict(result)
+        store_keys = [memo_key]
+        if saturation_cutoff is not None and not estimate_truncated:
+            # The walk ran to completion, so this IS the unbounded
+            # estimate — share it under the uncut key too. Without
+            # this, a gated drain's unsaturated loop head (cutoff call)
+            # and the serve's own telemetry (uncut call) each pay the
+            # full log walk for the same immutable interval
+            # (code-review r11). Never the reverse: a truncated result
+            # is a lower bound, not the exact estimate.
+            store_keys.append((from_version, to_version, None))
+        for k in store_keys:
+            if len(self._feed_stats_memo) >= 128:
+                self._feed_stats_memo.pop(
+                    next(iter(self._feed_stats_memo))
+                )
+            self._feed_stats_memo[k] = dict(result)
         return result
 
     def feed_truncation_missing(
@@ -1561,6 +1662,13 @@ class LogTable:
         for v in (from_version, to_version):
             if v < 0 or v > latest:
                 raise ValueError(f"version {v} does not exist")
+        if from_version > to_version:
+            # same (from, to] contract guard as feed_interval_stats:
+            # an inverted interval would silently read "serveable"
+            raise ValueError(
+                f"inverted interval: from_version {from_version} > "
+                f"to_version {to_version}"
+            )
         entries = list(
             self._log_entries(after=from_version, upto=to_version)
         )
@@ -2146,4 +2254,10 @@ class LogTable:
             except OSError:
                 continue
             deleted.append(f"{_LOG_DIR}/{n}")
+        if deleted:
+            # Reclaimed units can change what an interval costs to
+            # serve (a vacuumed capture unit degrades capture-complete
+            # pricing to the diff tier), so memoized estimates are no
+            # longer trustworthy on this handle.
+            self._feed_stats_memo.clear()
         return deleted

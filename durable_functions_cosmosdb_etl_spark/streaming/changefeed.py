@@ -501,14 +501,20 @@ def _drain(
                 # ADVICE r10: a no-op final iteration must not leave a
                 # PREVIOUS batch's telemetry posing as this interval's
                 # in the audit row — stamp the empty serve explicitly.
+                # The cost fields come from the (memoized) estimator,
+                # not hardcoded zeros: an interval that churned K rows
+                # and then emptied the table also lands here, and the
+                # audit row must not claim it was change-free
+                # (code-review r11).
+                est_empty = source.feed_interval_stats(cur, upto)
                 stats["last_feed_info"] = {
                     "tier": "empty",
                     "from": cur,
                     "to": upto,
                     "fallback_reason": None,
-                    "interval_units": 0,
-                    "net_change_ratio": 0.0,
-                    "forced_full_diff": False,
+                    "interval_units": est_empty["interval_units"],
+                    "net_change_ratio": est_empty["net_change_ratio"],
+                    "forced_full_diff": est_empty["forced_full_diff"],
                 }
         if saturated is not None:
             # Same final-state-identical routine as truncation

@@ -951,3 +951,44 @@ def test_empty_final_interval_stamps_feed_info(spark, tmp_path):
     assert (info["from"], info["to"]) == (1, 2)
     assert info["net_change_ratio"] == 0.0
     assert read_cursor(cur) == src.version()
+
+
+def test_empty_final_interval_stamps_real_churn(spark, tmp_path):
+    """Code-review r11: the empty-serve stamp reports the (memoized)
+    estimator's cost fields, not hardcoded zeros — an interval that
+    churned rows and then emptied the table also raises "both versions
+    are empty", and the audit row must not claim it was change-free.
+    Staged: captured churn + delete-all + compact, then vacuum holes
+    the capture so the serve falls to the diff tier, which finds both
+    interval ends empty."""
+    src = LogTable(
+        spark, str(tmp_path / "src"), key="id", n_buckets=2,
+        change_capture=True,
+    )
+    tgt = _mk(spark, tmp_path, "tgt")
+    cur = str(tmp_path / "cursor.json")
+    src.create(
+        spark.createDataFrame([(1, "x")], "id long, val string")
+    )                                                            # v0
+    src.delete_keys(spark.createDataFrame([(1,)], "id long"))    # v1
+    run_changefeed_transform(spark, src, tgt, cur, transform=upcase)
+    assert read_cursor(cur) == 1
+    src.upsert(
+        spark.createDataFrame([(2, "y"), (3, "z")], "id long, val string")
+    )                                                            # v2
+    src.delete_keys(spark.createDataFrame([(2,), (3,)], "id long"))  # v3
+    src.compact()                                                # v4
+    deleted = src.vacuum(retain_versions=0)
+    assert any("_changes/" in d for d in deleted), (
+        "test setup: vacuum must hole the capture tier"
+    )
+    stats = run_changefeed_transform(spark, src, tgt, cur, transform=upcase)
+    info = stats["last_feed_info"]
+    assert info["tier"] == "empty"
+    assert (info["from"], info["to"]) == (1, 4)
+    # v2's 2 inserts + v3's 2 deletes priced against an empty live
+    # table — decisively non-zero, the churn the old hardcoded stamp
+    # erased
+    assert info["net_change_ratio"] > 0.0
+    assert info["interval_units"] >= 2
+    assert read_cursor(cur) == src.version()

@@ -1537,3 +1537,132 @@ def test_feed_interval_stats_cutoff_bounds_the_walk(spark, tmp_path):
     bounded = t2.feed_interval_stats(0, 2, saturation_cutoff=1.0)
     assert bounded["forced_full_diff"] is True
     assert bounded["net_change_ratio"] >= 1.0
+
+
+def test_feed_interval_stats_prices_certify_on_diff_tier(spark, tmp_path):
+    """Code-review r11: the diff tier's touched set replays
+    added+removed of EVERY entry — maintenance included — so on a
+    capture-off table an interval containing only a certify rewrite
+    prices the rewritten buckets at both interval ends, NOT ~0 (the
+    same blind-spot class VERDICT r10 #2 closed for compact). On a
+    capture-ON table the certify is capture-recorded as no logical
+    change and stays free."""
+    rows = [(i, f"v{i}") for i in range(20)]
+    t = LogTable(spark, str(tmp_path / "t"), key="id", n_buckets=2)
+    t.create(_mk(spark, rows))                                   # v0
+    t.append(_mk(spark, [(100, "dup")]))                         # v1 taints
+    t.certify_unique()                                           # v2
+    est = t.feed_interval_stats(1, 2)
+    assert est["forced_full_diff"] is False  # certify ≠ full rewrite
+    assert est["interval_rows"] > 0, "certify's diff buckets priced"
+    # and the price is the diff's own model: lo+hi rows of exactly the
+    # certified (tainted) buckets — here the one bucket key 100 hashes
+    # to, read at both ends
+    assert est["net_change_ratio"] > 0.0
+    # capture-on: the same sequence is capture-served end to end, and
+    # the certify prices zero (mode "none" — no logical change)
+    tc = LogTable(
+        spark, str(tmp_path / "tc"), key="id", n_buckets=2,
+        change_capture=True,
+    )
+    tc.create(_mk(spark, rows))                                  # v0
+    tc.append(_mk(spark, [(100, "dup")]))                        # v1
+    tc.certify_unique()                                          # v2
+    # interval (1,2] holds only the captured certify: no logical
+    # change, zero price
+    est_c = tc.feed_interval_stats(1, 2)
+    assert est_c["interval_rows"] == 0
+    assert est_c["forced_full_diff"] is False
+
+
+def test_feed_interval_stats_prices_vacuum_holed_capture(spark, tmp_path):
+    """Code-review r11 closed the vacuum-holed variant of the compact
+    blind spot: an interval whose entries are all CAPTURED but whose
+    change unit was vacuumed falls to the diff tier at serve time
+    (_changes_from_capture's existence bail) — with a compact in the
+    interval that is a forced FULL diff, and the estimator must price
+    it so instead of the captured rows' near-zero. vacuum() also
+    clears the memo, so a pre-hole estimate cannot linger."""
+    rows = [(i, f"v{i}") for i in range(20)]
+    t = LogTable(
+        spark, str(tmp_path / "t"), key="id", n_buckets=2,
+        change_capture=True,
+    )
+    t.create(_mk(spark, rows))                                   # v0
+    t.upsert(_mk(spark, [(0, "z0")]))                            # v1 captured
+    t.compact()                                                  # v2 captured
+    before = t.feed_interval_stats(0, 2)
+    assert before["forced_full_diff"] is False
+    assert before["interval_rows"] == 2  # one churned key, pre+post
+    deleted = t.vacuum(retain_versions=0)
+    assert any("_changes/" in d for d in deleted), (
+        "test setup: vacuum must reclaim the capture unit"
+    )
+    after = t.feed_interval_stats(0, 2)
+    assert after["forced_full_diff"] is True, (
+        "holed capture + compact = forced full diff, and the memo was "
+        "cleared so the pre-hole estimate did not linger"
+    )
+    assert after["interval_rows"] >= 2 * after["live_rows"]
+    assert after["net_change_ratio"] >= 2.0
+
+
+def test_cutoff_bails_on_capture_off_backlog(spark, tmp_path):
+    """Code-review r11: the early exit must also fire on a purely
+    UNCAPTURED no-compact backlog — interval_rows stays 0 there (the
+    diff term does all the pricing), so the proof runs on the hi-side
+    rows of buckets already proven into the diff term. Before the fix
+    the cutoff walk silently stayed O(backlog) for exactly the
+    capture-off deep-backlog case the gate exists to protect."""
+    rows = [(i, f"v{i}") for i in range(20)]
+    t = LogTable(spark, str(tmp_path / "t"), key="id", n_buckets=2)
+    t.create(_mk(spark, rows))                                   # v0
+    for gen in "abcdefgh":                                       # v1-v8
+        t.upsert(_mk(spark, [(i, f"{gen}{i}") for i in range(20)]))
+    bounded = t.feed_interval_stats(0, 8, saturation_cutoff=1.0)
+    assert bounded["estimate_truncated"] is True, (
+        "touched-bucket hi rows prove the cutoff without a compact"
+    )
+    assert bounded["net_change_ratio"] >= 1.0
+    # gate agreement: the unbounded estimate crosses the same bar
+    full = t.feed_interval_stats(0, 8)
+    assert full["net_change_ratio"] >= 1.0
+
+
+def test_cutoff_estimate_shares_memo_with_uncut_call(spark, tmp_path):
+    """Code-review r11: a cutoff walk that ran to completion IS the
+    unbounded estimate and is memo-shared under the uncut key — so a
+    gated drain's unsaturated loop head (cutoff call) and the serve's
+    own telemetry (uncut call) pay ONE log walk per immutable
+    interval, the sharing the cutoff argument silently broke."""
+    rows = [(i, f"v{i}") for i in range(20)]
+    t = LogTable(
+        spark, str(tmp_path / "t"), key="id", n_buckets=2,
+        change_capture=True,
+    )
+    t.create(_mk(spark, rows))                                   # v0
+    t.upsert(_mk(spark, [(0, "z0")]))                            # v1
+    est = t.feed_interval_stats(0, 1, saturation_cutoff=1000.0)
+    assert est["estimate_truncated"] is False
+    assert (0, 1, None) in t._feed_stats_memo, "shared to uncut key"
+    assert t.feed_interval_stats(0, 1) == est
+    # a TRUNCATED estimate is a lower bound, never shared to the
+    # uncut key
+    t.upsert(_mk(spark, [(i, f"w{i}") for i in range(20)]))      # v2
+    t2_bounded = t.feed_interval_stats(1, 2, saturation_cutoff=0.5)
+    assert t2_bounded["estimate_truncated"] is True
+    assert (1, 2, None) not in t._feed_stats_memo
+
+
+def test_feed_truncation_missing_rejects_inverted_interval(
+    spark, tmp_path
+):
+    """Code-review r11: the mirror gets the same (from, to] contract
+    guard as feed_interval_stats — an inverted interval must raise,
+    not silently read "serveable" ([])."""
+    t = LogTable(spark, str(tmp_path / "t"), key="id", n_buckets=2)
+    t.create(_mk(spark, [(1, "x")]))                             # v0
+    t.upsert(_mk(spark, [(1, "y")]))                             # v1
+    t.upsert(_mk(spark, [(1, "z")]))                             # v2
+    with pytest.raises(ValueError, match="inverted interval"):
+        t.feed_truncation_missing(2, 0)

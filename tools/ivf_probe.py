@@ -38,6 +38,7 @@ import time
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import __spark_entry__ as entrymod  # noqa: E402
+import bench as benchmod  # noqa: E402 — the gate constants, not copies
 from durable_functions_cosmosdb_etl_spark.session import get_spark  # noqa: E402
 
 QUERIES = ["similarity_ivf_prod", "similarity_ivf", "dedup_semantic"]
@@ -78,11 +79,15 @@ def main() -> None:
         "n_runs": n_runs,
         "loadavg_pre": pre,
         "loadavg_post": post,
-        # same gate as bench.py (BASELINE.md convention): absolute
-        # numbers from an unqualified window must not settle anything
+        # same gate as bench.py (BASELINE.md convention), imported —
+        # not copied — so a recalibration there can't silently diverge
+        # here: absolute numbers from an unqualified window must not
+        # settle anything
         "load_qualified": (
-            pre[0] is not None and pre[0] <= 2.0
-            and pre[1] is not None and pre[1] <= 2.5
+            pre[0] is not None
+            and pre[0] <= benchmod.LOAD_QUALIFIED_MAX
+            and pre[1] is not None
+            and pre[1] <= benchmod.LOAD_QUALIFIED_MAX_5MIN
         ),
         "queries": {},
     }
