@@ -1432,13 +1432,16 @@ class LogTable:
         #5): the saturation gate only needs "is the ratio ≥ threshold",
         not the exact ratio, and every cost term only GROWS as the
         walk proceeds — so with a cutoff set, the walk stops the moment
-        the accumulated rows, plus the larger of the live-table term a
-        detected forced-full-diff is guaranteed to add and the hi-side
-        rows of buckets already proven into the diff term (the bound
-        that lets a purely-uncaptured no-compact backlog bail too —
-        code-review r11), prove the comparison, returning a partial
-        estimate with ``estimate_truncated: True`` whose
-        ``net_change_ratio`` is a LOWER BOUND ≥ cutoff. A
+        the accumulated rows, plus the larger of the both-ends
+        live-table term a detected forced-full-diff is guaranteed to
+        add and the lo+hi rows of buckets already proven into the diff
+        term (the bound that lets a purely-uncaptured no-compact
+        backlog bail too — code-review r11; its lo side loads lazily,
+        checkpoint-bounded, on the first check where a diff bucket
+        exists, because the hi side alone tops out at 1.0 × live and
+        could never prove the calibrated 2.0), prove the comparison,
+        returning a partial estimate with ``estimate_truncated: True``
+        whose ``net_change_ratio`` is a LOWER BOUND ≥ cutoff. A
         10k-commit × 32-bucket backlog prices in O(commits-to-prove)
         instead of O(backlog) driver JSON (measured: the unbounded walk
         costs ~0.13 ms/commit at that entry width — ~1.3 s at depth
@@ -1497,24 +1500,47 @@ class LogTable:
         capture_complete = True
         has_compact = False
         estimate_truncated = False
-        # Early-exit bookkeeping: hi-side rows of buckets PROVEN to
-        # enter the final diff term. Without it the cutoff never fires
-        # on a purely-uncaptured no-compact backlog (interval_rows
-        # stays 0 there while the diff term does all the pricing) and
-        # the promised O(commits-to-prove) walk stays O(backlog) for
+        # Early-exit bookkeeping: lo+hi rows of buckets PROVEN to enter
+        # the final diff term. Without it the cutoff never fires on a
+        # purely-uncaptured no-compact backlog (interval_rows stays 0
+        # there while the diff term does all the pricing) and the
+        # promised O(commits-to-prove) walk stays O(backlog) for
         # exactly the capture-off deep-backlog case (code-review r11).
-        # Sound: priced ⊆ the final diff set (diff buckets imply an
-        # uncaptured interval; maintenance buckets are priced only
-        # once capture is already incomplete), each bucket once, at
-        # hi-rows ≤ its final lo+hi price.
-        proven_hi = 0
+        # The hi side comes from the already-materialized rollup; the
+        # lo side is loaded LAZILY on the first check where a diff
+        # bucket exists (a fully-captured walk never pays it) —
+        # without the lo term the bound tops out at 1.0 × live and the
+        # calibrated θ=2.0 gate could never bail early on the
+        # capture-off case at all. That one historical replay is
+        # checkpoint-bounded like every _live_units call, is paid at
+        # most once per estimate, and prices exactly what the final
+        # diff term would have read anyway. Sound: priced ⊆ the final
+        # diff set (diff buckets imply an uncaptured interval;
+        # maintenance buckets are priced only once capture is already
+        # incomplete), each bucket once, at ≤ its final lo+hi price.
+        proven = 0
         priced: set[int] = set()
+        lo_rollup: tuple[dict[int, int], dict[int, int]] | None = None
+        lo_total = 0
+
+        def _load_lo() -> None:
+            nonlocal lo_rollup, lo_total, proven
+            if lo_rollup is None:
+                lo_rollup = _bucket_rollup(
+                    self._live_units(as_of=from_version)
+                )
+                lo_total = sum(lo_rollup[1].values())
+                proven += sum(
+                    lo_rollup[1].get(b, 0) for b in priced
+                )
 
         def _prove(b: int) -> None:
-            nonlocal proven_hi
+            nonlocal proven
             if b not in priced:
                 priced.add(b)
-                proven_hi += hi_rows.get(b, 0)
+                proven += hi_rows.get(b, 0)
+                if lo_rollup is not None:
+                    proven += lo_rollup[1].get(b, 0)
 
         for e in self._log_entries(after=from_version, upto=to_version):
             if "changes" not in e:
@@ -1574,16 +1600,20 @@ class LogTable:
                 for b in maint_buckets - priced:
                     _prove(b)
             if bail_rows is not None:
-                # A detected forced-full-diff is GUARANTEED to add at
-                # least the hi-side whole table (= live_rows) in the
-                # diff term below; the proven per-bucket hi rows bound
-                # the same term from the touched side. max(), not sum:
-                # the final diff prices each bucket once.
+                ffd_now = has_compact and not capture_complete
+                if (priced or ffd_now) and lo_rollup is None:
+                    # a diff term is now certain — price its lo side
+                    # once so the bound can cross θ ≥ 1 (hi alone tops
+                    # out at 1.0 × live)
+                    _load_lo()
+                # A detected forced-full-diff is GUARANTEED to add the
+                # whole table at both ends in the diff term below; the
+                # proven per-bucket lo+hi rows bound the same term
+                # from the touched side. max(), not sum: the final
+                # diff prices each bucket once.
                 guaranteed = interval_rows + max(
-                    live_rows
-                    if (has_compact and not capture_complete)
-                    else 0,
-                    proven_hi,
+                    (live_rows + lo_total) if ffd_now else 0,
+                    proven,
                 )
                 if guaranteed >= bail_rows:
                     estimate_truncated = True
@@ -1603,10 +1633,10 @@ class LogTable:
             # (counted once per bucket, however many commits touched
             # it). The lo-side replay is paid only when the interval
             # has uncaptured commits at all — the common all-captured
-            # drain never reaches here.
-            lo_units, lo_rows = _bucket_rollup(
-                self._live_units(as_of=from_version)
-            )
+            # drain never reaches here — and at most once per
+            # estimate (the cutoff path may have loaded it already).
+            _load_lo()
+            lo_units, lo_rows = lo_rollup
             if forced_full_diff:
                 diff_buckets = set(lo_units) | set(hi_units)
             for b in diff_buckets:

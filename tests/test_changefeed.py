@@ -866,7 +866,17 @@ def test_saturation_gate_fires_on_uncaptured_compact_backlog(
     assert stats["saturation_rebootstraps"] == 1
     info = stats["last_feed_info"]
     assert info["tier"] == "snapshot_rebootstrap"
-    assert info["forced_full_diff"] is True
+    # The gate's cutoff walk may prove saturation from the touched
+    # buckets' lo+hi bound BEFORE reaching the compact (the round-11
+    # lazy-lo early exit: this backlog's 5-key churn alone touches
+    # every bucket, a de-facto full diff) — the audit then records a
+    # truncated estimate instead of the forced-full-diff
+    # classification. Either telemetry is honest; the UNCUT estimate
+    # above already pinned the classification itself.
+    assert (
+        info["forced_full_diff"] is True
+        or info["estimate_truncated"] is True
+    )
     assert info["fallback_reason"] is None  # nothing vacuumed here
     # ungated control pays the full diff but lands on the same state
     run_changefeed_transform(spark, src, control, cur_c, transform=upcase)

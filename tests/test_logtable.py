@@ -1529,14 +1529,18 @@ def test_feed_interval_stats_cutoff_bounds_the_walk(spark, tmp_path):
     with pytest.raises(ValueError, match="saturation_cutoff"):
         t.feed_interval_stats(0, 5, saturation_cutoff=0)
     # a forced-full-diff detection counts toward the proof: on an
-    # UNCAPTURED backlog the compact guarantees a live-table read
+    # UNCAPTURED backlog the compact guarantees a both-ends live-table
+    # read. Cutoff 1.9: high enough that the single touched bucket's
+    # lo+hi bound (≈ live_rows) cannot prove it first, so the proof
+    # demonstrably comes from the ffd term.
     t2 = LogTable(spark, str(tmp_path / "t2"), key="id", n_buckets=2)
     t2.create(_mk(spark, rows))                                  # v0
     t2.upsert(_mk(spark, [(0, "z0")]))                           # v1
     t2.compact()                                                 # v2
-    bounded = t2.feed_interval_stats(0, 2, saturation_cutoff=1.0)
+    bounded = t2.feed_interval_stats(0, 2, saturation_cutoff=1.9)
     assert bounded["forced_full_diff"] is True
-    assert bounded["net_change_ratio"] >= 1.0
+    assert bounded["estimate_truncated"] is True
+    assert bounded["net_change_ratio"] >= 1.9
 
 
 def test_feed_interval_stats_prices_certify_on_diff_tier(spark, tmp_path):
@@ -1621,12 +1625,19 @@ def test_cutoff_bails_on_capture_off_backlog(spark, tmp_path):
         t.upsert(_mk(spark, [(i, f"{gen}{i}") for i in range(20)]))
     bounded = t.feed_interval_stats(0, 8, saturation_cutoff=1.0)
     assert bounded["estimate_truncated"] is True, (
-        "touched-bucket hi rows prove the cutoff without a compact"
+        "touched-bucket lo+hi rows prove the cutoff without a compact"
     )
     assert bounded["net_change_ratio"] >= 1.0
-    # gate agreement: the unbounded estimate crosses the same bar
+    # the CALIBRATED threshold too: the lazily-loaded lo side lets the
+    # bound reach 2.0 × live (hi alone tops out at 1.0 × live, which
+    # would leave the capture-off case walking the whole backlog at
+    # exactly the production θ)
+    bounded2 = t.feed_interval_stats(0, 8, saturation_cutoff=2.0)
+    assert bounded2["estimate_truncated"] is True
+    assert bounded2["net_change_ratio"] >= 2.0
+    # gate agreement: the unbounded estimate crosses the same bars
     full = t.feed_interval_stats(0, 8)
-    assert full["net_change_ratio"] >= 1.0
+    assert full["net_change_ratio"] >= 2.0
 
 
 def test_cutoff_estimate_shares_memo_with_uncut_call(spark, tmp_path):
