@@ -438,8 +438,14 @@ class LogTable:
         # append-only) AND this handle's vacuum() clears it: the
         # estimate consults capture-unit existence on disk (the
         # vacuum-holed pricing), so reclaiming units can change what
-        # an interval costs to serve. Bounded FIFO so a long-lived
-        # handle can't grow it.
+        # an interval costs to serve. A vacuum run by ANOTHER process
+        # can therefore stale an entry for an interval this handle
+        # already priced — accepted: the serve itself re-checks
+        # existence at read time, drains re-key every loop head as
+        # (cursor, latest) moves, so the worst case is one mis-gated
+        # drain over one already-priced interval, the same external-
+        # maintenance exposure as vacuum's single-writer contract.
+        # Bounded FIFO so a long-lived handle can't grow it.
         self._feed_stats_memo: dict[
             tuple[int, int, float | None], dict
         ] = {}
@@ -1488,15 +1494,17 @@ class LogTable:
         interval_units = 0
         interval_rows = 0
         diff_buckets: set[int] = set()
-        # Maintenance rewrites (compact/certify) — collected apart from
-        # diff_buckets because they cost NOTHING while the interval
-        # stays capture-served, but the diff tier's touched set
-        # includes them (changes() replays added+removed of EVERY
-        # entry), so on a diff-tier interval a certify's rewritten
-        # buckets are genuinely read at both ends (code-review r11:
-        # certify was the same ~0-priced blind spot VERDICT r10 #2
-        # closed for compact).
-        maint_buckets: set[int] = set()
+        # Touched buckets of CAPTURED entries (data commits and
+        # maintenance alike) — held apart from diff_buckets because
+        # they cost nothing while the interval stays capture-served,
+        # but the diff tier's touched set includes them (changes()
+        # replays added+removed of EVERY entry), so once capture
+        # breaks they are genuinely read at both ends and fold into
+        # the diff term (code-review r11, both passes: certify first,
+        # then intact captured commits on mixed intervals — the same
+        # ~0-priced blind-spot class VERDICT r10 #2 closed for
+        # compact).
+        captured_buckets: set[int] = set()
         capture_complete = True
         has_compact = False
         estimate_truncated = False
@@ -1547,74 +1555,87 @@ class LogTable:
                 capture_complete = False
             if e.get("op") in ("compact", "certify"):
                 has_compact = has_compact or e.get("op") == "compact"
-                for u in e.get("added", []) + e.get("removed", []):
-                    maint_buckets.add(u["bucket"])
-            else:
-                ch = e.get("changes")
-                if ch is not None and ch["mode"] == "unit":
-                    full = os.path.join(self.path, ch["unit"])
-                    unit_exists = os.path.exists(full)
-                    if not unit_exists:
-                        # vacuumed capture unit: the serve bails to the
-                        # diff tier exactly like an uncaptured commit
-                        # (_changes_from_capture's existence check) — a
-                        # capture-complete-LOOKING interval with a hole
-                        # must not price as capture-served (code-review
-                        # r11 closed this vacuum-holed variant of the
-                        # compact blind spot; vacuum() clears the memo
-                        # so a cached pre-hole estimate can't linger).
-                        capture_complete = False
-                    interval_units += 1
-                    rows = ch.get("rows")
-                    if rows is None:
-                        rows = (
-                            _footer_rows(full)
-                            if unit_exists and os.path.isdir(full)
-                            else sum(
-                                u.get("rows") or 0
-                                for u in e.get("added", [])
-                            )
+            ch = e.get("changes")
+            # Route the entry's touched buckets: an UNCAPTURED entry's
+            # buckets are certain diff reads; a CAPTURED entry's are
+            # held aside and fold into the diff set only if capture
+            # breaks — on a diff-tier interval the serve's touched set
+            # replays added+removed of EVERY entry, captured,
+            # maintenance, and holed alike (code-review r11, second
+            # pass: the certify fix's rationale applies to intact
+            # captured commits on a mixed interval too).
+            sink_set = captured_buckets if ch is not None else diff_buckets
+            for u in e.get("added", []) + e.get("removed", []):
+                sink_set.add(u["bucket"])
+                if ch is None:
+                    _prove(u["bucket"])
+            if ch is not None and ch["mode"] == "unit":
+                full = os.path.join(self.path, ch["unit"])
+                unit_exists = os.path.exists(full)
+                if not unit_exists:
+                    # vacuumed capture unit: the serve bails to the
+                    # diff tier exactly like an uncaptured commit
+                    # (_changes_from_capture's existence check) — a
+                    # capture-complete-LOOKING interval with a hole
+                    # must not price as capture-served (code-review
+                    # r11 closed this vacuum-holed variant of the
+                    # compact blind spot; vacuum() clears the memo
+                    # so a cached pre-hole estimate can't linger).
+                    capture_complete = False
+                interval_units += 1
+                rows = ch.get("rows")
+                if rows is None:
+                    rows = (
+                        _footer_rows(full)
+                        if unit_exists and os.path.isdir(full)
+                        else sum(
+                            u.get("rows") or 0
+                            for u in e.get("added", [])
                         )
-                    interval_rows += rows
-                elif ch is not None and ch["mode"] == "added_units":
-                    added = e.get("added", [])
-                    if self.missing_units(
-                        units={u["unit"]: u for u in added}
-                    ):
-                        # vacuumed insert units: same serve bail as
-                        # above ("insert units vacuumed")
-                        capture_complete = False
-                    interval_units += len(added)
-                    interval_rows += sum(
-                        u.get("rows") or 0 for u in added
                     )
-                elif ch is None:
-                    for u in e.get("added", []) + e.get("removed", []):
-                        diff_buckets.add(u["bucket"])
-                        _prove(u["bucket"])
-                # ch mode "none": captured no-logical-change, zero cost
-            if not capture_complete and maint_buckets - priced:
-                # capture incompleteness is latched, so every
-                # maintenance bucket seen so far is now guaranteed
-                # into the diff tier's touched set
-                for b in maint_buckets - priced:
+                interval_rows += rows
+            elif ch is not None and ch["mode"] == "added_units":
+                added = e.get("added", [])
+                if self.missing_units(
+                    units={u["unit"]: u for u in added}
+                ):
+                    # vacuumed insert units: same serve bail as
+                    # above ("insert units vacuumed")
+                    capture_complete = False
+                interval_units += len(added)
+                interval_rows += sum(
+                    u.get("rows") or 0 for u in added
+                )
+            # ch mode "none": captured no-logical-change, zero event
+            # rows (its buckets were still routed above)
+            if not capture_complete and captured_buckets - priced:
+                # capture incompleteness is latched, so every held-
+                # aside bucket seen so far is now guaranteed into the
+                # diff tier's touched set
+                for b in captured_buckets - priced:
                     _prove(b)
             if bail_rows is not None:
                 ffd_now = has_compact and not capture_complete
-                if (priced or ffd_now) and lo_rollup is None:
-                    # a diff term is now certain — price its lo side
-                    # once so the bound can cross θ ≥ 1 (hi alone tops
-                    # out at 1.0 × live)
-                    _load_lo()
                 # A detected forced-full-diff is GUARANTEED to add the
                 # whole table at both ends in the diff term below; the
                 # proven per-bucket lo+hi rows bound the same term
                 # from the touched side. max(), not sum: the final
-                # diff prices each bucket once.
+                # diff prices each bucket once. The lo side loads only
+                # if the terms already in hand don't prove the bound
+                # (a captured backlog whose event rows alone cross θ
+                # must not pay the historical replay — code-review r11
+                # second pass).
                 guaranteed = interval_rows + max(
-                    (live_rows + lo_total) if ffd_now else 0,
-                    proven,
+                    (live_rows + lo_total) if ffd_now else 0, proven
                 )
+                if guaranteed < bail_rows and (
+                    (priced or ffd_now) and lo_rollup is None
+                ):
+                    _load_lo()  # updates lo_total and proven
+                    guaranteed = interval_rows + max(
+                        (live_rows + lo_total) if ffd_now else 0,
+                        proven,
+                    )
                 if guaranteed >= bail_rows:
                     estimate_truncated = True
                     interval_rows = guaranteed
@@ -1623,10 +1644,11 @@ class LogTable:
         # An uncaptured-servable interval containing a compact forces
         # the diff tier to read EVERY live bucket on both sides: price
         # it so instead of ~0 (see docstring). Certify rewrites only
-        # its tainted buckets — priced per-bucket via maint_buckets.
+        # its tainted buckets — priced per-bucket like any other
+        # touched bucket.
         forced_full_diff = has_compact and not capture_complete
         if not capture_complete:
-            diff_buckets |= maint_buckets
+            diff_buckets |= captured_buckets
         if not estimate_truncated and (diff_buckets or forced_full_diff):
             # Diff-cost term: each touched bucket is read at BOTH
             # interval ends, so price per-bucket lo + hi live rows

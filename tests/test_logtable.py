@@ -1609,6 +1609,24 @@ def test_feed_interval_stats_prices_vacuum_holed_capture(spark, tmp_path):
     )
     assert after["interval_rows"] >= 2 * after["live_rows"]
     assert after["net_change_ratio"] >= 2.0
+    # the NO-compact holed variant (code-review r11, second pass): the
+    # holed commit's own touched buckets price into the diff term —
+    # the serve reads them at both ends after its capture bail
+    t2 = LogTable(
+        spark, str(tmp_path / "t2"), key="id", n_buckets=2,
+        change_capture=True,
+    )
+    t2.create(_mk(spark, rows))                                  # v0
+    t2.upsert(_mk(spark, [(i, f"w{i}") for i in range(20)]))     # v1
+    deleted = t2.vacuum(retain_versions=0)
+    assert any("_changes/" in d for d in deleted), (
+        "test setup: vacuum must reclaim the capture unit"
+    )
+    holed = t2.feed_interval_stats(0, 1)
+    assert holed["forced_full_diff"] is False
+    # 40 capture event rows + both-ends read of the churned buckets
+    # (the whole table here)
+    assert holed["interval_rows"] >= 40 + 40, holed
 
 
 def test_cutoff_bails_on_capture_off_backlog(spark, tmp_path):
@@ -1638,6 +1656,43 @@ def test_cutoff_bails_on_capture_off_backlog(spark, tmp_path):
     # gate agreement: the unbounded estimate crosses the same bars
     full = t.feed_interval_stats(0, 8)
     assert full["net_change_ratio"] >= 2.0
+
+
+def test_mixed_interval_prices_captured_buckets_into_diff(
+    spark, tmp_path
+):
+    """Code-review r11 (second pass): on a MIXED diff-tier interval
+    (one uncaptured commit among captured ones), the serve's touched
+    set replays added+removed of EVERY entry — so the intact captured
+    commits' buckets are genuinely read at both interval ends and must
+    enter the diff term, not just their capture event rows. Before the
+    fix an interval whose captured commits touched most buckets
+    underpriced by nearly the whole diff cost."""
+    rows = [(i, f"v{i}") for i in range(20)]
+    t = LogTable(
+        spark, str(tmp_path / "t"), key="id", n_buckets=2,
+        change_capture=True,
+    )
+    t.create(_mk(spark, rows))                                   # v0
+    # captured full churn: 40 capture event rows, touches BOTH buckets
+    t.upsert(_mk(spark, [(i, f"w{i}") for i in range(20)]))      # v1
+    # one uncaptured commit drops the interval to the diff tier
+    t.upsert_deferred(_mk(spark, [(0, "z0")]))                   # v2
+    est = t.feed_interval_stats(0, 2)
+    assert est["forced_full_diff"] is False
+    # captured event rows (40) PLUS the diff's both-ends read of every
+    # touched bucket — including the captured commit's — not just the
+    # deferred commit's one bucket
+    assert est["interval_rows"] >= 40 + 40, est
+    # fully-captured control: the same churn without the uncaptured
+    # commit prices at event rows alone (capture tier, no diff term)
+    tc = LogTable(
+        spark, str(tmp_path / "tc"), key="id", n_buckets=2,
+        change_capture=True,
+    )
+    tc.create(_mk(spark, rows))                                  # v0
+    tc.upsert(_mk(spark, [(i, f"w{i}") for i in range(20)]))     # v1
+    assert tc.feed_interval_stats(0, 1)["interval_rows"] == 40
 
 
 def test_cutoff_estimate_shares_memo_with_uncut_call(spark, tmp_path):
