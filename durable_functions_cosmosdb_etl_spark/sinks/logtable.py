@@ -449,6 +449,19 @@ class LogTable:
         self._feed_stats_memo: dict[
             tuple[int, int, float | None], dict
         ] = {}
+        # Per-version live-unit maps (code-review r11, third pass): a
+        # diff-tier serve replays lo/hi for its own read AFTER its
+        # telemetry estimate already replayed them, and the gated
+        # drain's truncation mirror replays them again — a committed
+        # version's live map is IMMUTABLE (the log is append-only and
+        # never vacuumed; data-file deletion doesn't change the map),
+        # so one replay per version per handle suffices. Values are
+        # returned as shallow copies; the shared inner unit dicts are
+        # read-only by contract everywhere (callers tag only
+        # freshly-written commit lists, never a replayed map). Keyed
+        # on explicit versions only — as_of=None means "latest", which
+        # moves. Bounded FIFO like the stats memo.
+        self._live_units_memo: dict[int, dict[str, dict]] = {}
         os.makedirs(os.path.join(path, _LOG_DIR), exist_ok=True)
         os.makedirs(os.path.join(path, _DATA_DIR), exist_ok=True)
         self._check_meta()
@@ -523,15 +536,31 @@ class LogTable:
             with open(os.path.join(log_dir, name)) as f:
                 yield json.load(f)
 
-    def _latest_checkpoint(self) -> dict | None:
-        """Newest ``_checkpoint.{v}.json``, or None. The checkpoint holds
-        the full live-unit map at version v, so replay only walks
-        entries AFTER it — the Delta ``_last_checkpoint`` idea."""
+    def _latest_checkpoint(self, as_of: int | None = None) -> dict | None:
+        """Newest ``_checkpoint.{v}.json`` with ``version <= as_of``
+        (newest overall when ``as_of`` is None), or None. The checkpoint
+        holds the full live-unit map at version v, so replay only walks
+        entries AFTER it — the Delta ``_last_checkpoint`` idea.
+
+        The ``as_of`` filter matters, not just the newest file: old
+        checkpoints are superseded but never deleted, so a replay AT an
+        old version (a lagging feed cursor's lo-side rollup, time
+        travel) can still start from the newest checkpoint at or before
+        it. Consulting only the newest checkpoint overall made exactly
+        the deep-backlog case the saturation cutoff targets — cursor
+        far behind a producer whose maintenance kept checkpointing —
+        degrade to a full O(history) replay (code-review r11, third
+        pass). The version is parsed from the zero-padded filename, so
+        out-of-range checkpoints are never opened."""
         log_dir = os.path.join(self.path, _LOG_DIR)
         cps = sorted(
             n
             for n in os.listdir(log_dir)
             if n.startswith("_checkpoint.") and n.endswith(".json")
+            and (
+                as_of is None
+                or int(n[len("_checkpoint."):-len(".json")]) <= as_of
+            )
         )
         if not cps:
             return None
@@ -579,17 +608,22 @@ class LogTable:
         (bucket id + rows/stats), at a version.
 
         Starts from the newest log checkpoint at or before the target
-        version when one exists (O(commits since checkpoint)); time
-        travel to a pre-checkpoint version falls back to full replay —
-        the log itself is never deleted, so that is always possible.
+        version when one exists (O(commits since checkpoint)) — an
+        OLDER superseded checkpoint still bounds a replay at an old
+        version (checkpoints are tiny and never deleted); only a
+        version predating every checkpoint falls back to full replay.
         """
         latest = self.version()
         if as_of is not None and (as_of < 0 or as_of > latest):
             raise ValueError(f"version {as_of} does not exist")
+        if as_of is not None:
+            cached = self._live_units_memo.get(as_of)
+            if cached is not None:
+                return dict(cached)
         live: dict[str, dict] = {}
         start_after = -1
-        cp = self._latest_checkpoint()
-        if cp is not None and (as_of is None or as_of >= cp["version"]):
+        cp = self._latest_checkpoint(as_of=as_of)
+        if cp is not None:
             live = {u["unit"]: u for u in cp["live"]}
             start_after = cp["version"]
         for e in self._log_entries(after=start_after, upto=as_of):
@@ -597,6 +631,13 @@ class LogTable:
                 live.pop(u["unit"], None)
             for u in e.get("added", []):
                 live[u["unit"]] = u
+        if as_of is not None:
+            if len(self._live_units_memo) >= 8:
+                self._live_units_memo.pop(
+                    next(iter(self._live_units_memo))
+                )
+            self._live_units_memo[as_of] = live
+            return dict(live)
         return live
 
     def _commit(
@@ -1348,20 +1389,99 @@ class LogTable:
         reps = {rel: units[rel] for rel in by_commit.values()}
         return self._read_units(reps, None).limit(0)
 
-    def _empty_feed(self, *unit_maps: dict[str, dict]) -> DataFrame:
+    def _schema_reps(
+        self, units: dict[str, dict]
+    ) -> tuple[dict[str, dict], list[str]]:
+        """One EXISTING representative unit per distinct commit of a
+        live set, plus the units of commits whose units are ALL
+        vacuumed. The exactness argument is :meth:`_schema_frame`'s —
+        every unit of one commit shares that commit's write schema —
+        extended with an existence rule: any SURVIVING unit represents
+        its commit equally well, so vacuum only breaks the schema union
+        when it reclaimed a commit's every unit. Driver ``stat`` calls,
+        O(live units) worst case — the same metadata class as
+        :meth:`missing_units`."""
+        by_commit: dict[str, str | None] = {}
+        for rel in units:
+            commit = rel.split("/__bucket=")[0]
+            if by_commit.get(commit) is not None:
+                continue
+            by_commit[commit] = (
+                rel
+                if os.path.exists(os.path.join(self.path, rel))
+                else None
+            )
+        reps = {
+            rel: units[rel]
+            for rel in by_commit.values()
+            if rel is not None
+        }
+        missing = sorted(
+            u
+            for u in units
+            if by_commit[u.split("/__bucket=")[0]] is None
+        )
+        return reps, missing
+
+    def _empty_feed(
+        self, *sides: tuple[int, dict[str, dict]]
+    ) -> DataFrame:
         """Empty change feed with the table schema, sourced from the
-        first unit map that has any live unit (single-unit schema read,
-        see :meth:`_schema_frame`). Raises the documented "both
-        versions are empty" when none does — the one case with no
-        schema to serve."""
-        for units in unit_maps:
-            empty = self._schema_frame(units)
-            if empty is not None:
-                empty = empty.drop("__b", "__gen")
-                return empty.select(
-                    F.lit("insert").alias("change"), *empty.columns
-                )
+        first ``(version, live-unit-map)`` side able to supply it
+        (single-rep-per-commit schema read, see :meth:`_schema_frame`).
+
+        The schema read is NOT covered by the feed's touched-bucket
+        retention guards (a provably change-free captured interval
+        checks no data units at all; the diff guard checks only touched
+        buckets), and an OLD interval end's units may have been
+        vacuumed — so reps are picked among units that still EXIST
+        (:meth:`_schema_reps`), a side whose schema is unrecoverable
+        falls to the next, and when no side can serve it the failure is
+        the typed :class:`FeedTruncatedError`, not a raw missing-file
+        planning error (code-review r11, third pass;
+        :meth:`feed_truncation_missing` mirrors this rule so the gated
+        consumer's retention-lag alert agrees with the serve). Raises
+        the documented "both versions are empty" ``ValueError`` when
+        every side is empty — the one case with no schema to serve,
+        which feed consumers treat as an empty feed, never as
+        truncation."""
+        truncated: tuple[int, list[str]] | None = None
+        for version, units in sides:
+            if not units:
+                continue
+            reps, missing = self._schema_reps(units)
+            if missing:
+                if truncated is None:
+                    truncated = (version, missing)
+                continue
+            empty = self._read_units(reps, None).limit(0)
+            empty = empty.drop("__b", "__gen")
+            return empty.select(
+                F.lit("insert").alias("change"), *empty.columns
+            )
+        if truncated is not None:
+            raise FeedTruncatedError(*truncated)
         raise ValueError("both versions are empty")
+
+    def _empty_feed_missing(
+        self, *sides: tuple[int, dict[str, dict]]
+    ) -> list[str]:
+        """Vacuumed units :meth:`_empty_feed` would trip over — empty
+        when some side can supply the schema, or when every side is
+        empty (that raises the documented empty-feed ``ValueError``,
+        not truncation). The driver-side mirror of ``_empty_feed``'s
+        side walk, built on the same :meth:`_schema_reps` rule so the
+        two cannot drift on what counts as recoverable."""
+        truncated: list[str] | None = None
+        for _, units in sides:
+            if not units:
+                continue
+            _, missing = self._schema_reps(units)
+            if not missing:
+                return []
+            if truncated is None:
+                truncated = missing
+        return truncated or []
 
     def feed_interval_stats(
         self,
@@ -1608,11 +1728,14 @@ class LogTable:
                 )
             # ch mode "none": captured no-logical-change, zero event
             # rows (its buckets were still routed above)
-            if not capture_complete and captured_buckets - priced:
+            if not capture_complete:
                 # capture incompleteness is latched, so every held-
                 # aside bucket seen so far is now guaranteed into the
-                # diff tier's touched set
-                for b in captured_buckets - priced:
+                # diff tier's touched set (bind the difference once —
+                # computing it twice per entry made the walk
+                # O(entries × buckets) after capture broke)
+                pending = captured_buckets - priced
+                for b in pending:
                     _prove(b)
             if bail_rows is not None:
                 ffd_now = has_compact and not capture_complete
@@ -1684,7 +1807,13 @@ class LogTable:
             # is a lower bound, not the exact estimate.
             store_keys.append((from_version, to_version, None))
         for k in store_keys:
-            if len(self._feed_stats_memo) >= 128:
+            if (
+                k not in self._feed_stats_memo
+                and len(self._feed_stats_memo) >= 128
+            ):
+                # FIFO-evict only when the write actually grows the
+                # dict — overwriting a present key must not shrink the
+                # cache (code-review r11, third pass)
                 self._feed_stats_memo.pop(
                     next(iter(self._feed_stats_memo))
                 )
@@ -1698,10 +1827,16 @@ class LogTable:
         empty when the interval is serveable on some tier. Mirrors the
         serve's own guards WITHOUT planning the feed: a capture-complete
         interval checks its change/insert units (the capture tier needs
-        nothing else); an interval with uncaptured commits — or one
-        whose capture units are holed — checks the diff tier's
-        retention guard (touched-bucket data units at both interval
-        ends). Driver ``stat`` calls only, no Spark job.
+        nothing else — unless the interval is provably change-free, in
+        which case the serve's EMPTY feed still reads one live unit per
+        commit for the schema and the mirror checks those reps via
+        :meth:`_empty_feed_missing`); an interval with uncaptured
+        commits — or one whose capture units are holed — checks the
+        diff tier's retention guard (touched-bucket data units at both
+        interval ends), plus the same empty-feed schema reps when no
+        touched bucket holds units at either end (the serve's
+        old-None/new-None exit — code-review r11, third pass).
+        Driver ``stat`` calls only, no Spark job.
 
         Used by the saturation-gated changefeed consumer (ADVICE r10):
         a snapshot reconcile reads only the CURRENT version, so it
@@ -1726,10 +1861,12 @@ class LogTable:
         )
         if entries and all("changes" in e for e in entries):
             missing: list[str] = []
+            any_change = False
             for e in entries:
                 ch = e["changes"]
                 if ch["mode"] == "none":
                     continue
+                any_change = True
                 if ch["mode"] == "added_units":
                     missing += self.missing_units(
                         units={u["unit"]: u for u in e.get("added", [])}
@@ -1739,7 +1876,17 @@ class LogTable:
                 ):
                     missing.append(ch["unit"])
             if not missing:
-                return []  # the capture tier serves it whole
+                if any_change:
+                    # the capture tier serves data AND schema from the
+                    # interval's own (verified-present) change units
+                    return []
+                # provably change-free: the serve still builds an EMPTY
+                # feed whose schema read touches live units the checks
+                # above never stat — mirror _empty_feed's side walk
+                return self._empty_feed_missing(
+                    (to_version, self._live_units(as_of=to_version)),
+                    (from_version, self._live_units(as_of=from_version)),
+                )
             # capture is holed → the serve falls to the diff tier,
             # whose own guard below decides truncation
         touched: set[int] = set()
@@ -1748,10 +1895,23 @@ class LogTable:
                 touched.add(u["bucket"])
         lo = self._live_units(as_of=from_version)
         hi = self._live_units(as_of=to_version)
-        return sorted(
+        gone = sorted(
             set(self.missing_units(lo, touched))
             | set(self.missing_units(hi, touched))
         )
+        if gone:
+            return gone
+        if not any(
+            e["bucket"] in touched for e in lo.values()
+        ) and not any(e["bucket"] in touched for e in hi.values()):
+            # the serve's old-None/new-None exit: no touched bucket
+            # holds units on either side, so the diff is an _empty_feed
+            # whose schema read the touched-bucket guard above does not
+            # cover (code-review r11, third pass)
+            return self._empty_feed_missing(
+                (to_version, hi), (from_version, lo)
+            )
+        return []
 
     def _changes_from_capture(
         self, from_version: int, to_version: int, required: bool = False
@@ -1895,8 +2055,8 @@ class LogTable:
             # case), read from ONE live unit — not a mergeSchema pass
             # over every unit footer (ADVICE r7)
             return self._empty_feed(
-                self._live_units(as_of=to_version),
-                self._live_units(as_of=from_version),
+                (to_version, self._live_units(as_of=to_version)),
+                (from_version, self._live_units(as_of=from_version)),
             )
         ev = parts[0]
         for p2 in parts[1:]:
@@ -2013,6 +2173,11 @@ class LogTable:
             "interval_units": est["interval_units"],
             "net_change_ratio": est["net_change_ratio"],
             "forced_full_diff": est["forced_full_diff"],
+            # always False here (the serve's own estimate is uncut) —
+            # stamped anyway so last_feed_info carries ONE schema
+            # across every tier/branch and audit consumers never
+            # KeyError on it (code-review r11, third pass)
+            "estimate_truncated": est["estimate_truncated"],
         }
         fallback_reason = None
         if use_capture is not False:
@@ -2079,7 +2244,9 @@ class LogTable:
             # Return an EMPTY feed with the table schema when any unit
             # exists to supply it (single-unit schema read); raise only
             # when the table never held data at either version.
-            served = self._empty_feed(hi, lo)  # may raise ValueError
+            served = self._empty_feed(
+                (to_version, hi), (from_version, lo)
+            )  # may raise ValueError / FeedTruncatedError
             self.last_feed_info = diff_info
             return served
         if old is None:

@@ -515,6 +515,7 @@ def _drain(
                     "interval_units": est_empty["interval_units"],
                     "net_change_ratio": est_empty["net_change_ratio"],
                     "forced_full_diff": est_empty["forced_full_diff"],
+                    "estimate_truncated": est_empty["estimate_truncated"],
                 }
         if saturated is not None:
             # Same final-state-identical routine as truncation
@@ -596,6 +597,9 @@ def _drain(
                 ),
                 "forced_full_diff": (
                     est["forced_full_diff"] if est else None
+                ),
+                "estimate_truncated": (
+                    est["estimate_truncated"] if est else None
                 ),
             }
             n_batches += 1

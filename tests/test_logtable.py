@@ -304,6 +304,41 @@ def test_checkpointed_replay_never_opens_old_entries(spark, tmp_path):
         t2.snapshot(1)
 
 
+def test_old_checkpoint_bounds_replay_at_old_versions(spark, tmp_path):
+    """A replay AT an old version starts from the newest checkpoint at
+    or before that version — not from version 0 just because a NEWER
+    checkpoint exists (code-review r11: superseded checkpoints survive
+    on disk, and without consulting them a lagging feed cursor's
+    lo-side rollup — exactly the deep-backlog case the saturation
+    cutoff bounds — silently degraded to an O(full history) replay).
+    Proven the same way as the never-opens test above: corrupt a
+    pre-checkpoint entry; a read BETWEEN the two checkpoints must not
+    open it."""
+    import json as _json
+
+    p = str(tmp_path / "t")
+    t = LogTable(spark, p, key="id", n_buckets=2)
+    t.create(_mk(spark, [(1, "a")]))         # v0
+    t.upsert(_mk(spark, [(2, "b")]))         # v1
+    assert t.checkpoint_log() == 1           # older checkpoint @1
+    t.upsert(_mk(spark, [(3, "c")]))         # v2
+    mid = t._live_units(as_of=2)
+    t.upsert(_mk(spark, [(4, "d")]))         # v3
+    assert t.checkpoint_log() == 3           # newer checkpoint @3
+    t.upsert(_mk(spark, [(5, "e")]))         # v4
+    v0 = os.path.join(p, "_log", f"{0:020d}.json")
+    with open(v0, "w") as f:
+        f.write('{"version": 0, "op": "create", "ad')  # truncated JSON
+    t2 = LogTable(spark, p, key="id", n_buckets=2)
+    # v2 sits between the checkpoints: replay starts from the @1
+    # checkpoint (never opening v0) and applies only the v2 entry
+    assert t2._live_units(as_of=2) == mid
+    assert _rows(t2.snapshot(2)) == [(1, "a"), (2, "b"), (3, "c")]
+    # a version predating EVERY checkpoint still full-replays → hits v0
+    with pytest.raises(_json.JSONDecodeError):
+        t2.snapshot(0)
+
+
 def test_history_ops(spark, tmp_path):
     t = LogTable(spark, str(tmp_path / "t"), key="id", n_buckets=4)
     t.create(_mk(spark, [(1, "a")]))
@@ -1257,7 +1292,7 @@ def test_change_capture_vacuum_fallback_is_observable(spark, tmp_path, caplog):
     assert t.last_feed_info == {
         "tier": "capture", "from": 1, "to": 2, "fallback_reason": None,
         "interval_units": 1, "net_change_ratio": 1.0,
-        "forced_full_diff": False,
+        "forced_full_diff": False, "estimate_truncated": False,
     }
     # vacuum kills v1's data unit (v1's capture WAS that unit) — the
     # current snapshot and v2's change unit survive untouched
@@ -1732,3 +1767,93 @@ def test_feed_truncation_missing_rejects_inverted_interval(
     t.upsert(_mk(spark, [(1, "z")]))                             # v2
     with pytest.raises(ValueError, match="inverted interval"):
         t.feed_truncation_missing(2, 0)
+
+
+def test_empty_feed_schema_read_truncation_is_typed(spark, tmp_path):
+    """A provably change-free CAPTURED interval whose both ends were
+    later vacuumed must fail with the typed FeedTruncatedError, not a
+    raw missing-file planning error (code-review r11, third pass): the
+    empty feed's schema read touches live units that no capture-unit or
+    touched-bucket guard ever stats. feed_truncation_missing must
+    agree with the serve on exactly which units are gone."""
+    from durable_functions_cosmosdb_etl_spark.sinks.logtable import (
+        FeedTruncatedError,
+    )
+
+    t = LogTable(
+        spark, str(tmp_path / "t"), key="id", n_buckets=2,
+        change_capture=True,
+    )
+    t.create(_mk(spark, [(1, "a"), (2, "b")]))                   # v0
+    t.compact()                                                  # v1 "none"
+    t.delete_keys(spark.createDataFrame([(1,), (2,)], "id long"))  # v2
+    t.upsert(_mk(spark, [(3, "c")]))                             # v3
+    t.vacuum()  # reclaims every live@0 / live@1 unit
+    # (0, 1] contains only the captured no-logical-change compact: the
+    # serve is an EMPTY feed — but its schema must come from a live
+    # unit of one interval end, and both ends are fully vacuumed
+    missing = t.feed_truncation_missing(0, 1)
+    assert missing, "mirror must flag the vacuumed schema source"
+    with pytest.raises(FeedTruncatedError) as ei:
+        t.changes(0, 1)
+    assert ei.value.missing == missing
+
+
+def test_empty_feed_schema_read_survives_partial_vacuum(spark, tmp_path):
+    """The empty feed's schema rep is picked among a commit's SURVIVING
+    units (any unit of one commit carries that commit's write schema):
+    vacuuming SOME of an interval end's units must not break — or
+    un-determinize — the change-free serve."""
+    t = LogTable(
+        spark, str(tmp_path / "t"), key="id", n_buckets=2,
+        change_capture=True,
+    )
+    # two keys in DIFFERENT buckets (xxhash64 is fixed-seed, probe it)
+    from pyspark.sql import functions as F
+
+    probed = spark.range(1, 32).select(
+        "id", F.pmod(F.xxhash64("id"), F.lit(2)).alias("b")
+    ).collect()
+    k_a = next(r.id for r in probed if r.b == 0)
+    k_b = next(r.id for r in probed if r.b == 1)
+    t.create(_mk(spark, [(k_a, "a"), (k_b, "b")]))               # v0
+    t.compact()                                                  # v1 "none"
+    t.upsert(_mk(spark, [(k_a, "A")]))                           # v2
+    t.vacuum()  # reclaims v0's units + the compact's k_a-bucket unit
+    assert t.feed_truncation_missing(0, 1) == []
+    fed = t.changes(0, 1)
+    assert fed.count() == 0
+    assert set(fed.columns) == {"change", "id", "val"}
+
+
+def test_diff_empty_feed_truncation_is_typed(spark, tmp_path):
+    """Diff-tier variant of the schema-read hole: an interval whose
+    touched buckets hold no units at either end serves an empty feed,
+    and the touched-bucket retention guard never stats the schema
+    source — with both ends' only unit vacuumed, the serve must raise
+    the typed error and the mirror must agree."""
+    from pyspark.sql import functions as F
+
+    from durable_functions_cosmosdb_etl_spark.sinks.logtable import (
+        FeedTruncatedError,
+    )
+
+    probed = spark.range(1, 32).select(
+        "id", F.pmod(F.xxhash64("id"), F.lit(2)).alias("b")
+    ).collect()
+    k_a = next(r.id for r in probed if r.b == 0)
+    k_b = next(r.id for r in probed if r.b == 1)
+    t = LogTable(spark, str(tmp_path / "t"), key="id", n_buckets=2)
+    t.create(_mk(spark, [(k_a, "a")]))                           # v0
+    t.upsert(_mk(spark, [(k_b, "b")]))                           # v1
+    t.delete_keys(spark.createDataFrame([(k_b,)], "id long"))    # v2
+    t.upsert(_mk(spark, [(k_a, "A")]))                           # v3
+    t.vacuum()  # reclaims v0's bucket-a unit (rewritten at v3)
+    # (0, 2]: touched = {k_b's bucket} only — and neither live@0 nor
+    # live@2 holds a unit there (v1 added it, v2 removed it), so the
+    # serve is an empty feed sourced from the vacuumed bucket-a unit
+    missing = t.feed_truncation_missing(0, 2)
+    assert missing, "mirror must flag the vacuumed schema source"
+    with pytest.raises(FeedTruncatedError) as ei:
+        t.changes(0, 2)
+    assert ei.value.missing == missing

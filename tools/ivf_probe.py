@@ -46,6 +46,10 @@ QUERIES = ["similarity_ivf_prod", "similarity_ivf", "dedup_semantic"]
 
 def main() -> None:
     n_runs = int(sys.argv[1]) if len(sys.argv) > 1 else 9
+    if n_runs < 1:
+        # fail before the Spark warmup, not in statistics.median([])
+        # after paying it (code-review r11)
+        sys.exit(f"n_runs must be >= 1, got {n_runs}")
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     try:
         pre = [round(x, 2) for x in os.getloadavg()]
