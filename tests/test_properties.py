@@ -696,6 +696,11 @@ def test_change_capture_vacuum_interleaved_fallback(
     latest = t.version()
     intervals = {(0, latest), (latest // 2, latest)}
     intervals.add((pick % latest if latest > 0 else 0, latest))
+    # also exercise interval ENDS the vacuum may have reclaimed — a
+    # latest-anchored interval can never hit the empty-feed schema
+    # read's truncation path (code-review r11, third pass)
+    if latest >= 2:
+        intervals.add((0, max(latest // 2, 1)))
     for lo, hi in intervals:
         if lo >= hi:
             continue
@@ -786,6 +791,16 @@ def test_feed_truncation_missing_mirrors_the_serve(
     latest = t.version()
     intervals = {(0, latest), (latest // 2, latest)}
     intervals.add((pick % latest if latest > 0 else 0, latest))
+    # OLD-to intervals (code-review r11, third pass): an interval
+    # ending at latest can never expose the empty-feed schema-read
+    # truncation — live@latest is never vacuumed — which is exactly
+    # why two earlier passes over this property missed that hole.
+    # Exercise interval ENDS the vacuum may have reclaimed too.
+    if latest >= 2:
+        intervals.add((0, max(latest // 2, 1)))
+        a, b = pick % latest, (pick * 7 + 3) % latest
+        if a != b:
+            intervals.add((min(a, b), max(a, b)))
     for lo, hi in intervals:
         if lo >= hi:
             continue
