@@ -1,0 +1,163 @@
+"""Driver-side depth scaling of the feed cost machinery — no Spark.
+
+Reproduces the SCALE.md §2b depth numbers (previously one-off):
+synthesizes a captured full-churn commit log (every commit rewrites
+all buckets — the worst case for both the estimator walk and the
+live-map replay), with periodic log checkpoints like the drain's
+maintenance cadence writes, then times at each requested depth:
+
+- ``estimate_full``: unbounded ``feed_interval_stats(0, depth-1)`` —
+  O(interval commits) driver JSON (~0.13 ms/commit measured).
+- ``estimate_cutoff``: the same estimate with ``saturation_cutoff``
+  set — the gate's call; on a full-churn backlog one commit proves
+  the calibrated θ=2.0, so this should be flat in depth.
+- ``lo_replay``: ``_live_units`` at a mid-log lagging cursor — the
+  lo-side rollup / diff-serve read. Bounded by the newest checkpoint
+  AT OR BELOW the cursor (code-review r11: consulting only the
+  newest checkpoint overall made this O(full history)).
+- ``lo_replay_nocp``: the same replay with checkpoints ignored — the
+  full-replay baseline (= the pre-r11 cost of a lagging cursor, and
+  the cost on a table whose producer never checkpoints).
+
+Timings are driver-side wall clock over synthetic JSON; run on a
+quiet machine for stable numbers. Usage:
+
+    python tools/feed_depth_probe.py [depth ...]   (default 1000 3000 10000)
+
+Prints one JSON line per depth. Work dir is removed on exit unless
+SPARK_GRAFT_PROBE_KEEP=1 (repo probe hygiene convention, round 7).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import sys
+import time
+
+sys.path.insert(
+    0, os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+)
+
+from durable_functions_cosmosdb_etl_spark.sinks.logtable import (  # noqa: E402
+    LogTable,
+)
+
+N_BUCKETS = 32
+ROWS_PER_BUCKET = 100
+CP_EVERY = 500
+THETA = 2.0
+
+
+def build_log(base: str, depth: int) -> None:
+    log_dir = os.path.join(base, "_log")
+    os.makedirs(log_dir)
+    os.makedirs(os.path.join(base, "data"))
+    live: dict[int, dict] = {}
+    for v in range(depth):
+        added = [
+            {
+                "unit": f"data/c{v}/__bucket={b}",
+                "bucket": b,
+                "rows": ROWS_PER_BUCKET,
+            }
+            for b in range(N_BUCKETS)
+        ]
+        removed = [live[b] for b in sorted(live)]
+        for a in added:
+            live[a["bucket"]] = a
+        entry = {
+            "version": v,
+            "op": "upsert",
+            "added": added,
+            "removed": removed,
+            # captured full churn: update pre+post per key
+            "changes": {
+                "mode": "unit",
+                "unit": f"_changes/c{v}-deadbeef",
+                "rows": 2 * N_BUCKETS * ROWS_PER_BUCKET,
+            },
+        }
+        with open(os.path.join(log_dir, f"{v:020d}.json"), "w") as f:
+            json.dump(entry, f)
+        if v and v % CP_EVERY == 0:
+            cp = {"version": v, "live": list(live.values())}
+            with open(
+                os.path.join(log_dir, f"_checkpoint.{v:020d}.json"), "w"
+            ) as f:
+                json.dump(cp, f)
+    with open(os.path.join(log_dir, "_meta.json"), "w") as f:
+        json.dump({"key": "id", "n_buckets": N_BUCKETS}, f)
+
+
+def handle(base: str) -> LogTable:
+    # fresh cold handle per measurement: no spark needed for the
+    # driver-side paths this probe times
+    t = LogTable.__new__(LogTable)
+    t.path = base
+    t.key = "id"
+    t.n_buckets = N_BUCKETS
+    t._feed_stats_memo = {}
+    t._live_units_memo = {}
+    return t
+
+
+def main() -> None:
+    depths = [int(a) for a in sys.argv[1:]] or [1000, 3000, 10000]
+    if any(d < 2 for d in depths):
+        sys.exit("depths must be >= 2")
+    base_root = "/tmp/feed_depth_probe"
+    shutil.rmtree(base_root, ignore_errors=True)
+    for depth in depths:
+        base = os.path.join(base_root, f"d{depth}")
+        build_log(base, depth)
+        hi = depth - 1
+        cursor = depth // 2 + CP_EVERY // 2  # mid-log lagging cursor
+
+        t = handle(base)
+        t0 = time.perf_counter()
+        full = t.feed_interval_stats(0, hi)
+        est_full = time.perf_counter() - t0
+
+        t = handle(base)
+        t0 = time.perf_counter()
+        cut = t.feed_interval_stats(0, hi, saturation_cutoff=THETA)
+        est_cut = time.perf_counter() - t0
+
+        t = handle(base)
+        t0 = time.perf_counter()
+        t._live_units(as_of=cursor)
+        lo_replay = time.perf_counter() - t0
+
+        t = handle(base)
+        t._latest_checkpoint = lambda as_of=None: None  # type: ignore
+        t0 = time.perf_counter()
+        t._live_units(as_of=cursor)
+        lo_nocp = time.perf_counter() - t0
+
+        print(
+            json.dumps(
+                {
+                    "metric": "feed_depth_probe",
+                    "depth": depth,
+                    "n_buckets": N_BUCKETS,
+                    "cp_every": CP_EVERY,
+                    "cursor": cursor,
+                    "estimate_full_sec": round(est_full, 4),
+                    "estimate_cutoff_sec": round(est_cut, 4),
+                    "estimate_truncated": cut["estimate_truncated"],
+                    "ratio_full": round(full["net_change_ratio"], 3),
+                    "lo_replay_sec": round(lo_replay, 4),
+                    "lo_replay_nocp_sec": round(lo_nocp, 4),
+                },
+                sort_keys=True,
+            ),
+            flush=True,
+        )
+    if os.environ.get("SPARK_GRAFT_PROBE_KEEP") != "1":
+        shutil.rmtree(base_root, ignore_errors=True)
+
+
+if __name__ == "__main__":
+    main()
