@@ -700,7 +700,7 @@ def test_change_capture_vacuum_interleaved_fallback(
     # latest-anchored interval can never hit the empty-feed schema
     # read's truncation path (code-review r11, third pass)
     if latest >= 2:
-        intervals.add((0, max(latest // 2, 1)))
+        intervals.add((0, latest // 2))
     for lo, hi in intervals:
         if lo >= hi:
             continue
@@ -797,7 +797,7 @@ def test_feed_truncation_missing_mirrors_the_serve(
     # why two earlier passes over this property missed that hole.
     # Exercise interval ENDS the vacuum may have reclaimed too.
     if latest >= 2:
-        intervals.add((0, max(latest // 2, 1)))
+        intervals.add((0, latest // 2))
         a, b = pick % latest, (pick * 7 + 3) % latest
         if a != b:
             intervals.add((min(a, b), max(a, b)))

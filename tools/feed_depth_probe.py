@@ -54,6 +54,7 @@ def build_log(base: str, depth: int) -> None:
     log_dir = os.path.join(base, "_log")
     os.makedirs(log_dir)
     os.makedirs(os.path.join(base, "data"))
+    os.makedirs(os.path.join(base, "_changes"))
     live: dict[int, dict] = {}
     for v in range(depth):
         added = [
@@ -67,6 +68,14 @@ def build_log(base: str, depth: int) -> None:
         removed = [live[b] for b in sorted(live)]
         for a in added:
             live[a["bucket"]] = a
+        cap_unit = f"_changes/c{v}-deadbeef"
+        # the capture unit must EXIST: the estimator mirrors the
+        # serve's existence bail, so a missing unit would silently
+        # reprice the whole walk as the vacuum-holed diff path
+        # instead of the captured tier this probe documents
+        # (code-review r11, fourth pass caught exactly that)
+        with open(os.path.join(base, cap_unit), "w") as f:
+            f.write("")
         entry = {
             "version": v,
             "op": "upsert",
@@ -75,7 +84,7 @@ def build_log(base: str, depth: int) -> None:
             # captured full churn: update pre+post per key
             "changes": {
                 "mode": "unit",
-                "unit": f"_changes/c{v}-deadbeef",
+                "unit": cap_unit,
                 "rows": 2 * N_BUCKETS * ROWS_PER_BUCKET,
             },
         }
@@ -92,15 +101,12 @@ def build_log(base: str, depth: int) -> None:
 
 
 def handle(base: str) -> LogTable:
-    # fresh cold handle per measurement: no spark needed for the
-    # driver-side paths this probe times
-    t = LogTable.__new__(LogTable)
-    t.path = base
-    t.key = "id"
-    t.n_buckets = N_BUCKETS
-    t._feed_stats_memo = {}
-    t._live_units_memo = {}
-    return t
+    # fresh cold handle per measurement; the real constructor never
+    # touches the session (it only stores it), so spark=None keeps
+    # every attribute initialized the normal way instead of hand-
+    # copying private state that would drift out of sync with
+    # __init__ (code-review r11, fourth pass)
+    return LogTable(None, base, key="id", n_buckets=N_BUCKETS)
 
 
 def main() -> None:
@@ -113,7 +119,9 @@ def main() -> None:
         base = os.path.join(base_root, f"d{depth}")
         build_log(base, depth)
         hi = depth - 1
-        cursor = depth // 2 + CP_EVERY // 2  # mid-log lagging cursor
+        # mid-log lagging cursor, just past a checkpoint when the log
+        # is deep enough; clamped so shallow depths stay valid
+        cursor = min(depth // 2 + CP_EVERY // 2, hi)
 
         t = handle(base)
         t0 = time.perf_counter()
