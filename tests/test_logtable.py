@@ -339,6 +339,22 @@ def test_old_checkpoint_bounds_replay_at_old_versions(spark, tmp_path):
         t2.snapshot(0)
 
 
+def test_live_units_memo_returns_copies(spark, tmp_path):
+    """Per-version live maps are memoized (a diff serve replays each
+    end once, not 2-4 times) — the cached map must be handed out as a
+    copy, so a caller mutating its result cannot corrupt what the next
+    caller sees."""
+    t = LogTable(spark, str(tmp_path / "t"), key="id", n_buckets=4)
+    t.create(_mk(spark, [(1, "a"), (2, "b")]))   # v0
+    t.upsert(_mk(spark, [(3, "c")]))             # v1
+    m1 = t._live_units(as_of=0)
+    assert m1 == t._live_units(as_of=0)          # memo hit, same content
+    m1.clear()                                   # caller-side mutation
+    assert t._live_units(as_of=0), "cache corrupted by caller mutation"
+    # and the memo never serves a stale map for a different version
+    assert set(t._live_units(as_of=1)) != set(t._live_units(as_of=0))
+
+
 def test_history_ops(spark, tmp_path):
     t = LogTable(spark, str(tmp_path / "t"), key="id", n_buckets=4)
     t.create(_mk(spark, [(1, "a")]))
