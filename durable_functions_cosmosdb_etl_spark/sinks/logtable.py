@@ -458,9 +458,11 @@ class LogTable:
         # so one replay per version per handle suffices. Values are
         # returned as shallow copies; the shared inner unit dicts are
         # read-only by contract everywhere (callers tag only
-        # freshly-written commit lists, never a replayed map). Keyed
-        # on explicit versions only — as_of=None means "latest", which
-        # moves. Bounded FIFO like the stats memo.
+        # freshly-written commit lists, never a replayed map).
+        # as_of=None resolves to the version observed at entry and the
+        # replay is PINNED there, so "latest" reads are memoizable too
+        # without a racing commit leaking into the keyed map. Bounded
+        # FIFO like the stats memo.
         self._live_units_memo: dict[int, dict[str, dict]] = {}
         os.makedirs(os.path.join(path, _LOG_DIR), exist_ok=True)
         os.makedirs(os.path.join(path, _DATA_DIR), exist_ok=True)
@@ -616,29 +618,33 @@ class LogTable:
         latest = self.version()
         if as_of is not None and (as_of < 0 or as_of > latest):
             raise ValueError(f"version {as_of} does not exist")
-        if as_of is not None:
-            cached = self._live_units_memo.get(as_of)
-            if cached is not None:
-                return dict(cached)
+        # as_of=None means "latest" — resolve it to the version just
+        # observed and pin the replay there, so the result is
+        # memoizable too (a commit racing in between version() and the
+        # log listing must not leak into a map keyed at `latest`)
+        pin = latest if as_of is None else as_of
+        if pin < 0:
+            return {}  # empty table
+        cached = self._live_units_memo.get(pin)
+        if cached is not None:
+            return dict(cached)
         live: dict[str, dict] = {}
         start_after = -1
-        cp = self._latest_checkpoint(as_of=as_of)
+        cp = self._latest_checkpoint(as_of=pin)
         if cp is not None:
             live = {u["unit"]: u for u in cp["live"]}
             start_after = cp["version"]
-        for e in self._log_entries(after=start_after, upto=as_of):
+        for e in self._log_entries(after=start_after, upto=pin):
             for u in e.get("removed", []):
                 live.pop(u["unit"], None)
             for u in e.get("added", []):
                 live[u["unit"]] = u
-        if as_of is not None:
-            if len(self._live_units_memo) >= 8:
-                self._live_units_memo.pop(
-                    next(iter(self._live_units_memo))
-                )
-            self._live_units_memo[as_of] = live
-            return dict(live)
-        return live
+        if len(self._live_units_memo) >= 8:
+            self._live_units_memo.pop(
+                next(iter(self._live_units_memo))
+            )
+        self._live_units_memo[pin] = live
+        return dict(live)
 
     def _commit(
         self,
@@ -1383,10 +1389,16 @@ class LogTable:
         when no unit is live."""
         if not units:
             return None
-        by_commit: dict[str, str] = {}
-        for rel in units:
-            by_commit.setdefault(rel.split("/__bucket=")[0], rel)
-        reps = {rel: units[rel] for rel in by_commit.values()}
+        # rep selection shared with the feed's _empty_feed (one rule,
+        # no drift): prefer a SURVIVING unit per commit. Callers here
+        # are guarded paths where every unit exists (snapshot's
+        # time-travel check ran, or the version is latest — never
+        # vacuumed), so `missing` is empty there; if a commit's units
+        # are somehow all gone anyway, serving the union of the
+        # surviving commits' schemas beats a raw missing-file error.
+        reps, _ = self._schema_reps(units)
+        if not reps:
+            return None
         return self._read_units(reps, None).limit(0)
 
     def _schema_reps(
@@ -1444,7 +1456,19 @@ class LogTable:
         the documented "both versions are empty" ``ValueError`` when
         every side is empty — the one case with no schema to serve,
         which feed consumers treat as an empty feed, never as
-        truncation."""
+        truncation.
+
+        A capture-tier caller deliberately does NOT catch this and
+        bail to the diff tier: under horizon-based vacuum no interval
+        exists where this raises but the diff serves — a change-free
+        captured interval's touched buckets always contain a unit
+        removed in-interval (compact/certify fold their inputs), and
+        any vacuum that reclaimed an interval-end schema rep (removed
+        strictly LATER) must already have reclaimed those
+        earlier-dead units, so the diff's own retention guard raises
+        on the same interval. Bailing would re-derive the identical
+        error at higher cost (code-review r11, fifth pass analysis).
+        """
         truncated: tuple[int, list[str]] | None = None
         for version, units in sides:
             if not units:
@@ -1648,6 +1672,7 @@ class LogTable:
         # incomplete), each bucket once, at ≤ its final lo+hi price.
         proven = 0
         priced: set[int] = set()
+        prove_latched = False
         lo_rollup: tuple[dict[int, int], dict[int, int]] | None = None
         lo_total = 0
 
@@ -1687,7 +1712,13 @@ class LogTable:
             sink_set = captured_buckets if ch is not None else diff_buckets
             for u in e.get("added", []) + e.get("removed", []):
                 sink_set.add(u["bucket"])
-                if ch is None:
+                if ch is None or not capture_complete:
+                    # uncaptured buckets are certain diff reads; once
+                    # capture is broken, captured entries' buckets are
+                    # too — prove them at routing time so the steady
+                    # state after the latch below is O(entry buckets),
+                    # not O(all buckets) per entry (code-review r11,
+                    # fifth pass)
                     _prove(u["bucket"])
             if ch is not None and ch["mode"] == "unit":
                 full = os.path.join(self.path, ch["unit"])
@@ -1728,14 +1759,14 @@ class LogTable:
                 )
             # ch mode "none": captured no-logical-change, zero event
             # rows (its buckets were still routed above)
-            if not capture_complete:
-                # capture incompleteness is latched, so every held-
-                # aside bucket seen so far is now guaranteed into the
-                # diff tier's touched set (bind the difference once —
-                # computing it twice per entry made the walk
-                # O(entries × buckets) after capture broke)
-                pending = captured_buckets - priced
-                for b in pending:
+            if not capture_complete and not prove_latched:
+                # one-time transition: capture incompleteness is
+                # latched, so every held-aside bucket seen BEFORE the
+                # break is now guaranteed into the diff tier's touched
+                # set; buckets after it are proven at routing time
+                # above, so this set difference runs once per walk
+                prove_latched = True
+                for b in captured_buckets - priced:
                     _prove(b)
             if bail_rows is not None:
                 ffd_now = has_compact and not capture_complete
@@ -1866,15 +1897,23 @@ class LogTable:
                 ch = e["changes"]
                 if ch["mode"] == "none":
                     continue
-                any_change = True
                 if ch["mode"] == "added_units":
-                    missing += self.missing_units(
-                        units={u["unit"]: u for u in e.get("added", [])}
-                    )
-                elif not os.path.exists(
-                    os.path.join(self.path, ch["unit"])
-                ):
-                    missing.append(ch["unit"])
+                    added = {u["unit"]: u for u in e.get("added", [])}
+                    missing += self.missing_units(units=added)
+                    # keyed on actual event parts, not the mode tag: a
+                    # zero-row added_units commit (empty-batch upsert)
+                    # contributes NO parts, so the serve still builds
+                    # an _empty_feed — the mode alone must not flip
+                    # this interval to "capture serves data AND
+                    # schema" (code-review r11, fifth pass: the mirror
+                    # reported [] while the serve raised)
+                    any_change = any_change or bool(added)
+                else:
+                    any_change = True
+                    if not os.path.exists(
+                        os.path.join(self.path, ch["unit"])
+                    ):
+                        missing.append(ch["unit"])
             if not missing:
                 if any_change:
                     # the capture tier serves data AND schema from the

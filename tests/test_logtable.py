@@ -1842,6 +1842,34 @@ def test_empty_feed_schema_read_survives_partial_vacuum(spark, tmp_path):
     assert set(fed.columns) == {"change", "id", "val"}
 
 
+def test_zero_row_capture_commit_does_not_fake_serveability(
+    spark, tmp_path
+):
+    """A zero-row ``added_units`` commit (empty-batch upsert) carries
+    the capture mode tag but contributes NO event parts, so the serve
+    still builds an _empty_feed — the mirror must key "capture serves
+    data AND schema" on actual parts, not the tag, or it reports []
+    for an interval the serve raises on (code-review r11, fifth pass;
+    reproduced before the fix)."""
+    from durable_functions_cosmosdb_etl_spark.sinks.logtable import (
+        FeedTruncatedError,
+    )
+
+    t = LogTable(
+        spark, str(tmp_path / "t"), key="id", n_buckets=2,
+        change_capture=True,
+    )
+    t.create(_mk(spark, [(1, "a")]))                             # v0
+    t.upsert(spark.createDataFrame([], "id long, val string"))   # v1: 0 rows
+    t.upsert(_mk(spark, [(1, "a2")]))                            # v2
+    t.vacuum()  # reclaims v0's unit (rewritten at v2)
+    missing = t.feed_truncation_missing(0, 1)
+    assert missing, "mirror must flag the vacuumed schema source"
+    with pytest.raises(FeedTruncatedError) as ei:
+        t.changes(0, 1)
+    assert ei.value.missing == missing
+
+
 def test_diff_empty_feed_truncation_is_typed(spark, tmp_path):
     """Diff-tier variant of the schema-read hole: an interval whose
     touched buckets hold no units at either end serves an empty feed,
