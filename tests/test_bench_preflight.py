@@ -1,0 +1,56 @@
+"""Pre-flight steal probe (bench.py, round 12 — VERDICT r11 #1).
+
+No Spark session: the probe runs before Spark startup by design, so
+these tests exercise it exactly as bench.py main() does, just with a
+tiny rep/proc count to stay fast. Discrimination against real
+known-quiet/known-noisy windows is a measurement, not a unit test —
+those numbers live in BASELINE.md rule 6.
+"""
+
+import bench
+
+
+def test_probe_shape_and_quiet_window_sanity():
+    m = bench._preflight_probe(reps=2, procs=2)
+    assert set(m) >= {
+        "median_rep_wall_sec",
+        "rep_wall_range",
+        "steal_ratio",
+        "steal_ratio_p90",
+        "abs_multiplier",
+        "anchor_sec",
+        "procs",
+        "reps",
+    }
+    # ratio is a physical lower bound: wall >= thread CPU for a
+    # CPU-bound loop (up to clock granularity)
+    assert m["steal_ratio"] >= 0.99
+    assert m["steal_ratio_p90"] >= m["steal_ratio"]
+    assert m["rep_wall_range"][0] <= m["median_rep_wall_sec"]
+    assert m["median_rep_wall_sec"] <= m["rep_wall_range"][1]
+    assert m["anchor_sec"] == bench.PREFLIGHT_ANCHOR_SEC
+
+
+def test_hot_rule_each_term_is_load_bearing():
+    quiet = {
+        "steal_ratio": 1.0,
+        "steal_ratio_p90": 1.02,
+        "abs_multiplier": 0.95,
+    }
+    assert not bench._preflight_hot(quiet)
+    # median ratio over the line
+    assert bench._preflight_hot({**quiet, "steal_ratio": 1.31})
+    # p90 over the line with a clean median — the calibrated 32-hog
+    # signature (median 1.17, p90 2.0): the tail term must fire alone
+    assert bench._preflight_hot({**quiet, "steal_ratio_p90": 2.0})
+    # absolute multiplier over its LOOSER line (frequency-cap backstop)
+    assert not bench._preflight_hot({**quiet, "abs_multiplier": 1.4})
+    assert bench._preflight_hot({**quiet, "abs_multiplier": 1.51})
+
+
+def test_thresholds_are_the_documented_rule():
+    # BASELINE.md rule 6 documents 1.3x ratio (median AND p90) / 1.5x
+    # absolute; a silent constant change must fail a test, not just
+    # drift the docs.
+    assert bench.PREFLIGHT_RATIO_MAX == 1.3
+    assert bench.PREFLIGHT_ABS_MAX == 1.5
