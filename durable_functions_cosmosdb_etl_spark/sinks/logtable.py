@@ -57,13 +57,16 @@ as compact/vacuum.
 
 from __future__ import annotations
 
+import bisect
 import datetime
 import json
 import logging
 import os
 import shutil
+import time
 import uuid
-from typing import Iterator
+from types import MappingProxyType
+from typing import Iterator, NamedTuple
 
 import pyarrow.parquet as pq
 from pyspark.sql import DataFrame, SparkSession, Window
@@ -74,6 +77,20 @@ _LOG = logging.getLogger(__name__)
 _LOG_DIR = "_log"
 _DATA_DIR = "data"
 _CHANGES_DIR = "_changes"
+
+
+class _LogListing(NamedTuple):
+    """One parsed log-dir listing (see LogTable._list_log): commit and
+    checkpoint versions in numeric order with their filenames in
+    parallel lists (names are kept rather than reconstructed from the
+    version, so an unpadded-but-numeric foreign name still opens), plus
+    the latest commit version (-1 when the log is empty)."""
+
+    commit_versions: list[int]
+    commit_names: list[str]
+    cp_versions: list[int]
+    cp_names: list[str]
+    latest: int
 
 
 def _json_stat(v):
@@ -456,14 +473,24 @@ class LogTable:
         # version's live map is IMMUTABLE (the log is append-only and
         # never vacuumed; data-file deletion doesn't change the map),
         # so one replay per version per handle suffices. Values are
-        # returned as shallow copies; the shared inner unit dicts are
-        # read-only by contract everywhere (callers tag only
-        # freshly-written commit lists, never a replayed map).
-        # as_of=None resolves to the version observed at entry and the
-        # replay is PINNED there, so "latest" reads are memoizable too
-        # without a racing commit leaking into the keyed map. Bounded
-        # FIFO like the stats memo.
+        # returned as shallow copies of the outer map; the shared inner
+        # unit dicts are read-only MappingProxyType views (round 12 —
+        # callers tag only freshly-written commit lists, never a
+        # replayed map, and the proxy makes a violation raise instead
+        # of corrupting the memo). as_of=None resolves to the version
+        # observed at entry and the replay is PINNED there, so "latest"
+        # reads are memoizable too without a racing commit leaking into
+        # the keyed map. Bounded FIFO like the stats memo.
         self._live_units_memo: dict[int, dict[str, dict]] = {}
+        # Log-dir listing memo (round 12, VERDICT r11 #5): every
+        # _log_entries/version()/_latest_checkpoint call os.listdir's
+        # the whole log dir — parsing is checkpoint-bounded, but the
+        # LISTING is O(total history files) and a drain loop head pays
+        # it 3+ times back-to-back (measured 69-102 ms/call at 100k
+        # commits — tools/feed_depth_probe.py --light). Keyed on the
+        # dir's mtime_ns with a quiescence margin; see _list_log for
+        # why a hit is provably current, not best-effort.
+        self._log_listing_memo: tuple[int, _LogListing] | None = None
         os.makedirs(os.path.join(path, _LOG_DIR), exist_ok=True)
         os.makedirs(os.path.join(path, _DATA_DIR), exist_ok=True)
         self._check_meta()
@@ -513,28 +540,116 @@ class LogTable:
 
     # ---------------------------------------------------------------- log
 
+    # Quiescence margin for the listing memo: must exceed the coarse
+    # filesystem timestamp granularity (1-10 ms on Linux) so "mtime is
+    # MARGIN old" proves no write can still land in the same tick.
+    _LISTING_QUIESCENT_NS = 50_000_000  # 50 ms
+
+    def _list_log(self) -> "_LogListing":
+        """The log-dir listing, PARSED (commit/checkpoint versions in
+        numeric order + the latest version) and memoized per directory
+        mtime.
+
+        Two costs used to be paid per call, O(total history files)
+        each, by every version()/_latest_checkpoint/_log_entries call
+        regardless of how tightly checkpoints bound the replay PARSING:
+        the raw listdir, and the name filter/int-parse pass over it —
+        measured 69-102 ms per call at 100k commits, 3+ calls per drain
+        loop head (SCALE.md §2b), i.e. the LISTING dominated deep logs.
+        Both are now paid once per directory CHANGE, not per call: the
+        parsed listing is memoized, the three listers bisect into it,
+        and a loop head's calls collapse to one stat apiece on the hit
+        path.
+
+        The memo hit is provably current, not best-effort: a listing is
+        memoized ONLY when the dir had been quiescent for at least
+        `_LISTING_QUIESCENT_NS` at capture (mtime strictly older than
+        the capture clock by more than the filesystem's coarse
+        timestamp granularity, re-stat-verified after the listdir), and
+        served ONLY on an exact mtime_ns match. Any later write — ours
+        or a concurrent writer's — lands a strictly NEWER mtime tick
+        (the tick containing the memoized mtime is over by
+        construction) and misses the memo. A dir modified within the
+        margin is simply not memoized: the cost is one extra listdir,
+        never a stale serve. Both clocks are the same kernel clock, so
+        there is no cross-clock skew to account for on the local
+        filesystems the POSIX protocol targets. The atomic commit claim
+        stays the write-side arbiter either way — a writer acting on a
+        stale version() loses the claim, exactly as it would having
+        listed a moment earlier.
+
+        Foreign non-numeric names degrade to "ignored" in one place
+        now, so the three listers can never disagree on what a commit
+        file IS (ADVICE r11).
+        """
+        log_dir = os.path.join(self.path, _LOG_DIR)
+        m0 = os.stat(log_dir).st_mtime_ns
+        memo = self._log_listing_memo
+        if memo is not None and memo[0] == m0:
+            return memo[1]
+        names = os.listdir(log_dir)
+        commits = []
+        cps = []
+        for n in names:
+            if not n.endswith(".json"):
+                continue
+            if n.startswith("_checkpoint."):
+                seg = n[len("_checkpoint."):-len(".json")]
+                # skip a manual _checkpoint.bak.json rather than raise
+                # inside every replay
+                if seg.isdigit():
+                    cps.append((int(seg), n))
+            elif not n.startswith("_") and n[:-5].isdigit():
+                commits.append((int(n[:-5]), n))
+        # numeric sort (not lexicographic-name sort): our writers
+        # zero-pad to 20 digits so the two agree, but a hand-placed
+        # unpadded "5.json" must not break range bisection or yield
+        # entries out of version order
+        commits.sort()
+        cps.sort()
+        listing = _LogListing(
+            commit_versions=[v for v, _n in commits],
+            commit_names=[n for _v, n in commits],
+            cp_versions=[v for v, _n in cps],
+            cp_names=[n for _v, n in cps],
+            latest=commits[-1][0] if commits else -1,
+        )
+        # re-stat AFTER the listing: a write racing the listdir bumps
+        # the mtime we'd key on, so requiring stat-before == stat-after
+        # AND quiescence makes the memoized (mtime, listing) pair exact
+        if (
+            os.stat(log_dir).st_mtime_ns == m0
+            and time.time_ns() - m0 > self._LISTING_QUIESCENT_NS
+        ):
+            self._log_listing_memo = (m0, listing)
+        else:
+            self._log_listing_memo = None
+        return listing
+
     def _log_entries(
         self, after: int = -1, upto: int | None = None
     ) -> Iterator[dict]:
         """Commit entries with ``after < version <= upto``, oldest first.
 
-        The version range is decided from the zero-padded FILENAME, so
-        out-of-range entries are never opened or parsed — this is what
-        makes checkpointed replay genuinely O(commits since checkpoint)
-        rather than O(history) with a post-parse skip (the logtable
-        probe caught the latter: replay cost was flat with vs without a
-        checkpoint until this filter moved before the open).
+        The version range is decided from the FILENAME-parsed version
+        index, so out-of-range entries are never opened or parsed —
+        this is what makes checkpointed replay genuinely O(commits
+        since checkpoint) rather than O(history) with a post-parse skip
+        (the logtable probe caught the latter: replay cost was flat
+        with vs without a checkpoint until this filter moved before the
+        open). Since round 12 the range is BISECTED out of the memoized
+        parsed listing, so even the per-name version comparisons are
+        O(log history + range), not O(history) (VERDICT r11 #5).
         """
         log_dir = os.path.join(self.path, _LOG_DIR)
-        for name in sorted(os.listdir(log_dir)):
-            # skip _checkpoint.*, _meta.json, *.tmp
-            if not (name.endswith(".json") and not name.startswith("_")):
-                continue
-            v = int(name[:-5])
-            if v <= after:
-                continue
-            if upto is not None and v > upto:
-                break
+        listing = self._list_log()
+        lo = bisect.bisect_right(listing.commit_versions, after)
+        hi = (
+            bisect.bisect_right(listing.commit_versions, upto)
+            if upto is not None
+            else len(listing.commit_versions)
+        )
+        for name in listing.commit_names[lo:hi]:
             with open(os.path.join(log_dir, name)) as f:
                 yield json.load(f)
 
@@ -553,20 +668,20 @@ class LogTable:
         far behind a producer whose maintenance kept checkpointing —
         degrade to a full O(history) replay (code-review r11, third
         pass). The version is parsed from the zero-padded filename, so
-        out-of-range checkpoints are never opened."""
-        log_dir = os.path.join(self.path, _LOG_DIR)
-        cps = sorted(
-            n
-            for n in os.listdir(log_dir)
-            if n.startswith("_checkpoint.") and n.endswith(".json")
-            and (
-                as_of is None
-                or int(n[len("_checkpoint."):-len(".json")]) <= as_of
-            )
+        out-of-range checkpoints are never opened. Names whose version
+        segment is not all digits (a manual ``_checkpoint.bak.json``)
+        are ignored, not a ValueError inside every replay (ADVICE
+        r11)."""
+        listing = self._list_log()
+        idx = (
+            bisect.bisect_right(listing.cp_versions, as_of)
+            if as_of is not None
+            else len(listing.cp_versions)
         )
-        if not cps:
+        if idx == 0:
             return None
-        with open(os.path.join(log_dir, cps[-1])) as f:
+        cp_name = listing.cp_names[idx - 1]
+        with open(os.path.join(self.path, _LOG_DIR, cp_name)) as f:
             return json.load(f)
 
     def checkpoint_log(self) -> int:
@@ -580,7 +695,9 @@ class LogTable:
         """
         v = self.version()
         live = self._live_units(as_of=v if v >= 0 else None)
-        cp = {"version": v, "live": list(live.values())}
+        # dict() each unit: the memoized units are MappingProxyType
+        # (read-only views), which json.dump rejects
+        cp = {"version": v, "live": [dict(u) for u in live.values()]}
         final = os.path.join(
             self.path, _LOG_DIR, f"_checkpoint.{v:020d}.json"
         )
@@ -592,14 +709,11 @@ class LogTable:
 
     def version(self) -> int:
         """Latest committed version, or -1 for an empty table. Read off
-        the zero-padded filenames — no entry parsing."""
-        log_dir = os.path.join(self.path, _LOG_DIR)
-        names = [
-            n
-            for n in os.listdir(log_dir)
-            if n.endswith(".json") and not n.startswith("_")
-        ]
-        return int(max(names)[:-5]) if names else -1
+        the filenames — no entry parsing. Foreign non-numeric names are
+        ignored by _list_log's single shared rule (the three listers
+        must agree on what a commit file IS, or a stray ``zz.json``
+        would make version() report a version replay never yields)."""
+        return self._list_log().latest
 
     def history(self) -> list[dict]:
         """All commit records, oldest first (op, version, added/removed)."""
@@ -643,8 +757,20 @@ class LogTable:
             self._live_units_memo.pop(
                 next(iter(self._live_units_memo))
             )
-        self._live_units_memo[pin] = live
-        return dict(live)
+        # Freeze the inner unit dicts before memoizing (VERDICT r11 #4 /
+        # ADVICE r11): the outer map is copied on every return, but the
+        # units themselves are shared between the memo and every caller.
+        # All in-module callers are read-only; the tagging patterns that
+        # DO mutate units (u["raw"], u["delta"], setdefault("op")) run
+        # on fresh commit lists, never on a replayed map — the proxy
+        # makes that contract fail loudly (TypeError) instead of
+        # silently corrupting every later snapshot/feed/estimate at the
+        # memoized version. Zero recurring cost: proxies wrap, not copy,
+        # and the underlying dicts are fresh json parses reachable only
+        # here.
+        frozen = {k: MappingProxyType(u) for k, u in live.items()}
+        self._live_units_memo[pin] = frozen
+        return dict(frozen)
 
     def _commit(
         self,
@@ -667,8 +793,19 @@ class LogTable:
         for u in added:
             # per-unit op tag: lets delta-path guards distinguish raw
             # append units (no one-row-per-key promise) from merged ones
+            # (added lists are always fresh _write_commit_dir dicts —
+            # never replayed-map views — so this mutation is safe)
             u.setdefault("op", op)
-        entry = {"version": v, "op": op, "added": added, "removed": removed}
+        # removed lists ARE routinely built from _live_units() values,
+        # which are read-only MappingProxyType views since the memo
+        # freeze (VERDICT r11 #4); coerce to plain dicts at this single
+        # serialization point rather than at every call site
+        entry = {
+            "version": v,
+            "op": op,
+            "added": added,
+            "removed": [dict(u) for u in removed],
+        }
         if changes_info is not None:
             # CDC record for this commit: {"mode": "none"} (no logical
             # change), {"mode": "added_units"} (every added unit row is

@@ -353,6 +353,74 @@ def test_live_units_memo_returns_copies(spark, tmp_path):
     assert t._live_units(as_of=0), "cache corrupted by caller mutation"
     # and the memo never serves a stale map for a different version
     assert set(t._live_units(as_of=1)) != set(t._live_units(as_of=0))
+    # Inner unit dicts are SHARED with the memo (only the outer map is
+    # copied) — since round 12 they are read-only views, so the
+    # u["raw"]/u["delta"] tagging pattern applied to a replayed map by
+    # mistake fails loudly instead of silently corrupting every later
+    # snapshot/feed/estimate at that version (VERDICT r11 #4).
+    m2 = t._live_units(as_of=1)
+    some_unit = next(iter(m2.values()))
+    with pytest.raises(TypeError):
+        some_unit["raw"] = True
+    # reads are unaffected, and the frozen units still compare / json
+    # round-trip through the paths that coerce them (checkpoint_log,
+    # _commit removed lists)
+    assert some_unit["unit"]
+    t.checkpoint_log()                           # json.dump of dict(u)
+    t.compact()                                  # removed = live.values()
+    assert _rows(t.snapshot()) == [(1, "a"), (2, "b"), (3, "c")]
+
+
+def test_log_dir_ignores_foreign_files(spark, tmp_path):
+    """A stray non-numeric .json in the log dir (a human's
+    _checkpoint.bak.json or notes.json) degrades to 'ignored' in ALL
+    THREE filename listers — version(), _log_entries, and
+    _latest_checkpoint — instead of raising ValueError inside every
+    replay (ADVICE r11)."""
+    t = LogTable(spark, str(tmp_path / "t"), key="id", n_buckets=4)
+    t.create(_mk(spark, [(1, "a"), (2, "b")]))   # v0
+    t.checkpoint_log()
+    t.upsert(_mk(spark, [(3, "c")]))             # v1
+    log_dir = os.path.join(t.path, "_log")
+    for foreign in ("_checkpoint.bak.json", "notes.json", "zz-manual.json"):
+        with open(os.path.join(log_dir, foreign), "w") as f:
+            f.write("{}")
+    assert t.version() == 1
+    assert [e["version"] for e in t.history()] == [0, 1]
+    assert t._latest_checkpoint()["version"] == 0
+    assert _rows(t.snapshot()) == [(1, "a"), (2, "b"), (3, "c")]
+
+
+def test_log_listing_memo_never_stale(spark, tmp_path):
+    """The parsed log-dir listing is memoized per directory mtime
+    (round 12 — at 100k commits the LISTING, not the replay, dominated
+    every drain-loop-head read). The memo must never hide a write: any
+    commit — through this handle or a second one — must be visible to
+    version()/history() immediately afterwards, and hits require the
+    quiescence margin so a same-tick write can't be masked."""
+    import time as _time
+
+    t = LogTable(spark, str(tmp_path / "t"), key="id", n_buckets=4)
+    t.create(_mk(spark, [(1, "a")]))             # v0
+    # let the dir go quiescent past the margin, then prime the memo
+    _time.sleep(0.06)
+    assert t.version() == 0
+    assert t._log_listing_memo is not None
+    # a SECOND handle (its own memo) commits — the first handle's
+    # memo is keyed on dir mtime and must miss, not serve v0
+    t2 = LogTable(spark, str(t.path), key="id", n_buckets=4)
+    t2.upsert(_mk(spark, [(2, "b")]))            # v1
+    assert t.version() == 1
+    assert [e["version"] for e in t.history()] == [0, 1]
+    # a dir modified within the margin is not memoized at all
+    t2.upsert(_mk(spark, [(3, "c")]))            # v2
+    t._log_listing_memo = None
+    assert t.version() == 2  # listed < margin after the write
+    assert t._log_listing_memo is None or (
+        # only memoized if the write aged past the margin by the time
+        # version() re-stated the dir (timing-dependent, both valid)
+        t._log_listing_memo[1].latest == 2
+    )
 
 
 def test_history_ops(spark, tmp_path):

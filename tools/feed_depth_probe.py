@@ -18,11 +18,26 @@ maintenance cadence writes, then times at each requested depth:
 - ``lo_replay_nocp``: the same replay with checkpoints ignored — the
   full-replay baseline (= the pre-r11 cost of a lagging cursor, and
   the cost on a table whose producer never checkpoints).
+- ``listdir_sec`` / ``version_sec`` (round 12, VERDICT r11 #5): the
+  log-dir LISTING cost in isolation — ``_log_entries``, ``version()``
+  and ``_latest_checkpoint`` each ``os.listdir`` the whole log dir
+  per call, so while replay PARSING is checkpoint-bounded, the
+  listing itself is O(total history files) and runs at every drain
+  loop head. These two numbers split listing from parse so the
+  "bounded" claim can be priced at depth.
 
 Timings are driver-side wall clock over synthetic JSON; run on a
 quiet machine for stable numbers. Usage:
 
     python tools/feed_depth_probe.py [depth ...]   (default 1000 3000 10000)
+    python tools/feed_depth_probe.py --light 100000
+
+``--light`` builds 1-bucket commits with no capture units and skips
+the two estimator timings — listing and replay costs depend on FILE
+COUNT and commits-since-checkpoint, not entry width, so the light
+build makes a ~100k-commit listing point affordable (a full-churn
+32-bucket build at that depth would write ~1 GB of JSON just to
+re-measure an estimator already shown flat under the cutoff).
 
 Prints one JSON line per depth. Work dir is removed on exit unless
 SPARK_GRAFT_PROBE_KEEP=1 (repo probe hygiene convention, round 7).
@@ -50,11 +65,12 @@ CP_EVERY = 500
 THETA = 2.0
 
 
-def build_log(base: str, depth: int) -> None:
+def build_log(base: str, depth: int, light: bool = False) -> None:
     log_dir = os.path.join(base, "_log")
     os.makedirs(log_dir)
     os.makedirs(os.path.join(base, "data"))
     os.makedirs(os.path.join(base, "_changes"))
+    n_buckets = 1 if light else N_BUCKETS
     live: dict[int, dict] = {}
     for v in range(depth):
         added = [
@@ -63,31 +79,32 @@ def build_log(base: str, depth: int) -> None:
                 "bucket": b,
                 "rows": ROWS_PER_BUCKET,
             }
-            for b in range(N_BUCKETS)
+            for b in range(n_buckets)
         ]
         removed = [live[b] for b in sorted(live)]
         for a in added:
             live[a["bucket"]] = a
-        cap_unit = f"_changes/c{v}-deadbeef"
-        # the capture unit must EXIST: the estimator mirrors the
-        # serve's existence bail, so a missing unit would silently
-        # reprice the whole walk as the vacuum-holed diff path
-        # instead of the captured tier this probe documents
-        # (code-review r11, fourth pass caught exactly that)
-        with open(os.path.join(base, cap_unit), "w") as f:
-            f.write("")
         entry = {
             "version": v,
             "op": "upsert",
             "added": added,
             "removed": removed,
+        }
+        if not light:
+            cap_unit = f"_changes/c{v}-deadbeef"
+            # the capture unit must EXIST: the estimator mirrors the
+            # serve's existence bail, so a missing unit would silently
+            # reprice the whole walk as the vacuum-holed diff path
+            # instead of the captured tier this probe documents
+            # (code-review r11, fourth pass caught exactly that)
+            with open(os.path.join(base, cap_unit), "w") as f:
+                f.write("")
             # captured full churn: update pre+post per key
-            "changes": {
+            entry["changes"] = {
                 "mode": "unit",
                 "unit": cap_unit,
                 "rows": 2 * N_BUCKETS * ROWS_PER_BUCKET,
-            },
-        }
+            }
         with open(os.path.join(log_dir, f"{v:020d}.json"), "w") as f:
             json.dump(entry, f)
         if v and v % CP_EVERY == 0:
@@ -100,6 +117,15 @@ def build_log(base: str, depth: int) -> None:
         json.dump({"key": "id", "n_buckets": N_BUCKETS}, f)
 
 
+def _median_of(fn, n: int) -> float:
+    ts = []
+    for _ in range(n):
+        t0 = time.perf_counter()
+        fn()
+        ts.append(time.perf_counter() - t0)
+    return sorted(ts)[n // 2]
+
+
 def handle(base: str) -> LogTable:
     # fresh cold handle per measurement; the real constructor never
     # touches the session (it only stores it), so spark=None keeps
@@ -110,59 +136,72 @@ def handle(base: str) -> LogTable:
 
 
 def main() -> None:
-    depths = [int(a) for a in sys.argv[1:]] or [1000, 3000, 10000]
+    light = "--light" in sys.argv
+    depths = [
+        int(a) for a in sys.argv[1:] if not a.startswith("-")
+    ] or [1000, 3000, 10000]
     if any(d < 2 for d in depths):
         sys.exit("depths must be >= 2")
     base_root = "/tmp/feed_depth_probe"
     shutil.rmtree(base_root, ignore_errors=True)
     for depth in depths:
         base = os.path.join(base_root, f"d{depth}")
-        build_log(base, depth)
+        build_log(base, depth, light=light)
         hi = depth - 1
         # mid-log lagging cursor, just past a checkpoint when the log
         # is deep enough; clamped so shallow depths stay valid
         cursor = min(depth // 2 + CP_EVERY // 2, hi)
+        out = {
+            "metric": "feed_depth_probe",
+            "depth": depth,
+            "n_buckets": 1 if light else N_BUCKETS,
+            "cp_every": CP_EVERY,
+            "cursor": cursor,
+            "light": light,
+        }
 
-        t = handle(base)
-        t0 = time.perf_counter()
-        full = t.feed_interval_stats(0, hi)
-        est_full = time.perf_counter() - t0
+        if not light:
+            t = handle(base)
+            t0 = time.perf_counter()
+            full = t.feed_interval_stats(0, hi)
+            out["estimate_full_sec"] = round(time.perf_counter() - t0, 4)
 
+            t = handle(base)
+            t0 = time.perf_counter()
+            cut = t.feed_interval_stats(0, hi, saturation_cutoff=THETA)
+            out["estimate_cutoff_sec"] = round(time.perf_counter() - t0, 4)
+            out["estimate_truncated"] = cut["estimate_truncated"]
+            out["ratio_full"] = round(full["net_change_ratio"], 3)
+
+        # listing-vs-parse split (VERDICT r11 #5): the raw cost of one
+        # log-dir listing (what every _log_entries/version()/
+        # _latest_checkpoint call pays regardless of checkpoint
+        # bounds), then the two cheapest callers that are ~pure
+        # listing. Medians of 5 — single listdir calls are fast enough
+        # for the page cache to make one-shot numbers noisy.
+        log_dir = os.path.join(base, "_log")
+        out["listdir_sec"] = round(
+            _median_of(lambda: sorted(os.listdir(log_dir)), 5), 4
+        )
         t = handle(base)
-        t0 = time.perf_counter()
-        cut = t.feed_interval_stats(0, hi, saturation_cutoff=THETA)
-        est_cut = time.perf_counter() - t0
+        out["version_sec"] = round(_median_of(t.version, 5), 4)
+        t = handle(base)
+        out["latest_cp_sec"] = round(
+            _median_of(lambda: t._latest_checkpoint(as_of=cursor), 5), 4
+        )
 
         t = handle(base)
         t0 = time.perf_counter()
         t._live_units(as_of=cursor)
-        lo_replay = time.perf_counter() - t0
+        out["lo_replay_sec"] = round(time.perf_counter() - t0, 4)
 
         t = handle(base)
         t._latest_checkpoint = lambda as_of=None: None  # type: ignore
         t0 = time.perf_counter()
         t._live_units(as_of=cursor)
-        lo_nocp = time.perf_counter() - t0
+        out["lo_replay_nocp_sec"] = round(time.perf_counter() - t0, 4)
 
-        print(
-            json.dumps(
-                {
-                    "metric": "feed_depth_probe",
-                    "depth": depth,
-                    "n_buckets": N_BUCKETS,
-                    "cp_every": CP_EVERY,
-                    "cursor": cursor,
-                    "estimate_full_sec": round(est_full, 4),
-                    "estimate_cutoff_sec": round(est_cut, 4),
-                    "estimate_truncated": cut["estimate_truncated"],
-                    "ratio_full": round(full["net_change_ratio"], 3),
-                    "lo_replay_sec": round(lo_replay, 4),
-                    "lo_replay_nocp_sec": round(lo_nocp, 4),
-                },
-                sort_keys=True,
-            ),
-            flush=True,
-        )
+        print(json.dumps(out, sort_keys=True), flush=True)
     if os.environ.get("SPARK_GRAFT_PROBE_KEEP") != "1":
         shutil.rmtree(base_root, ignore_errors=True)
 
