@@ -906,3 +906,83 @@ def test_lease_protocol_matches_model(tmp_path_factory, ops):
                 and holder["start"] == h.start_time
             ):
                 holder = None
+
+
+@given(
+    ops=st.lists(
+        st.sampled_from(["commit", "checkpoint", "foreign", "read"]),
+        min_size=1,
+        max_size=40,
+    )
+)
+@settings(max_examples=30, deadline=None)
+def test_log_listing_memo_matches_fresh_handle(tmp_path_factory, ops):
+    """Model-based check of the round-12 log-dir listing memo: under
+    any interleaving of commits, checkpoints, foreign files, and reads,
+    a long-lived handle (whose memo survives across operations) must
+    report exactly what a freshly-constructed handle (no memo) computes
+    from disk — version(), the full entry sequence, a bounded entry
+    range, and checkpoint selection. Directory mtimes are driven
+    explicitly (monotone, 1 ms apart, far in the past so the quiescence
+    margin always allows memoization) so every mutation lands a
+    distinct tick and the memo's exact-match rule is exercised
+    deterministically — the same-tick masking case is exactly what the
+    50 ms quiescence margin excludes in production and is covered by
+    the unit test instead."""
+    import json as _json
+
+    from durable_functions_cosmosdb_etl_spark.sinks.logtable import (
+        LogTable,
+    )
+
+    base = str(tmp_path_factory.mktemp("listing_model") / "t")
+    t = LogTable(None, base, key="id", n_buckets=4)
+    log_dir = os.path.join(base, "_log")
+    tick = [1_000_000_000_000_000_000]  # ~2001, ns
+
+    def bump():
+        tick[0] += 1_000_000
+        os.utime(log_dir, ns=(tick[0], tick[0]))
+
+    bump()
+    v = -1
+    n_foreign = 0
+    for op in ops:
+        if op == "commit":
+            v += 1
+            with open(os.path.join(log_dir, f"{v:020d}.json"), "w") as f:
+                _json.dump(
+                    {"version": v, "op": "upsert", "added": [], "removed": []},
+                    f,
+                )
+            bump()
+        elif op == "checkpoint" and v >= 0:
+            with open(
+                os.path.join(log_dir, f"_checkpoint.{v:020d}.json"), "w"
+            ) as f:
+                _json.dump({"version": v, "live": []}, f)
+            bump()
+        elif op == "foreign":
+            n_foreign += 1
+            with open(
+                os.path.join(log_dir, f"zz-manual-{n_foreign}.json"), "w"
+            ) as f:
+                f.write("{}")
+            bump()
+        # every op (including bare reads) compares the memoized handle
+        # against a fresh no-memo handle — the model
+        fresh = LogTable(None, base, key="id", n_buckets=4)
+        assert t.version() == fresh.version()
+        assert [e["version"] for e in t._log_entries()] == [
+            e["version"] for e in fresh._log_entries()
+        ]
+        mid = v // 2
+        assert [e["version"] for e in t._log_entries(after=mid, upto=v)] == [
+            e["version"] for e in fresh._log_entries(after=mid, upto=v)
+        ]
+        for as_of in (None, mid):
+            cp_t = t._latest_checkpoint(as_of=as_of)
+            cp_f = fresh._latest_checkpoint(as_of=as_of)
+            assert (cp_t is None) == (cp_f is None)
+            if cp_t is not None:
+                assert cp_t["version"] == cp_f["version"]
