@@ -121,9 +121,9 @@ ANCHOR_MAX_15MIN = 3.0
 # 3-run suite (round 11 burned 11 attempts to land one clean anchor and
 # 7 more end-of-round attempts all steal-spiked). This ~5 s fixed
 # CPU-bound probe estimates the ambient multiplier BEFORE the timed
-# loops and aborts the run when it exceeds PREFLIGHT_MULT_MAX — a cheap
-# pre-filter that SAVES attempts; it does not qualify runs (the
-# load_qualified gate and anchor_eligible rule are unchanged).
+# loops and aborts the run when it exceeds the rejection rule below —
+# a cheap pre-filter that SAVES attempts; it does not qualify runs
+# (the load_qualified gate and anchor_eligible rule are unchanged).
 #
 # Two signals from PREFLIGHT_PROCS parallel workers each running
 # PREFLIGHT_REPS reps of a fixed integer loop (parallel, because the
