@@ -219,6 +219,87 @@ def _preflight_hot(m: dict) -> bool:
     )
 
 
+# --- In-suite burst attribution (round 13, VERDICT r12 #2) ----------------
+# The preflight's first live campaign proved pre-run sampling cannot
+# see burst steal: 7/7 cool preflights, 4-23 queries spiked mid-suite
+# (BASELINE.md rule 6), and the round-12 refresh campaign burned 30
+# attempts the same way. So the suite now MEASURES its own ambient
+# instead of inferring it from spread: a ~0.3 s steal-ratio sample
+# (same wall/thread-CPU loop as the preflight, BURST_PROCS workers on a
+# persistent pool forked BEFORE Spark startup) runs between every pair
+# of timed runs; each run is attributed the max of its two surrounding
+# samples. A run whose bracket exceeds BURST_RATIO_MAX is
+# KNOWN-contaminated — direct evidence, not spread inference. Queries
+# with fewer than BURST_CLEAN_TARGET clean samples get bounded
+# same-session re-runs (the amendment shape VERDICT r12 explicitly
+# blessed: re-run burst-tagged queries until each has 3 clean samples —
+# NOT per-query minima across runs). The sample is max-over-workers
+# (a burst stealing one of two cores must show) and max-over-bracket
+# (a burst can arrive during either neighbor window).
+#
+# Feeding the rules (BASELINE.md rule 7): the original spread-based
+# unstable_queries/anchor_eligible machinery is BYTE-UNCHANGED — rule 1
+# regression calls and v1 anchor promotion work exactly as before. The
+# burst evidence adds a SECOND promotion path, anchor_eligible_burst:
+# load gates pass AND every query has >= BURST_CLEAN_TARGET clean
+# samples AND the CLEAN samples' relative spread is within
+# RESPREAD_THRESHOLD. Promotion under v2 uses queries_clean /
+# value_clean (medians over clean samples only). SPARK_GRAFT_BURST=0
+# skips sampling (stamped "skipped"; v2 then never fires).
+BURST_PROCS = 2
+BURST_LOOP_N = 2_000_000  # ~0.27 s/worker quiet -> one ~0.3 s sample
+BURST_RATIO_MAX = 1.3  # same line as the preflight ratio rule
+BURST_CLEAN_TARGET = N_RUNS
+BURST_MAX_EXTRA_RUNS = 3
+
+
+def _burst_sample(pool, loop_n: int = BURST_LOOP_N) -> float:
+    """One between-runs ambient sample: max wall/thread-CPU steal ratio
+    across BURST_PROCS parallel workers (quiet: 1.00-1.05; a core-
+    stealing burst reads 1.3+ on at least one worker)."""
+    per = pool.map(_preflight_worker, [(1, loop_n)] * BURST_PROCS)
+    return round(
+        max(
+            (w / c if c > 0 else float("inf"))
+            for wk in per
+            for (w, c) in wk
+        ),
+        3,
+    )
+
+
+def _burst_hot(bracket: list[float]) -> bool:
+    """A timed run is contaminated when EITHER surrounding sample is
+    hot — the burst can arrive in the window before or after it."""
+    return max(bracket) > BURST_RATIO_MAX
+
+
+def _clean_runs(
+    runs: list[float], brackets: list[list[float]]
+) -> list[float]:
+    return [dt for dt, b in zip(runs, brackets) if not _burst_hot(b)]
+
+
+def _anchor_eligible_burst(
+    clean: dict[str, list[float]], names: list[str]
+) -> bool:
+    """Amended anchor rule v2 (BASELINE.md rule 7): every query has at
+    least BURST_CLEAN_TARGET burst-clean samples AND those clean
+    samples' relative spread is within RESPREAD_THRESHOLD. Load gates
+    are the caller's job (identical to v1's three-average rule). The
+    spread clause over CLEAN samples is load-bearing: instability that
+    the samplers did NOT catch (sub-0.3 s bursts, genuine plan
+    nondeterminism) must still block promotion."""
+    for n in names:
+        ts = clean.get(n, [])
+        if len(ts) < BURST_CLEAN_TARGET:
+            return False
+        med = statistics.median(ts)
+        if med and (max(ts) - min(ts)) / med > RESPREAD_THRESHOLD:
+            return False
+    return True
+
+
 # Scratch dirs whose presence is known to pollute bench numbers
 # (page-cache pressure from multi-GB probe builds once flipped an AQE
 # join-strategy threshold and measured text_tfidf 4x slower — see the
@@ -328,7 +409,25 @@ def main() -> None:
                 "to force).",
                 file=sys.stderr,
             )
-            sys.exit(0)
+            # Exit 2, not 0 (ADVICE r12): campaign automation keying on
+            # exit status (`bench.py && record`) must not count a
+            # rejected attempt as a completed run. The JSON stamp
+            # (value: null, preflight_rejected: true) stays the
+            # authoritative record; the status is the cheap signal.
+            sys.exit(2)
+
+    # Burst-sampler pool: forked BEFORE Spark startup so the workers
+    # never hold JVM/py4j state; they idle at zero CPU between samples.
+    burst_on = os.environ.get("SPARK_GRAFT_BURST", "1") not in (
+        "0",
+        "off",
+        "skip",
+    )
+    pool = None
+    if burst_on:
+        import multiprocessing as mp
+
+        pool = mp.Pool(BURST_PROCS)
 
     spark = get_spark("bench")
     spark.sparkContext.setLogLevel("ERROR")
@@ -344,17 +443,41 @@ def main() -> None:
     # otherwise dominate the sub-second queries. Per query we report the
     # MEDIAN of the timed runs ("queries"), with min/max in "spread".
     runs: dict[str, list[float]] = {n: [] for n in names}
+    # Per-run ambient brackets, aligned index-for-index with runs[name]:
+    # amb[name][i] = [sample_before, sample_after] steal ratios around
+    # runs[name][i] (see the burst-attribution rule block).
+    amb: dict[str, list[list[float]]] = {n: [] for n in names}
 
     def timed_run(name: str) -> float:
         t0 = time.perf_counter()
         qs[name](spark, sf_dir).write.mode("overwrite").format("noop").save()
         return round(time.perf_counter() - t0, 3)
 
+    def sampled_run(name: str, before: float | None = None) -> float:
+        """One timed run bracketed by ambient samples; records into
+        runs+amb; returns the trailing sample (the next run's leading
+        one when runs are back-to-back)."""
+        b = before if before is not None else _burst_sample(pool)
+        dt = timed_run(name)
+        a = _burst_sample(pool)
+        runs[name].append(dt)
+        amb[name].append([b, a])
+        return a
+
+    last: float | None = None
     for measured in [False] + [True] * N_RUNS:
         for name in names:
-            dt = timed_run(name)
-            if measured:
-                runs[name].append(dt)
+            if not measured:
+                timed_run(name)
+            elif pool:
+                # back-to-back runs share the between sample: after(q_i)
+                # IS before(q_i+1), across pass boundaries too; only the
+                # first measured run (preceded by the whole warmup pass,
+                # not by a sample) takes a fresh leading sample
+                last = sampled_run(name, before=last)
+            else:
+                runs[name].append(timed_run(name))
+                amb[name].append([-1.0, -1.0])
 
     # statistics.median (not sorted(ts)[len//2]): retry runs make the
     # per-query lists even-length, and the upper-middle element would
@@ -369,11 +492,54 @@ def main() -> None:
     for name in names:
         tries = 0
         while rel_spread(runs[name]) > RESPREAD_THRESHOLD and tries < MAX_RETRIES:
-            runs[name].append(timed_run(name))
+            if pool:
+                sampled_run(name)
+            else:
+                runs[name].append(timed_run(name))
+                amb[name].append([-1.0, -1.0])
             tries += 1
         if tries:
             requalified.append(name)
     unstable = [n for n in names if rel_spread(runs[n]) > RESPREAD_THRESHOLD]
+
+    # Burst-clean top-up (round 13, VERDICT r12 #1/#2 — the blessed
+    # amendment shape): a query whose measured-clean sample count fell
+    # short gets bounded SAME-SESSION re-runs until it has
+    # BURST_CLEAN_TARGET clean samples. All runs stay in runs/amb (the
+    # all-runs medians keep their historical semantics; the clean view
+    # is additive), so nothing about rules 1-6 changes.
+    burst_rerun: list[str] = []
+    burst_unstable: list[str] = []
+    if pool:
+        for name in names:
+            extra = 0
+            while (
+                len(_clean_runs(runs[name], amb[name])) < BURST_CLEAN_TARGET
+                and extra < BURST_MAX_EXTRA_RUNS
+            ):
+                sampled_run(name)
+                extra += 1
+            if extra:
+                burst_rerun.append(name)
+            if len(_clean_runs(runs[name], amb[name])) < BURST_CLEAN_TARGET:
+                burst_unstable.append(name)
+        pool.close()
+        pool.join()
+    # With sampling off there IS no clean evidence: the whole clean
+    # view reads null rather than trivially mirroring the all-runs
+    # medians (which would look like 3-clean-samples promotion bait).
+    clean = {
+        n: (_clean_runs(runs[n], amb[n]) if burst_on else []) for n in names
+    }
+    timings_clean = {
+        n: (round(statistics.median(ts), 3) if ts else None)
+        for n, ts in clean.items()
+    }
+    value_clean = (
+        round(sum(timings_clean[n] for n in HEADLINE), 3)
+        if burst_on and all(timings_clean[n] is not None for n in HEADLINE)
+        else None
+    )
 
     timings = {
         n: round(statistics.median(ts), 3) for n, ts in runs.items()
@@ -405,7 +571,7 @@ def main() -> None:
     # but relaxing LOAD_QUALIFIED_MAX (or tightening the anchor
     # constants) must never let a run carry anchor_eligible: true
     # while violating the anchor_rule the same JSON publishes.
-    anchor_eligible = (
+    anchor_loads_ok = (
         load_qualified
         and pre1 is not None
         and pre1 <= ANCHOR_MAX_1MIN
@@ -413,8 +579,14 @@ def main() -> None:
         and pre5 <= ANCHOR_MAX_5MIN
         and pre15 is not None
         and pre15 <= ANCHOR_MAX_15MIN
-        and not unstable
-        and not requalified
+    )
+    anchor_eligible = anchor_loads_ok and not unstable and not requalified
+    # v2 (round 13, BASELINE.md rule 7): same load gates, but the
+    # clean-sample evidence replaces the zero-unstable/zero-requalified
+    # clause — a burst-tagged run is excluded by direct measurement
+    # rather than disqualifying the whole attempt.
+    anchor_eligible_burst = (
+        burst_on and anchor_loads_ok and _anchor_eligible_burst(clean, names)
     )
     if not load_qualified:
         print(
@@ -440,6 +612,13 @@ def main() -> None:
                 "headline_set": HEADLINE,
                 "extended_set": HEADLINE_EXT,
                 "total_extended_sec": round(sum(timings.values()), 3),
+                # Clean view (round 13): medians over burst-clean
+                # samples only; null when a query has zero clean
+                # samples (or sampling is off). Promotion under the v2
+                # anchor rule uses these; the all-runs "queries"/
+                # "value" keep their historical semantics.
+                "queries_clean": timings_clean,
+                "value_clean": value_clean,
                 "machine_state": machine_state,
                 "qualification": {
                     "respread_threshold": RESPREAD_THRESHOLD,
@@ -447,6 +626,29 @@ def main() -> None:
                     "unstable_queries": unstable,
                     "load_qualified": load_qualified,
                     "anchor_eligible": anchor_eligible,
+                    "anchor_eligible_burst": anchor_eligible_burst,
+                    "burst": (
+                        {
+                            "ratio_max": BURST_RATIO_MAX,
+                            "clean_target": BURST_CLEAN_TARGET,
+                            "sample_procs": BURST_PROCS,
+                            "timings_all": runs,
+                            "ambient": amb,
+                            "tagged_runs": {
+                                n: [
+                                    i
+                                    for i, b in enumerate(amb[n])
+                                    if _burst_hot(b)
+                                ]
+                                for n in names
+                                if any(_burst_hot(b) for b in amb[n])
+                            },
+                            "burst_rerun_queries": burst_rerun,
+                            "burst_unstable": burst_unstable,
+                        }
+                        if burst_on
+                        else "skipped"
+                    ),
                     "anchor_rule": [
                         ANCHOR_MAX_1MIN,
                         ANCHOR_MAX_5MIN,

@@ -493,6 +493,14 @@ class LogTable:
         self._log_listing_memo: tuple[int, _LogListing] | None = None
         os.makedirs(os.path.join(path, _LOG_DIR), exist_ok=True)
         os.makedirs(os.path.join(path, _DATA_DIR), exist_ok=True)
+        # Listing-memo precondition (round 13, VERDICT r12 #4 / ADVICE
+        # r12): the memo's quiescence argument is only sound when the
+        # filesystem STORES mtimes at finer granularity than the 50 ms
+        # margin. Probe it once per handle (3 syscalls, sleep-free) and
+        # run memo-less — one extra listdir per call, never a stale
+        # serve — when the mount is coarse. See
+        # _probe_mtime_granularity.
+        self._listing_memo_enabled = self._probe_mtime_granularity()
         self._check_meta()
 
     # --------------------------------------------------------------- meta
@@ -543,7 +551,82 @@ class LogTable:
     # Quiescence margin for the listing memo: must exceed the coarse
     # filesystem timestamp granularity (1-10 ms on Linux) so "mtime is
     # MARGIN old" proves no write can still land in the same tick.
+    # That precondition is PROBED at open, not assumed — see
+    # _probe_mtime_granularity (VERDICT r12 #4).
     _LISTING_QUIESCENT_NS = 50_000_000  # 50 ms
+
+    # Crafted sub-second component for the granularity probe: one value
+    # whose round-trip error discriminates every plausible stored
+    # granularity (ns -> 0, us -> 789, ms -> 456_789 truncated,
+    # 10 ms -> 3_456_789, 100 ms -> 23_456_789, 1 s -> 123_456_789).
+    _MTIME_PROBE_NS = 123_456_789
+
+    @classmethod
+    def _granularity_ok(cls, err_ns: int) -> bool:
+        """Decision rule for the probe: the observed utime round-trip
+        error must sit comfortably inside the quiescence margin. A
+        store at granularity g truncates by up to g (rounds by up to
+        g/2), so requiring 4*err < margin admits the documented
+        1-10 ms local-fs granularities and rejects 100 ms and coarser
+        — including exactly-50 ms stores, where "mtime is margin old"
+        no longer proves the tick is over."""
+        return 4 * err_ns < cls._LISTING_QUIESCENT_NS
+
+    def _probe_mtime_granularity(self) -> bool:
+        """One-shot open-time probe: can the log dir's filesystem store
+        mtimes finely enough for the listing memo (ADVICE r12)?
+
+        The memo's "provably current" rule (_list_log) assumes stored
+        mtime granularity < the 50 ms quiescence margin; on a coarse
+        mount (1 s: FAT, HFS+, some NFS servers) a write can land in
+        the same stored tick as a memoized listing and be masked,
+        serving a stale version()/replay. Deterministic, sleep-free
+        check: os.utime a probe file to a crafted nanosecond value and
+        stat it back — the filesystem echoes what it can store, so the
+        round-trip error IS the granularity. On failure (or an OSError
+        from an exotic mount) the memo is disabled with a logged note:
+        every _list_log call then pays one listdir, never serving
+        stale. The write-side atomic claim is unaffected either way.
+        """
+        probe = os.path.join(
+            self.path,
+            _LOG_DIR,
+            f".mtime_probe.{os.getpid()}.{uuid.uuid4().hex[:8]}.tmp",
+        )
+        try:
+            with open(probe, "w"):
+                pass
+            t = (
+                time.time_ns() // 1_000_000_000
+            ) * 1_000_000_000 + self._MTIME_PROBE_NS
+            os.utime(probe, ns=(t, t))
+            err_ns = abs(os.stat(probe).st_mtime_ns - t)
+        except OSError as e:
+            _LOG.warning(
+                "logtable %s: mtime granularity probe failed (%s); "
+                "disabling the log-listing memo (correctness over "
+                "loop-head speed)",
+                self.path,
+                e,
+            )
+            return False
+        finally:
+            try:
+                os.unlink(probe)
+            except OSError:
+                pass
+        if not self._granularity_ok(err_ns):
+            _LOG.warning(
+                "logtable %s: filesystem stores mtimes at ~%d ns "
+                "granularity, too coarse for the %d ns listing-memo "
+                "quiescence margin; disabling the memo (every listing "
+                "call pays one listdir instead)",
+                self.path,
+                err_ns,
+                self._LISTING_QUIESCENT_NS,
+            )
+            return False
+        return True
 
     def _list_log(self) -> "_LogListing":
         """The log-dir listing, PARSED (commit/checkpoint versions in
@@ -581,6 +664,19 @@ class LogTable:
         Foreign non-numeric names degrade to "ignored" in one place
         now, so the three listers can never disagree on what a commit
         file IS (ADVICE r11).
+
+        Preconditions are probed, not assumed (round 13): stored mtime
+        granularity finer than the margin is verified at open
+        (_probe_mtime_granularity) and the memo is DISABLED on coarse
+        mounts. The remaining environmental assumption is a
+        non-retreating wall clock during the margin window (a backward
+        NTP step > the margin between capture and a subsequent write
+        could mask that write in an already-elapsed tick); stepping
+        clocks are outside the POSIX protocol's stated single-host
+        scope — slewed (chronyd/ntpd default) adjustments are fine —
+        and a deployment that cannot rule steps out should open tables
+        with the memo disabled (monkeypatch seam:
+        _listing_memo_enabled).
         """
         log_dir = os.path.join(self.path, _LOG_DIR)
         m0 = os.stat(log_dir).st_mtime_ns
@@ -596,10 +692,14 @@ class LogTable:
             if n.startswith("_checkpoint."):
                 seg = n[len("_checkpoint."):-len(".json")]
                 # skip a manual _checkpoint.bak.json rather than raise
-                # inside every replay
-                if seg.isdigit():
+                # inside every replay. isdecimal, not isdigit: isdigit
+                # accepts characters int() rejects (superscripts —
+                # '²'.isdigit() is True, int('²') raises), so a
+                # pathological foreign name could still raise the exact
+                # ValueError this guard exists to prevent (ADVICE r12)
+                if seg.isdecimal():
                     cps.append((int(seg), n))
-            elif not n.startswith("_") and n[:-5].isdigit():
+            elif not n.startswith("_") and n[:-5].isdecimal():
                 commits.append((int(n[:-5]), n))
         # numeric sort (not lexicographic-name sort): our writers
         # zero-pad to 20 digits so the two agree, but a hand-placed
@@ -618,7 +718,8 @@ class LogTable:
         # the mtime we'd key on, so requiring stat-before == stat-after
         # AND quiescence makes the memoized (mtime, listing) pair exact
         if (
-            os.stat(log_dir).st_mtime_ns == m0
+            self._listing_memo_enabled
+            and os.stat(log_dir).st_mtime_ns == m0
             and time.time_ns() - m0 > self._LISTING_QUIESCENT_NS
         ):
             self._log_listing_memo = (m0, listing)

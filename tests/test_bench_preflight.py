@@ -54,3 +54,53 @@ def test_thresholds_are_the_documented_rule():
     # drift the docs.
     assert bench.PREFLIGHT_RATIO_MAX == 1.3
     assert bench.PREFLIGHT_ABS_MAX == 1.5
+
+
+# --- In-suite burst attribution (round 13, VERDICT r12 #2) ----------------
+
+
+def test_burst_sample_physical_bound():
+    import multiprocessing as mp
+
+    with mp.Pool(bench.BURST_PROCS) as pool:
+        r = bench._burst_sample(pool, loop_n=200_000)
+    # wall >= thread CPU for a CPU-bound loop (up to clock granularity)
+    assert r >= 0.99
+
+
+def test_burst_hot_is_max_over_bracket():
+    # a burst in EITHER surrounding window contaminates the run
+    assert not bench._burst_hot([1.0, 1.05])
+    assert bench._burst_hot([1.0, 1.31])
+    assert bench._burst_hot([1.31, 1.0])
+    assert not bench._burst_hot([1.3, 1.3])  # at the line is clean
+
+
+def test_clean_runs_alignment():
+    runs = [1.0, 5.0, 1.1]
+    amb = [[1.0, 1.0], [1.0, 2.0], [1.01, 1.02]]
+    assert bench._clean_runs(runs, amb) == [1.0, 1.1]
+
+
+def test_anchor_eligible_burst_each_clause_load_bearing():
+    names = ["a", "b"]
+    ok = {"a": [1.0, 1.01, 1.02], "b": [2.0, 2.1, 2.05]}
+    assert bench._anchor_eligible_burst(ok, names)
+    # clean-count clause: one query short of BURST_CLEAN_TARGET
+    assert not bench._anchor_eligible_burst(
+        {**ok, "b": [2.0, 2.1]}, names
+    )
+    # clean-spread clause: instability the samplers did NOT catch
+    # (sub-sample bursts, plan nondeterminism) must still block
+    assert not bench._anchor_eligible_burst(
+        {**ok, "b": [2.0, 2.1, 3.0]}, names
+    )
+    # a missing query can never promote
+    assert not bench._anchor_eligible_burst(ok, ["a", "b", "c"])
+
+
+def test_burst_thresholds_are_the_documented_rule():
+    # BASELINE.md rule 7 documents 1.3x ratio / 3 clean samples; a
+    # silent constant change must fail a test, not just drift the docs
+    assert bench.BURST_RATIO_MAX == 1.3
+    assert bench.BURST_CLEAN_TARGET == 3

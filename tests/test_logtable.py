@@ -382,7 +382,16 @@ def test_log_dir_ignores_foreign_files(spark, tmp_path):
     t.checkpoint_log()
     t.upsert(_mk(spark, [(3, "c")]))             # v1
     log_dir = os.path.join(t.path, "_log")
-    for foreign in ("_checkpoint.bak.json", "notes.json", "zz-manual.json"):
+    # "²³.json" / "_checkpoint.².json": superscript digits
+    # pass str.isdigit() but raise in int() — the exact hole the guard
+    # must close needs isdecimal(), not isdigit() (ADVICE r12)
+    for foreign in (
+        "_checkpoint.bak.json",
+        "notes.json",
+        "zz-manual.json",
+        "²³.json",
+        "_checkpoint.².json",
+    ):
         with open(os.path.join(log_dir, foreign), "w") as f:
             f.write("{}")
     assert t.version() == 1
@@ -421,6 +430,48 @@ def test_log_listing_memo_never_stale(spark, tmp_path):
         # version() re-stated the dir (timing-dependent, both valid)
         t._log_listing_memo[1].latest == 2
     )
+
+
+def test_listing_memo_granularity_probe(spark, tmp_path):
+    """The listing memo's precondition — stored mtime granularity finer
+    than the quiescence margin — is PROBED at open, not assumed
+    (VERDICT r12 #4 / ADVICE r12). On this sandbox's local fs the probe
+    must enable the memo; the decision rule must reject coarse stores;
+    and a disabled memo must bypass memoization entirely while staying
+    correct."""
+    t = LogTable(spark, str(tmp_path / "t"), key="id", n_buckets=4)
+    # local ext4/tmpfs store nanoseconds: probe enables the memo
+    assert t._listing_memo_enabled is True
+    assert t._probe_mtime_granularity() is True
+
+    # decision rule against each plausible stored granularity's
+    # round-trip error for the crafted probe value (truncation):
+    # ns/us/ms/10ms pass (all < 50 ms margin with 4x headroom);
+    # 50ms/100ms/1s must disable
+    err = LogTable._MTIME_PROBE_NS
+    assert LogTable._granularity_ok(0)                       # ns
+    assert LogTable._granularity_ok(err % 1_000)             # us
+    assert LogTable._granularity_ok(err % 1_000_000)         # ms
+    assert LogTable._granularity_ok(err % 10_000_000)        # 10 ms
+    assert not LogTable._granularity_ok(err % 50_000_000)    # 50 ms
+    assert not LogTable._granularity_ok(err % 100_000_000)   # 100 ms
+    assert not LogTable._granularity_ok(err)                 # 1 s
+
+    # disabled memo (what a coarse mount gets): never memoizes, reads
+    # stay correct — one listdir per call instead of a stale risk
+    import time as _time
+
+    t._listing_memo_enabled = False
+    t._log_listing_memo = None
+    t.create(_mk(spark, [(1, "a")]))             # v0
+    _time.sleep(0.06)                            # past the margin
+    assert t.version() == 0
+    assert t._log_listing_memo is None           # bypassed, not primed
+    t.upsert(_mk(spark, [(2, "b")]))             # v1
+    assert t.version() == 1
+    assert [e["version"] for e in t.history()] == [0, 1]
+    assert t._log_listing_memo is None
+    assert _rows(t.snapshot()) == [(1, "a"), (2, "b")]
 
 
 def test_history_ops(spark, tmp_path):

@@ -18,13 +18,14 @@ maintenance cadence writes, then times at each requested depth:
 - ``lo_replay_nocp``: the same replay with checkpoints ignored — the
   full-replay baseline (= the pre-r11 cost of a lagging cursor, and
   the cost on a table whose producer never checkpoints).
-- ``listdir_sec`` / ``version_sec`` (round 12, VERDICT r11 #5): the
-  log-dir LISTING cost in isolation — ``_log_entries``, ``version()``
-  and ``_latest_checkpoint`` each ``os.listdir`` the whole log dir
-  per call, so while replay PARSING is checkpoint-bounded, the
-  listing itself is O(total history files) and runs at every drain
-  loop head. These two numbers split listing from parse so the
-  "bounded" claim can be priced at depth.
+- ``listdir_sec`` / ``version_{miss,hit}_sec`` /
+  ``latest_cp_{miss,hit}_sec`` (round 12, VERDICT r11 #5; miss/hit
+  split ADVICE r12): the log-dir LISTING cost in isolation. Since the
+  round-12 memo the listing build is paid once per directory CHANGE
+  (the ``*_miss_sec`` numbers — first call on a fresh handle) while
+  subsequent loop-head calls hit the memoized parsed listing
+  (``*_hit_sec``). Splitting them keeps the once-per-change build
+  priced at depth instead of hidden behind a median of memo hits.
 
 Timings are driver-side wall clock over synthetic JSON; run on a
 quiet machine for stable numbers. Usage:
@@ -179,16 +180,38 @@ def main() -> None:
         # bounds), then the two cheapest callers that are ~pure
         # listing. Medians of 5 — single listdir calls are fast enough
         # for the page cache to make one-shot numbers noisy.
+        #
+        # Miss/hit split (ADVICE r12): since the round-12 listing memo,
+        # a median-of-5 on ONE handle reports the ~0 ms hit path and
+        # hides the once-per-directory-change listing build this probe
+        # exists to price. The *_miss_sec keys time the FIRST call on a
+        # fresh handle (the listing build the drain pays once per dir
+        # change); *_hit_sec is the median of the next 5 calls on the
+        # same handle (the memoized loop-head cost). The dir is given
+        # the memo's quiescence margin first, or the miss call would
+        # refuse to memoize and the "hit" numbers would re-pay the
+        # build.
         log_dir = os.path.join(base, "_log")
         out["listdir_sec"] = round(
             _median_of(lambda: sorted(os.listdir(log_dir)), 5), 4
         )
-        t = handle(base)
-        out["version_sec"] = round(_median_of(t.version, 5), 4)
-        t = handle(base)
-        out["latest_cp_sec"] = round(
-            _median_of(lambda: t._latest_checkpoint(as_of=cursor), 5), 4
+        time.sleep(0.06)  # > LogTable._LISTING_QUIESCENT_NS
+
+        def _miss_and_hit(call) -> tuple[float, float]:
+            t = handle(base)
+            t0 = time.perf_counter()
+            call(t)
+            miss = time.perf_counter() - t0
+            return miss, _median_of(lambda: call(t), 5)
+
+        miss, hit = _miss_and_hit(lambda t: t.version())
+        out["version_miss_sec"] = round(miss, 4)
+        out["version_hit_sec"] = round(hit, 4)
+        miss, hit = _miss_and_hit(
+            lambda t: t._latest_checkpoint(as_of=cursor)
         )
+        out["latest_cp_miss_sec"] = round(miss, 4)
+        out["latest_cp_hit_sec"] = round(hit, 4)
 
         t = handle(base)
         t0 = time.perf_counter()
