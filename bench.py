@@ -246,11 +246,41 @@ def _preflight_hot(m: dict) -> bool:
 # RESPREAD_THRESHOLD. Promotion under v2 uses queries_clean /
 # value_clean (medians over clean samples only). SPARK_GRAFT_BURST=0
 # skips sampling (stamped "skipped"; v2 then never fires).
+#
+# Rule 7b — vCPU-steal attribution (round 13, second half). The spin
+# sampler's first live attempts measured CLEAN ambient (p90 1.04-1.07)
+# around runs that were provably 2-4x dilated — 15-19 spiked queries
+# per attempt. The mechanism: this host is a 32-vCPU VM (kernel
+# *-fc-*) and the "noisy neighbor" is CO-TENANT VMs on the
+# hypervisor, so interference only manifests when the GUEST is highly
+# parallel (32 busy Spark threads force the host to deschedule us);
+# 2 spinning sampler procs fit in the host's spare capacity and read
+# ~1.0. The kernel exposes exactly this as the steal field of
+# /proc/stat (jiffies a runnable vCPU was descheduled by the host) —
+# measured live: 0.0-1.6 steal core-sec per 2 s window while the
+# suite ran. So each timed run is additionally bracketed by a
+# /proc/stat read (~free), and its steal SHARE of machine activity,
+# d_steal / (d_steal + d_busy), directly measures hypervisor
+# descheduling during that run regardless of how many guest threads
+# the hog would have had to fight. A run is contaminated when EITHER
+# its spin bracket exceeds BURST_RATIO_MAX OR its steal share exceeds
+# STEAL_SHARE_MAX = 0.1. The threshold is EMPIRICAL, deliberately
+# below the 1.3x-dilation spin line (share 0.1 ~ 1.11x if steal were
+# the whole story): the first live sf0.001 validation showed runs at
+# share 0.06-0.14 dilated 1.2-2x — steal share UNDER-measures total
+# interference because a busy co-tenant also degrades cache/memory
+# bandwidth, which the steal counter cannot see. Quiet baseline reads
+# < 0.02, so 0.1 still cleanly separates. Residual contamination
+# below the line is the clean-spread clause's job (it correctly
+# blocked v2 promotion on that validation run). Both signals are
+# recorded per run in the JSON (`ambient` / `steal_share`);
+# `tagged_runs` reflects the OR.
 BURST_PROCS = 2
 BURST_LOOP_N = 2_000_000  # ~0.27 s/worker quiet -> one ~0.3 s sample
 BURST_RATIO_MAX = 1.3  # same line as the preflight ratio rule
 BURST_CLEAN_TARGET = N_RUNS
 BURST_MAX_EXTRA_RUNS = 3
+STEAL_SHARE_MAX = 0.1  # rule 7b: d_steal/(d_steal+d_busy) per run
 
 
 def _burst_sample(pool, loop_n: int = BURST_LOOP_N) -> float:
@@ -274,10 +304,57 @@ def _burst_hot(bracket: list[float]) -> bool:
     return max(bracket) > BURST_RATIO_MAX
 
 
+def _parse_cpu_jiffies(line: str) -> tuple[int, int]:
+    """(busy, steal) jiffies from a /proc/stat aggregate cpu line.
+
+    busy counts guest-visible work (user+nice+system+irq+softirq);
+    idle/iowait are excluded, steal is returned separately — it is
+    time a RUNNABLE vCPU spent descheduled by the hypervisor, the
+    rule-7b contamination signal."""
+    v = [int(x) for x in line.split()[1:]]
+    busy = v[0] + v[1] + v[2] + v[5] + v[6]
+    steal = v[7] if len(v) > 7 else 0
+    return busy, steal
+
+
+def _cpu_counters() -> tuple[int, int]:
+    try:
+        with open("/proc/stat") as f:
+            return _parse_cpu_jiffies(f.readline())
+    except (OSError, ValueError, IndexError):  # pragma: no cover
+        return (0, 0)
+
+
+def _steal_share(c0: tuple[int, int], c1: tuple[int, int]) -> float:
+    """Steal's share of machine activity across a timed run:
+    d_steal / (d_steal + d_busy). Quiet VM: < 0.02. Dilation of a
+    CPU-bound stage is ~ 1/(1-share). Returns 0.0 when counters are
+    unavailable (both deltas zero)."""
+    db = c1[0] - c0[0]
+    ds = c1[1] - c0[1]
+    if ds <= 0 or ds + db <= 0:
+        return 0.0
+    return round(ds / (ds + db), 4)
+
+
+def _run_hot(bracket: list[float], share: float) -> bool:
+    """Rule 7 OR rule 7b: spin-sampled steal ratio in either
+    surrounding window, or measured vCPU-steal share during the run
+    itself. share < 0 is the sampling-off sentinel (never hot)."""
+    return _burst_hot(bracket) or share > STEAL_SHARE_MAX
+
+
 def _clean_runs(
-    runs: list[float], brackets: list[list[float]]
+    runs: list[float],
+    brackets: list[list[float]],
+    shares: list[float] | None = None,
 ) -> list[float]:
-    return [dt for dt, b in zip(runs, brackets) if not _burst_hot(b)]
+    sh = shares if shares is not None else [0.0] * len(runs)
+    return [
+        dt
+        for dt, b, s in zip(runs, brackets, sh)
+        if not _run_hot(b, s)
+    ]
 
 
 def _anchor_eligible_burst(
@@ -445,8 +522,10 @@ def main() -> None:
     runs: dict[str, list[float]] = {n: [] for n in names}
     # Per-run ambient brackets, aligned index-for-index with runs[name]:
     # amb[name][i] = [sample_before, sample_after] steal ratios around
-    # runs[name][i] (see the burst-attribution rule block).
+    # runs[name][i]; steal_rec[name][i] = the run's own vCPU-steal
+    # share from /proc/stat (rule 7b) — -1.0 when sampling is off.
     amb: dict[str, list[list[float]]] = {n: [] for n in names}
+    steal_rec: dict[str, list[float]] = {n: [] for n in names}
 
     def timed_run(name: str) -> float:
         t0 = time.perf_counter()
@@ -454,14 +533,18 @@ def main() -> None:
         return round(time.perf_counter() - t0, 3)
 
     def sampled_run(name: str, before: float | None = None) -> float:
-        """One timed run bracketed by ambient samples; records into
-        runs+amb; returns the trailing sample (the next run's leading
-        one when runs are back-to-back)."""
+        """One timed run bracketed by ambient samples (rule 7) and
+        /proc/stat busy/steal counters (rule 7b); records into
+        runs+amb+steal_rec; returns the trailing spin sample (the next
+        run's leading one when runs are back-to-back)."""
         b = before if before is not None else _burst_sample(pool)
+        c0 = _cpu_counters()
         dt = timed_run(name)
+        c1 = _cpu_counters()
         a = _burst_sample(pool)
         runs[name].append(dt)
         amb[name].append([b, a])
+        steal_rec[name].append(_steal_share(c0, c1))
         return a
 
     last: float | None = None
@@ -478,6 +561,7 @@ def main() -> None:
             else:
                 runs[name].append(timed_run(name))
                 amb[name].append([-1.0, -1.0])
+                steal_rec[name].append(-1.0)
 
     # statistics.median (not sorted(ts)[len//2]): retry runs make the
     # per-query lists even-length, and the upper-middle element would
@@ -497,6 +581,7 @@ def main() -> None:
             else:
                 runs[name].append(timed_run(name))
                 amb[name].append([-1.0, -1.0])
+                steal_rec[name].append(-1.0)
             tries += 1
         if tries:
             requalified.append(name)
@@ -514,14 +599,18 @@ def main() -> None:
         for name in names:
             extra = 0
             while (
-                len(_clean_runs(runs[name], amb[name])) < BURST_CLEAN_TARGET
+                len(_clean_runs(runs[name], amb[name], steal_rec[name]))
+                < BURST_CLEAN_TARGET
                 and extra < BURST_MAX_EXTRA_RUNS
             ):
                 sampled_run(name)
                 extra += 1
             if extra:
                 burst_rerun.append(name)
-            if len(_clean_runs(runs[name], amb[name])) < BURST_CLEAN_TARGET:
+            if (
+                len(_clean_runs(runs[name], amb[name], steal_rec[name]))
+                < BURST_CLEAN_TARGET
+            ):
                 burst_unstable.append(name)
         pool.close()
         pool.join()
@@ -529,7 +618,12 @@ def main() -> None:
     # view reads null rather than trivially mirroring the all-runs
     # medians (which would look like 3-clean-samples promotion bait).
     clean = {
-        n: (_clean_runs(runs[n], amb[n]) if burst_on else []) for n in names
+        n: (
+            _clean_runs(runs[n], amb[n], steal_rec[n])
+            if burst_on
+            else []
+        )
+        for n in names
     }
     timings_clean = {
         n: (round(statistics.median(ts), 3) if ts else None)
@@ -630,18 +724,27 @@ def main() -> None:
                     "burst": (
                         {
                             "ratio_max": BURST_RATIO_MAX,
+                            "steal_share_max": STEAL_SHARE_MAX,
                             "clean_target": BURST_CLEAN_TARGET,
                             "sample_procs": BURST_PROCS,
                             "timings_all": runs,
                             "ambient": amb,
+                            "steal_share": steal_rec,
                             "tagged_runs": {
                                 n: [
                                     i
-                                    for i, b in enumerate(amb[n])
-                                    if _burst_hot(b)
+                                    for i, (b, s) in enumerate(
+                                        zip(amb[n], steal_rec[n])
+                                    )
+                                    if _run_hot(b, s)
                                 ]
                                 for n in names
-                                if any(_burst_hot(b) for b in amb[n])
+                                if any(
+                                    _run_hot(b, s)
+                                    for b, s in zip(
+                                        amb[n], steal_rec[n]
+                                    )
+                                )
                             },
                             "burst_rerun_queries": burst_rerun,
                             "burst_unstable": burst_unstable,

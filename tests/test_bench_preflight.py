@@ -104,3 +104,57 @@ def test_burst_thresholds_are_the_documented_rule():
     # silent constant change must fail a test, not just drift the docs
     assert bench.BURST_RATIO_MAX == 1.3
     assert bench.BURST_CLEAN_TARGET == 3
+    # rule 7b: 0.1 is empirical — steal share under-measures total
+    # interference (cache/membw contention rides along), so the line
+    # sits below the 1.3x-dilation spin rule; quiet baseline < 0.02
+    assert bench.STEAL_SHARE_MAX == 0.1
+
+
+# --- Rule 7b: vCPU-steal attribution (round 13, second half) --------------
+
+
+def test_parse_cpu_jiffies_busy_and_steal():
+    # user nice system idle iowait irq softirq steal guest gnice
+    line = "cpu  100 2 30 9000 50 3 5 40 0 0"
+    busy, steal = bench._parse_cpu_jiffies(line)
+    assert busy == 100 + 2 + 30 + 3 + 5  # idle/iowait excluded
+    assert steal == 40
+
+
+def test_parse_cpu_jiffies_no_steal_field():
+    # pre-2.6.11 shape (7 fields): steal defaults to 0, not IndexError
+    busy, steal = bench._parse_cpu_jiffies("cpu 100 0 30 9000 50 3 5")
+    assert busy == 138 and steal == 0
+
+
+def test_cpu_counters_reads_this_host():
+    busy, steal = bench._cpu_counters()
+    assert busy > 0 and steal >= 0
+
+
+def test_steal_share():
+    assert bench._steal_share((1000, 10), (1100, 10)) == 0.0
+    # 50 stolen vs 100 busy jiffies across the run -> share 1/3
+    assert bench._steal_share((1000, 10), (1100, 60)) == round(
+        50 / 150, 4
+    )
+    # counter unavailable (both zero) or no activity -> 0.0, never NaN
+    assert bench._steal_share((0, 0), (0, 0)) == 0.0
+
+
+def test_run_hot_is_spin_or_steal():
+    assert not bench._run_hot([1.0, 1.05], 0.02)
+    assert bench._run_hot([1.0, 1.31], 0.0)  # spin rule alone
+    assert bench._run_hot([1.0, 1.0], 0.11)  # steal rule alone
+    assert not bench._run_hot([1.0, 1.0], 0.1)  # at the line is clean
+    # -1.0 is the sampling-off sentinel: never hot
+    assert not bench._run_hot([1.0, 1.0], -1.0)
+
+
+def test_clean_runs_excludes_steal_hot():
+    runs = [1.0, 5.0, 1.1]
+    amb = [[1.0, 1.0], [1.0, 1.0], [1.01, 1.02]]
+    shares = [0.01, 0.6, 0.0]
+    assert bench._clean_runs(runs, amb, shares) == [1.0, 1.1]
+    # shares omitted -> spin-only behaviour (back-compat)
+    assert bench._clean_runs(runs, amb) == runs
