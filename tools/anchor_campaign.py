@@ -29,6 +29,16 @@ REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 OUT_DIR = "/tmp/anchor_campaign_r13"
 GATE_1, GATE_5, GATE_15 = 2.0, 2.5, 3.0  # bench.py anchor_rule
 POLL_SEC = 60
+# Ambient-steal gate (round 13, rule 7b): co-tenant vCPU steal accrues
+# in /proc/stat even while THIS guest idles (measured 0.15-0.8 stolen
+# core/s during the hot evening windows vs < 0.01 when genuinely
+# quiet), and loadavg cannot see it — attempts 1-5 all passed the
+# loadavg gates and spiked anyway. Sampling steal for POLL_STEAL_SEC
+# before committing an attempt skips doomed windows for ~10 s instead
+# of a ~10 min suite, which is what actually preserves the attempt
+# budget on a 25-attempt campaign.
+POLL_STEAL_SEC = 10.0
+STEAL_RATE_MAX = 0.05  # stolen core-sec per wall-sec, absolute
 
 
 def loads():
@@ -37,6 +47,26 @@ def loads():
 
 def gates_ok(ls) -> bool:
     return ls[0] <= GATE_1 and ls[1] <= GATE_5 and ls[2] <= GATE_15
+
+
+def _steal_jiffies() -> int:
+    try:
+        with open("/proc/stat") as f:
+            v = f.readline().split()[1:]
+        return int(v[7]) if len(v) > 7 else 0
+    except (OSError, ValueError, IndexError):
+        return 0
+
+
+def steal_rate(sample_sec: float = POLL_STEAL_SEC) -> float:
+    """Stolen core-seconds per wall-second over a short idle sample
+    (CLK_TCK is 100 on this kernel)."""
+    s0 = _steal_jiffies()
+    t0 = time.time()
+    time.sleep(sample_sec)
+    ds = _steal_jiffies() - s0
+    dw = time.time() - t0
+    return round(ds / 100.0 / dw, 3) if dw > 0 else 0.0
 
 
 def log(msg: str) -> None:
@@ -58,8 +88,16 @@ def main() -> None:
             log(f"wait: loadavg {ls} over gates {GATE_1}/{GATE_5}/{GATE_15}")
             time.sleep(POLL_SEC)
             continue
+        rate = steal_rate()
+        if rate > STEAL_RATE_MAX:
+            log(
+                f"wait: ambient steal {rate} core/s over {STEAL_RATE_MAX} "
+                f"(loadavg {ls} was under the gates)"
+            )
+            time.sleep(POLL_SEC - POLL_STEAL_SEC)
+            continue
         attempt += 1
-        log(f"attempt {attempt}: start at loadavg {ls}")
+        log(f"attempt {attempt}: start at loadavg {ls}, steal {rate} core/s")
         proc = subprocess.run(
             [sys.executable, os.path.join(REPO, "bench.py")],
             capture_output=True,
