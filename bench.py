@@ -377,6 +377,19 @@ def _anchor_eligible_burst(
     return True
 
 
+def _ambient_steal_rate(sample_sec: float = 2.0) -> float:
+    """Stolen core-seconds per wall-second while this guest idles —
+    pre-run context for the JSON (machine_state.ambient_steal_core_s).
+    Jiffies are CLK_TCK=100 on this kernel; /proc/stat absent or
+    short (no steal field) degrades to 0.0."""
+    t0 = time.time()
+    s0 = _cpu_counters()[1]
+    time.sleep(sample_sec)
+    ds = _cpu_counters()[1] - s0
+    dw = time.time() - t0
+    return round(ds / 100.0 / dw, 3) if dw > 0 else 0.0
+
+
 # Scratch dirs whose presence is known to pollute bench numbers
 # (page-cache pressure from multi-GB probe builds once flipped an AQE
 # join-strategy threshold and measured text_tfidf 4x slower — see the
@@ -423,6 +436,12 @@ def _machine_state() -> dict:
             round(x, 2) if x is not None else None
             for x in (load1, load5, load15)
         ],
+        # Ambient co-tenant steal BEFORE the run (rule 7b context):
+        # stolen core-seconds per wall-second over a 2 s idle sample.
+        # Genuinely quiet < 0.01; hot evening windows read 0.15-0.8.
+        # Recorded, never gated — the per-run steal_share attribution
+        # is the enforcement point.
+        "ambient_steal_core_s": _ambient_steal_rate(),
     }
     if cleaned:
         total_gb = sum(cleaned.values()) / 1e9

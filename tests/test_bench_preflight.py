@@ -151,6 +151,11 @@ def test_run_hot_is_spin_or_steal():
     assert not bench._run_hot([1.0, 1.0], -1.0)
 
 
+def test_ambient_steal_rate_smoke():
+    r = bench._ambient_steal_rate(sample_sec=0.1)
+    assert isinstance(r, float) and r >= 0.0
+
+
 def test_clean_runs_excludes_steal_hot():
     runs = [1.0, 5.0, 1.1]
     amb = [[1.0, 1.0], [1.0, 1.0], [1.01, 1.02]]
