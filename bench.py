@@ -264,23 +264,31 @@ def _preflight_hot(m: dict) -> bool:
 # descheduling during that run regardless of how many guest threads
 # the hog would have had to fight. A run is contaminated when EITHER
 # its spin bracket exceeds BURST_RATIO_MAX OR its steal share exceeds
-# STEAL_SHARE_MAX = 0.1. The threshold is EMPIRICAL, deliberately
-# below the 1.3x-dilation spin line (share 0.1 ~ 1.11x if steal were
-# the whole story): the first live sf0.001 validation showed runs at
-# share 0.06-0.14 dilated 1.2-2x — steal share UNDER-measures total
-# interference because a busy co-tenant also degrades cache/memory
-# bandwidth, which the steal counter cannot see. Quiet baseline reads
-# < 0.02, so 0.1 still cleanly separates. Residual contamination
-# below the line is the clean-spread clause's job (it correctly
-# blocked v2 promotion on that validation run). Both signals are
+# STEAL_SHARE_MAX = 0.05. The threshold is EMPIRICAL, far below the
+# 1.3x-dilation spin line (share 0.05 ~ 1.05x if steal were the whole
+# story), because steal share UNDER-measures total interference — a
+# busy co-tenant also degrades cache/memory bandwidth, which the
+# steal counter cannot see. Two live measurements set the line: the
+# sf0.001 validation showed runs at share 0.06-0.14 dilated 1.2-2x,
+# and the first sf0.1 campaign attempt under an initial 0.1 line
+# still passed sub-0.1-share samples whose clean spread read
+# 0.4-1.2x (sub-line contamination ruining the clean view the rule
+# is meant to certify). Quiet baseline reads < 0.02, so 0.05 still
+# cleanly separates — and v2 promotion only matters in near-quiet
+# windows, where a strict line costs nothing. Residual contamination
+# below it remains the clean-spread clause's job. Both signals are
 # recorded per run in the JSON (`ambient` / `steal_share`);
 # `tagged_runs` reflects the OR.
 BURST_PROCS = 2
 BURST_LOOP_N = 2_000_000  # ~0.27 s/worker quiet -> one ~0.3 s sample
 BURST_RATIO_MAX = 1.3  # same line as the preflight ratio rule
 BURST_CLEAN_TARGET = N_RUNS
-BURST_MAX_EXTRA_RUNS = 3
-STEAL_SHARE_MAX = 0.1  # rule 7b: d_steal/(d_steal+d_busy) per run
+# 5 extras (was 3): under the intermittent-burst pattern measured on
+# this host (a burst every few minutes), base-3 + 3 extras left ~half
+# the queries short of 3 clean samples in otherwise-promising windows;
+# the cap exists to bound suite length, not to starve the clean view.
+BURST_MAX_EXTRA_RUNS = 5
+STEAL_SHARE_MAX = 0.05  # rule 7b: d_steal/(d_steal+d_busy) per run
 
 
 def _burst_sample(pool, loop_n: int = BURST_LOOP_N) -> float:

@@ -104,10 +104,11 @@ def test_burst_thresholds_are_the_documented_rule():
     # silent constant change must fail a test, not just drift the docs
     assert bench.BURST_RATIO_MAX == 1.3
     assert bench.BURST_CLEAN_TARGET == 3
-    # rule 7b: 0.1 is empirical — steal share under-measures total
+    # rule 7b: 0.05 is empirical — steal share under-measures total
     # interference (cache/membw contention rides along), so the line
-    # sits below the 1.3x-dilation spin rule; quiet baseline < 0.02
-    assert bench.STEAL_SHARE_MAX == 0.1
+    # sits far below the 1.3x-dilation spin rule; quiet baseline
+    # < 0.02 and sub-0.1-share samples measured 0.4-1.2x clean spread
+    assert bench.STEAL_SHARE_MAX == 0.05
 
 
 # --- Rule 7b: vCPU-steal attribution (round 13, second half) --------------
@@ -145,8 +146,8 @@ def test_steal_share():
 def test_run_hot_is_spin_or_steal():
     assert not bench._run_hot([1.0, 1.05], 0.02)
     assert bench._run_hot([1.0, 1.31], 0.0)  # spin rule alone
-    assert bench._run_hot([1.0, 1.0], 0.11)  # steal rule alone
-    assert not bench._run_hot([1.0, 1.0], 0.1)  # at the line is clean
+    assert bench._run_hot([1.0, 1.0], 0.06)  # steal rule alone
+    assert not bench._run_hot([1.0, 1.0], 0.05)  # at the line is clean
     # -1.0 is the sampling-off sentinel: never hot
     assert not bench._run_hot([1.0, 1.0], -1.0)
 
