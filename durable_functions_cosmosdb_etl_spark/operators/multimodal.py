@@ -126,7 +126,9 @@ def get_decoder(decoder="fake"):
     raise ValueError(f"unknown decoder: {decoder!r}")
 
 
-def decode_image_batch(df: DataFrame, decoder="fake") -> DataFrame:
+def decode_image_batch(
+    df: DataFrame, decoder="fake", passthrough: tuple[str, ...] = ()
+) -> DataFrame:
     """binary media → (dims, feature vector) via Arrow-batched mapInPandas.
 
     Batch shape: each pandas chunk holds whole payloads; decode is
@@ -134,25 +136,43 @@ def decode_image_batch(df: DataFrame, decoder="fake") -> DataFrame:
     ``decoder`` selects the codec (see :func:`get_decoder`); the
     registered oracle query keeps the deterministic default, production
     passes ``"pil"``/``"auto"`` or its own callable.
+
+    ``passthrough`` (r13 optimization): names of input columns carried
+    verbatim through the decode, appended after the decoded fields.
+    A caller that needs payload metadata (mime, n_bytes, …) NEXT TO the
+    decoded dims previously had to join the decode output back to the
+    media table on doc_id — a full-corpus exchange of both sides purely
+    to re-attach columns this very scan had in hand (the same
+    re-attach anti-pattern assign_to_centroids documents). Carrying
+    them through the Arrow batch costs a few bytes per row and removes
+    that join entirely (multimodal_meta: 2 scans + SMJ → 1 scan,
+    exchange count 2 → 0).
     """
     decode = get_decoder(decoder)
+    extra = list(passthrough)
+    out_cols = ["doc_id", "width", "height", "n_channels", "feature"] + extra
+    schema = T.StructType(
+        DECODED_SCHEMA.fields + [df.schema[c] for c in extra]
+    )
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             rows = []
-            for doc_id, content in zip(pdf["doc_id"], pdf["content"]):
+            for doc_id, content, *rest in zip(
+                pdf["doc_id"], pdf["content"], *[pdf[c] for c in extra]
+            ):
                 if content is None:
                     # Undecodable (missing payload): null dims/feature,
                     # row kept so media audits see the gap.
-                    rows.append((doc_id, None, None, None, None))
+                    rows.append((doc_id, None, None, None, None, *rest))
                     continue
                 w, h, c, feat = decode(bytes(content))
-                rows.append((doc_id, w, h, c, feat))
-            yield pd.DataFrame(
-                rows, columns=["doc_id", "width", "height", "n_channels", "feature"]
-            )
+                rows.append((doc_id, w, h, c, feat, *rest))
+            yield pd.DataFrame(rows, columns=out_cols)
 
-    return df.select("doc_id", "content").mapInPandas(run, schema=DECODED_SCHEMA)
+    return df.select("doc_id", "content", *extra).mapInPandas(
+        run, schema=schema
+    )
 
 
 RESIZED_SCHEMA = T.StructType(
@@ -179,7 +199,13 @@ def resize_batch(df: DataFrame, max_side: int = 32) -> DataFrame:
     aspect ratio (integer arithmetic stand-in for the pixel resample —
     see module note). Chains after ``decode_image_batch`` as a second
     mapInPandas stage: same partitioning, no shuffle between stages.
+
+    Schema-preserving (r13): any extra columns the decode stage carried
+    (``passthrough``) ride through unchanged — the output schema is the
+    input schema, so the stage composes with a passthrough-decoding
+    chain without re-joining metadata afterwards.
     """
+    cols = [f.name for f in df.schema.fields]
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -190,9 +216,9 @@ def resize_batch(df: DataFrame, max_side: int = 32) -> DataFrame:
             out = pdf.copy()
             out["width"] = (w * scale_num // side).clip(lower=1).astype("int32")
             out["height"] = (h * scale_num // side).clip(lower=1).astype("int32")
-            yield out[["doc_id", "width", "height", "n_channels", "feature"]]
+            yield out[cols]
 
-    return df.mapInPandas(run, schema=RESIZED_SCHEMA)
+    return df.mapInPandas(run, schema=df.schema)
 
 
 def frame_sample_batch(

@@ -352,12 +352,35 @@ def text_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
     vocab when exact terms aren't needed; exact terms kept here for
     oracle parity). Smooth idf = ln((N+1)/(df+1)) + 1; scores rounded
     to 1e-6 (libm ulp differences), ties break on word.
+
+    r13 optimization: ``tf`` is localCheckpoint-ed. The plan is a
+    diamond — tf feeds BOTH the join probe side and the df_w aggregate —
+    and Catalyst has no subplan sharing: column pruning rewrites the
+    df_w branch into a distinct-shaped aggregate, so neither the
+    CacheManager nor AQE stage reuse ever matches it (verified: the
+    executed plan re-scanned and re-exploded documents). The checkpoint
+    materializes the (doc, word, tf) table once per invocation
+    (~|distinct doc-word| rows, far smaller than the exploded stream)
+    and both branches read it: one scan+explode+aggregate instead of
+    two — 1.46 s → 1.11 s clean median at sf0.1, scan count 2 → 1
+    (plans/r13/text_tfidf_{before,after}.txt). At 100 TB the same move
+    is "write tf to a table, read it twice" (guide §3.3: materialise
+    an intermediate to truncate a re-used subplan); localCheckpoint is
+    its single-application form. Deliberately NOT .cache(): the
+    CacheManager would serve the blocks across repeated invocations of
+    the registered query, which would turn a bench's warm runs into
+    cache reads — a measurement this engine refuses to game. Each
+    invocation recomputes and re-materializes its own checkpoint.
     """
     docs = _docs(spark, sf_dir)
     w = docs.select(
         "doc_id", F.split(F.trim(F.col("text")), r"\s+").alias("ws")
     ).select("doc_id", F.explode("ws").alias("word"))
-    tf = w.groupBy("doc_id", "word").agg(F.count(F.lit(1)).alias("tf"))
+    tf = (
+        w.groupBy("doc_id", "word")
+        .agg(F.count(F.lit(1)).alias("tf"))
+        .localCheckpoint()
+    )
     dfreq = tf.groupBy("word").agg(F.count(F.lit(1)).alias("df_w"))
     n = docs.agg(F.count(F.lit(1)).alias("n_docs"))
     scored = (
@@ -1388,14 +1411,23 @@ def multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     dims. The fake codec's dims are deterministic integer arithmetic on
     payload size, so the whole Python pipeline is oracle-checked.
     (Absorbs the former multimodal_resize entry — kept as an extra.)
+
+    r13 optimization: mime/n_bytes ride THROUGH the decode+resize chain
+    (``decode_image_batch(passthrough=...)``) instead of being re-read
+    in a second scan and re-attached with a doc_id join — the previous
+    plan shuffled the whole corpus on both join sides purely to re-pair
+    two metadata columns with the dims the same scan produced. Plan:
+    2 parquet scans + sort-merge join (2 exchanges) → 1 scan, 0
+    exchanges (plans/r13/… not benched; shape verified by explain).
+    Output identical — the oracle hash is unchanged.
     """
     media = mm.attach_binary(_docs(spark, sf_dir), "doc_id", "text")
-    resized = mm.resize_batch(mm.decode_image_batch(media), max_side=32)
-    meta = mm.attach_binary(_docs(spark, sf_dir), "doc_id", "text").select(
-        "doc_id", "mime", "n_bytes"
+    resized = mm.resize_batch(
+        mm.decode_image_batch(media, passthrough=("mime", "n_bytes")),
+        max_side=32,
     )
-    return meta.join(
-        resized.select("doc_id", "width", "height", "n_channels"), "doc_id"
+    return resized.select(
+        "doc_id", "mime", "n_bytes", "width", "height", "n_channels"
     )
 
 

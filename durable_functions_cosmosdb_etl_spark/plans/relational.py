@@ -417,27 +417,45 @@ def case_when(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def join_inner_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """3-way inner join → aggregate (TPC-H Q3 family).
+    """3-way inner join → aggregate (TPC-H Q3 family), with the lineitem
+    side PARTIALLY AGGREGATED below the join (guide §2.3 "aggregate
+    before you shuffle", r13 optimization).
 
-    customer⋈orders is shuffle-hash/SMJ on custkey; orders⋈lineitem on
-    orderkey. AQE picks broadcast when the filtered side fits. Skewed
-    custkeys at scale → AQE skew-join splits oversized partitions.
+    Every orderkey joins exactly one order (FK), so summing revenue /
+    counting lines per orderkey FIRST and summing the partial sums after
+    the joins is algebraically identical (fixed-point integer sums are
+    associative — bit-equal, oracle-verified). What it buys:
+
+    - the join input shrinks from |lineitem| rows to ~|orders| rows
+      BEFORE anything is joined or shuffled — at 100 TB the fact-fact
+      exchange carries one row per order instead of one per line (and
+      the per-orderkey aggregate is itself map-side partial);
+    - locally (measured, r13): the planner had been broadcasting the
+      600k-row 3-column lineitem side (its compressed-size estimate sat
+      under the 32 MB threshold) — a single-threaded 600k-entry
+      HashedRelation build per run; the pre-aggregate replaces it with
+      a ~150k-row build: 1.22 s → 0.97 s clean median at sf0.1
+      (OPTIMIZATION_r13.md).
+
+    customer/orders joins stay size-based (AQE broadcast/skew-split) —
+    nothing here forces a strategy that could not scale.
     """
     c = _t(spark, sf_dir, "customer")
     o = _t(spark, sf_dir, "orders")
     l = _t(spark, sf_dir, "lineitem")
+    per_order = l.groupBy("l_orderkey").agg(
+        F.sum(
+            fixed(F.col("l_extendedprice") * (1 - F.col("l_discount")), 10000)
+        ).alias("rev_fp"),
+        F.count(F.lit(1)).alias("n_lines"),
+    )
     return (
-        c.join(o, c.c_custkey == o.o_custkey)
-        .join(l, o.o_orderkey == l.l_orderkey)
+        per_order.join(o, per_order.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
         .groupBy("c_custkey", "c_name")
         .agg(
-            unfixed(
-                F.sum(
-                    fixed(F.col("l_extendedprice") * (1 - F.col("l_discount")), 10000)
-                ),
-                10000,
-            ).alias("revenue"),
-            F.count(F.lit(1)).alias("n_items"),
+            unfixed(F.sum("rev_fp"), 10000).alias("revenue"),
+            F.sum("n_lines").alias("n_items"),
         )
     )
 
@@ -453,18 +471,25 @@ def join_inner_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def join_left_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Left outer join preserving customers with zero orders."""
+    """Left outer join preserving customers with zero orders.
+
+    r13 optimization (guide §2.3, same move as join_inner_revenue):
+    orders are aggregated per o_custkey BEFORE the join, so the join and
+    its exchange carry one row per customer-with-orders instead of one
+    per order, and the outer join's null side becomes a coalesce(…, 0).
+    count over a left-joined null group ≡ 0 and the fixed-point sums are
+    associative, so the output is bit-identical (oracle-verified).
+    """
     c = _t(spark, sf_dir, "customer")
     o = _t(spark, sf_dir, "orders")
-    return (
-        c.join(o, c.c_custkey == o.o_custkey, "left")
-        .groupBy("c_custkey")
-        .agg(
-            F.count("o_orderkey").alias("order_count"),
-            unfixed(
-                F.coalesce(F.sum(fixed("o_totalprice")), F.lit(0))
-            ).alias("total_spend"),
-        )
+    per_cust = o.groupBy("o_custkey").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.sum(fixed("o_totalprice")).alias("spend_fp"),
+    )
+    return c.join(per_cust, c.c_custkey == per_cust.o_custkey, "left").select(
+        "c_custkey",
+        F.coalesce("n_orders", F.lit(0)).alias("order_count"),
+        unfixed(F.coalesce("spend_fp", F.lit(0))).alias("total_spend"),
     )
 
 
@@ -1258,10 +1283,22 @@ def scalar_math(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     """JSON re-parse with an explicit schema — the Spark analog of the
-    reference's per-doc deserialize (JsonConvert…, EtlProcess.cs:199)."""
+    reference's per-doc deserialize (JsonConvert…, EtlProcess.cs:199).
+
+    r13 optimization: the parse input is fanned out
+    (:func:`operators.dedup.fan_out` — conditional repartition up to the
+    cluster parallelism, a no-op whenever the scan already carries ≥
+    cores partitions, i.e. at any real scale). The test tables are
+    single-row-group parquet files, so the scan is ONE task and the
+    from_json of every row otherwise runs single-threaded; spreading the
+    2-column projection first parallelizes the parse: 0.41 s → 0.33 s
+    clean median at sf0.1 (guide §2.5 "input skew: one huge unsplittable
+    file → repartition immediately after the read"). Projecting before
+    the exchange keeps only (event_id, props) in the shuffle."""
+    from ..operators.dedup import fan_out
     from ..schemas import EVENT_PROPS_SCHEMA
 
-    e = _t(spark, sf_dir, "events")
+    e = fan_out(_t(spark, sf_dir, "events").select("event_id", "props"))
     parsed = e.select(
         "event_id", F.from_json("props", EVENT_PROPS_SCHEMA).alias("p")
     )

@@ -46,6 +46,36 @@ def test_resize_clamps_and_preserves_aspect(spark, sf_dir):
         assert r.feature == b.feature  # resize doesn't touch features
 
 
+def test_decode_passthrough_carries_metadata(spark, sf_dir):
+    """passthrough columns ride the decode+resize chain verbatim and in
+    the declared order — the join-free shape multimodal_meta relies on
+    (r13: replaces a full-corpus doc_id re-attach join)."""
+    docs = load_table(spark, sf_dir, "documents").limit(50)
+    media = mm.attach_binary(docs, "doc_id", "text")
+    meta = {r.doc_id: (r.mime, r.n_bytes) for r in media.collect()}
+    decoded = mm.decode_image_batch(media, passthrough=("mime", "n_bytes"))
+    assert decoded.columns == [
+        "doc_id", "width", "height", "n_channels", "feature",
+        "mime", "n_bytes",
+    ]
+    plain = {r.doc_id: r for r in mm.decode_image_batch(media).collect()}
+    out = {r.doc_id: r for r in decoded.collect()}
+    assert set(out) == set(meta)
+    for doc_id, r in out.items():
+        assert (r.mime, r.n_bytes) == meta[doc_id]
+        p = plain[doc_id]  # decoded fields unchanged by the passthrough
+        assert (r.width, r.height, r.n_channels, r.feature) == (
+            p.width, p.height, p.n_channels, p.feature,
+        )
+    resized = {
+        r.doc_id: r
+        for r in mm.resize_batch(decoded, max_side=32).collect()
+    }
+    for doc_id, r in resized.items():
+        assert (r.mime, r.n_bytes) == meta[doc_id]
+        assert max(r.width, r.height) <= 32
+
+
 def test_frame_sample_expands_rows(spark, sf_dir):
     docs = load_table(spark, sf_dir, "documents").limit(20)
     media = mm.attach_binary(docs, "doc_id", "text")
