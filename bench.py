@@ -535,6 +535,18 @@ def main() -> None:
 
     spark = get_spark("bench")
     spark.sparkContext.setLogLevel("ERROR")
+    # Driver-visible parallelism contract (round 14, VERDICT r13 #2):
+    # record the EFFECTIVE master, the context's defaultParallelism and
+    # the raw SPARK_GRAFT_CPUS env var in the JSON, so the driver's
+    # "suspect_cpus_ignored" heuristic can discriminate
+    # honors-but-serial-scan (every sf0.1 test table is a single
+    # row-group, so scans are one task at any core count — the measured
+    # cause of the ≈1 scaling ratios) from actually-ignoring-the-env.
+    # session.py:34-36 honors the env (master=local[$SPARK_GRAFT_CPUS]);
+    # this is observability only — no timed behavior changes.
+    machine_state["master"] = spark.sparkContext.master
+    machine_state["default_parallelism"] = spark.sparkContext.defaultParallelism
+    machine_state["cpus_env"] = os.environ.get("SPARK_GRAFT_CPUS")
     from durable_functions_cosmosdb_etl_spark.plans import registry
 
     qs = {**registry.EXTRA_QUERIES, **entrymod.queries()}
@@ -794,6 +806,12 @@ def main() -> None:
             }
         )
     )
+    # Belt-and-suspenders for the one-line contract (VERDICT r13 #2b):
+    # the r12 driver recorded parsed=null for a run whose stdout tail
+    # shows a complete JSON line — flush explicitly so no buffering
+    # mode can truncate the line if the interpreter dies in JVM
+    # shutdown after the print.
+    sys.stdout.flush()
 
 
 if __name__ == "__main__":

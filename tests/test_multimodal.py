@@ -148,3 +148,38 @@ def test_decode_real_png_with_pil(spark):
     assert (row["width"], row["height"], row["n_channels"]) == (20, 10, 3)
     assert len(row["feature"]) == 8
     assert abs(sum(row["feature"]) - 1.0) < 1e-6
+
+
+def test_passthrough_collision_raises(spark):
+    """r14 (ADVICE r13): a passthrough name colliding with the decoded
+    output columns (or the payload column) fails at plan-build time
+    instead of producing duplicate/ambiguous columns — or silently
+    re-carrying the binary payload through the Arrow batch."""
+    import pytest as _pytest
+
+    df = spark.createDataFrame(
+        [(1, bytearray(b"x"), "m", 1)],
+        "doc_id long, content binary, mime string, n_bytes long",
+    )
+    for bad in ("content", "width", "doc_id", "feature"):
+        with _pytest.raises(ValueError, match="collide"):
+            mm.decode_image_batch(df, passthrough=(bad,))
+
+
+def test_resize_passes_null_dims_through(spark):
+    """r14 (ADVICE r13): undecodable rows (null payload → null dims from
+    decode_image_batch) ride through resize_batch unchanged instead of
+    crashing the astype — the documented decode→resize composition now
+    holds on corpora with missing payloads."""
+    df = spark.createDataFrame(
+        [
+            (1, bytearray(b"some payload bytes"), "m", 18),
+            (2, None, "m", None),
+        ],
+        "doc_id long, content binary, mime string, n_bytes long",
+    )
+    decoded = mm.decode_image_batch(df, passthrough=("mime",))
+    out = {r.doc_id: r for r in mm.resize_batch(decoded, max_side=32).collect()}
+    assert out[2].width is None and out[2].height is None
+    assert out[2].mime == "m"  # passthrough survives the null path
+    assert out[1].width is not None and max(out[1].width, out[1].height) <= 32

@@ -915,3 +915,39 @@ def test_codebook_gc_spares_dir_of_current_meta_even_if_stale_keep(tmp_path):
     assert d_old.exists(), "caller's keep set must be honored"
     assert d_new.exists(), "current meta's dir must survive a stale keep"
     assert not orphan.exists(), "true orphan past the grace is reclaimed"
+
+
+def test_assign_rows_fast_path_matches_collect_path(spark):
+    """r14 serving refactor: assign_to_centroids with pre-collected
+    codebook rows (``_rows``) is identical to the DataFrame-collect path
+    — including the edge tiers (zero-norm, ties, NaN) and the degenerate
+    empty codebook."""
+    from durable_functions_cosmosdb_etl_spark.operators.similarity import (
+        assign_to_centroids,
+    )
+
+    corpus = spark.createDataFrame(
+        [
+            (0, [0.0, 0.0, 0.0]),
+            (1, [1.0, 0.0, 0.0]),
+            (2, [0.3, 0.3, 0.9]),
+            (3, [float("nan"), 1.0, 0.0]),
+        ],
+        "vec_id long, embedding array<float>",
+    )
+    rows = [
+        (1, [1.0, 0.0, 0.0]),
+        (2, [1.0, 0.0, 0.0]),
+        (3, [0.0, 0.0, 1.0]),
+    ]
+    cb = spark.createDataFrame(rows, "centroid_id int, centroid array<float>")
+    via_df = {
+        r["vec_id"]: r["centroid_id"]
+        for r in assign_to_centroids(corpus, cb).collect()
+    }
+    via_rows = {
+        r["vec_id"]: r["centroid_id"]
+        for r in assign_to_centroids(corpus, None, _rows=rows).collect()
+    }
+    assert via_rows == via_df
+    assert assign_to_centroids(corpus, None, _rows=[]).count() == 0
